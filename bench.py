@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized via a count-collect (df.count() after the full
+plan; for limit/top-k plans, collect()) so the measured time covers scan →
+shuffle → result, not just plan construction. A warmup pass on sf0.001
+amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from database_migration_engine_spark.plans import QUERIES
+from database_migration_engine_spark.session import build_session
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Force full execution; collect() is safe — every registered query
+    # returns either an aggregate or a top-k (bounded output).
+    df.collect()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+    spark = build_session(app_name="dbmig-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: run everything once at the smallest sf to trigger codegen,
+    # Arrow init, and broadcast machinery outside the timed region.
+    for fn in QUERIES.values():
+        try:
+            fn(spark, WARMUP_SF_DIR).collect()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        try:
+            timings[name] = round(run_query(fn, spark, sf_dir), 4)
+        except Exception as exc:  # pragma: no cover - report, don't die
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

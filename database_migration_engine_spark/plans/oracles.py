@@ -1,0 +1,251 @@
+"""DuckDB oracle SQL — one entry per oracle-checkable query.
+
+Mirrors plans/queries.py exactly: same aliases, same exact-decimal
+aggregation pattern (sums/averages pass through DECIMAL(28,10) so the
+double results are bit-identical to Spark's regardless of reduction
+order), same string-formatted timestamps. Migration/ledger tables are
+inlined as VALUES CTEs from fixtures.py so both engines see byte-identical
+corpora.
+"""
+
+from __future__ import annotations
+
+from .. import fixtures
+
+_DEC = "DECIMAL(28,10)"
+
+# Exact-decimal price arithmetic — byte-identical expression to
+# queries.DISC_PRICE / queries.CHARGE (see the comment there).
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+_CHARGE = f"({_DISC_PRICE}) * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+# The decimal→double cast is routed through VARCHAR: DuckDB's direct
+# DECIMAL→DOUBLE cast divides the int128 by 10^scale in floating point (two
+# roundings, can be 1 ULP off), while VARCHAR→DOUBLE is correctly rounded —
+# matching Java's BigDecimal.doubleValue on the Spark side bit-for-bit.
+
+
+def _dsum(expr: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {_DEC})) AS VARCHAR) AS DOUBLE) AS {alias}"
+    )
+
+
+def _davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {_DEC})) AS VARCHAR) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["revenue_agg"] = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    {_dsum('l_quantity', 'sum_qty')},
+    {_dsum('l_extendedprice', 'sum_base_price')},
+    {_dsum(_DISC_PRICE, 'sum_disc_price')},
+    {_dsum(_CHARGE, 'sum_charge')},
+    {_davg('l_quantity', 'avg_qty')},
+    {_davg('l_extendedprice', 'avg_price')},
+    {_davg('l_discount', 'avg_disc')},
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["topk_orders"] = f"""
+SELECT
+    o_orderkey,
+    {_dsum(_DISC_PRICE, 'revenue')},
+    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+    o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["region_rollup"] = f"""
+SELECT
+    r_name,
+    COUNT(*) AS n_customers,
+    {_dsum('c_acctbal', 'total_acctbal')},
+    {_davg('c_acctbal', 'avg_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+ORACLES["window_rank"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rnk
+    FROM orders
+)
+WHERE rnk <= 3
+"""
+
+ORACLES["set_ops_users"] = """
+SELECT user_id FROM (
+    (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'error' AND value > 180
+)
+ORDER BY user_id
+"""
+
+ORACLES["events_tumbling"] = f"""
+SELECT
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+    event_type,
+    COUNT(*) AS n_events,
+    {_dsum('value', 'sum_value')}
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+ORACLES["events_sessionize"] = f"""
+WITH flagged AS (
+    SELECT
+        user_id, ts, event_id, value,
+        CASE
+            WHEN lag(ts) OVER w IS NULL THEN 1
+            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                THEN 1
+            ELSE 0
+        END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT
+        user_id, ts, value,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+    FROM flagged
+)
+SELECT
+    user_id,
+    CAST(session_seq AS BIGINT) AS session_seq,
+    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+    COUNT(*) AS n_events,
+    {_dsum('value', 'sum_value')}
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+# --- ledger / migration operators: corpus inlined on both sides ----------
+
+_MIG = fixtures.migrations_values_cte()
+_LEDGER = fixtures.ledger_values_cte()
+_LEDGER_TAMPERED = fixtures.ledger_values_cte(tampered=True)
+
+ORACLES["ledger_status"] = f"""
+WITH {_LEDGER}
+SELECT version, filename, checksum,
+       strftime(applied_at, '%Y-%m-%d %H:%M:%S') AS applied_at,
+       duration_ms, status
+FROM schema_migrations
+WHERE status = 'applied'
+ORDER BY version
+"""
+
+ORACLES["pending_migrations"] = f"""
+WITH {_MIG}, {_LEDGER}
+SELECT m.version, m.name, m.checksum
+FROM migrations m
+WHERE NOT EXISTS (
+    SELECT 1 FROM schema_migrations t
+    WHERE t.version = m.version AND t.status = 'applied'
+)
+ORDER BY m.version
+"""
+
+ORACLES["applied_semi"] = f"""
+WITH {_MIG}, {_LEDGER}
+SELECT m.version, m.name
+FROM migrations m
+WHERE EXISTS (
+    SELECT 1 FROM schema_migrations t
+    WHERE t.version = m.version AND t.status = 'applied'
+)
+ORDER BY m.version
+"""
+
+ORACLES["checksum_verify"] = f"""
+WITH {_MIG}, {_LEDGER_TAMPERED}
+SELECT m.version,
+       sha256(m.up_sql) AS computed_checksum,
+       t.checksum AS recorded_checksum,
+       sha256(m.up_sql) = t.checksum AS checksum_ok
+FROM migrations m
+JOIN schema_migrations t ON m.version = t.version
+WHERE t.status = 'applied'
+ORDER BY m.version
+"""
+
+ORACLES["rollback_topk"] = f"""
+WITH {_LEDGER}
+SELECT version, filename
+FROM schema_migrations
+WHERE status = 'applied'
+ORDER BY version DESC
+LIMIT 3
+"""
+
+ORACLES["after_version"] = f"""
+WITH {_LEDGER}
+SELECT version, strftime(applied_at, '%Y-%m-%d %H:%M:%S') AS applied_at
+FROM schema_migrations
+WHERE status = 'applied' AND version > '003'
+ORDER BY version DESC
+"""
+
+ORACLES["upsert_ledger"] = f"""
+WITH {_MIG}, {_LEDGER},
+new_rows AS (
+    SELECT version,
+           'V' || version || '_' || name || '.up.sql' AS filename,
+           checksum,
+           TIMESTAMP '2024-02-01 00:00:00' AS applied_at,
+           99 AS duration_ms,
+           'applied' AS status
+    FROM migrations
+    WHERE version IN ('007', '008')
+)
+SELECT version, filename, checksum,
+       strftime(applied_at, '%Y-%m-%d %H:%M:%S') AS applied_at,
+       CAST(duration_ms AS INTEGER) AS duration_ms, status
+FROM (
+    SELECT * FROM schema_migrations s
+    WHERE NOT EXISTS (SELECT 1 FROM new_rows n WHERE n.version = s.version)
+    UNION ALL
+    SELECT * FROM new_rows
+)
+ORDER BY version
+"""

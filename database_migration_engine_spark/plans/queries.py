@@ -1,0 +1,428 @@
+"""Spark implementations of every registered query.
+
+Conventions (shared with plans/oracles.py — read both together):
+
+* Every callable takes ``(spark, sf_dir)`` and returns a DataFrame; no
+  ``collect()`` inside a plan, so each stays a lazy logical plan Catalyst
+  can optimize end-to-end (pushdown, pruning, broadcast selection, AQE).
+* **Exact-decimal aggregation**: floating-point sums depend on reduction
+  order, which differs between a 32-way Spark shuffle and DuckDB. Every
+  SUM/AVG over doubles therefore casts the operand to a wide DECIMAL,
+  aggregates exactly, and casts the final value back to DOUBLE — making the
+  result bit-identical in both engines regardless of parallelism. At scale
+  this costs one widening per row in exchange for deterministic results —
+  the same trade Spark's own decimal aggregates make.
+* **Timestamps out as strings**: the session timezone is pinned to UTC
+  (session.ensure_deterministic) and emitted timestamps are formatted to
+  strings so the driver's value-hash can never diverge on tz-awareness.
+* Every computed column is aliased identically here and in the oracle.
+
+Reference anchors are cited per query (SURVEY.md §2.B).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from ..io import read_table
+from ..session import ensure_deterministic
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def query(name: str) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+# Exact-decimal aggregation helpers (see module docstring).
+_DEC = "decimal(28,10)"
+
+# Price arithmetic in exact decimals: the fixture monetary columns carry 2
+# decimal digits, so casting the stored double to DECIMAL(18,2)/(4,2)
+# recovers the intended value exactly in both engines, and all subsequent
+# multiplication is exact decimal math — no double product ever has to be
+# rounded to a decimal (where Spark's HALF_UP and DuckDB's HALF_EVEN can
+# disagree by one ULP).
+DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+CHARGE = f"({DISC_PRICE}) * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+def dsum(col, alias: str):
+    """Order-independent SUM over doubles: exact decimal sum → double."""
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    """Order-independent AVG: exact decimal sum / count, in double."""
+    return (
+        (F.sum(col.cast(_DEC)).cast("double") / F.count(col))
+        .alias(alias)
+    )
+
+
+def fmt_ts(col, alias: str, micros: bool = False):
+    pattern = "yyyy-MM-dd HH:mm:ss.SSSSSS" if micros else "yyyy-MM-dd HH:mm:ss"
+    return F.date_format(col, pattern).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics over the TPC-H-ish star schema (SURVEY.md §2.B).
+# ---------------------------------------------------------------------------
+
+
+@query("revenue_agg")
+def revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→hash-agg (TPC-H Q1 shape) on lineitem.
+
+    Exercises predicate pushdown (l_shipdate filter reaches the parquet
+    scan), column pruning, and two-phase hash aggregation. ETL extract
+    anchor per SURVEY §7.1.
+    """
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(F.expr(DISC_PRICE), "sum_disc_price"),
+            dsum(F.expr(CHARGE), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("topk_orders")
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join + agg + top-k (TPC-H Q3 shape).
+
+    customer is the small side → explicit broadcast; orders⋈lineitem is the
+    large shuffle join on l_orderkey (uniformly distributed → no salting
+    needed; AQE would split a skewed key). Top-k ties broken by o_orderkey
+    so the limit is deterministic.
+    """
+    ensure_deterministic(spark)
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.expr(DISC_PRICE), "revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            fmt_ts(F.col("o_orderdate"), "o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query("region_rollup")
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with broadcast dimension joins (nation⋈region).
+
+    Both dims are tiny at any scale factor → broadcast hash joins, so the
+    only shuffle is the final aggregation. Anchor: E10 broadcast lookup
+    (reference internal/executor/rollback_helpers.go:54-61) generalized.
+    """
+    ensure_deterministic(spark)
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+            davg(F.col("c_acctbal"), "avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query("window_rank")
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer by totalprice.
+
+    Generalizes the reference's rollback top-k selection (E8,
+    reference internal/executor/rollback_helpers.go:12-19) from a global
+    sort+limit to a per-key windowed top-k — one shuffle on o_custkey.
+    Deterministic tie-break on o_orderkey.
+    """
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query("set_ops_users")
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on user populations: (purchasers ∩ signups) ∖ errorers.
+
+    Anchor: applied-set vs rolled-back-set version algebra (L2/L4,
+    reference internal/tracker/tracker.go:67-92,116-130).
+    """
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+
+    def users(predicate) -> DataFrame:
+        return ev.filter(predicate).select("user_id").distinct()
+
+    return (
+        users(F.col("event_type") == "purchase")
+        .intersect(users(F.col("event_type") == "signup"))
+        .subtract(
+            users((F.col("event_type") == "error") & (F.col("value") > 180))
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing (batch forms; streaming twins in streaming/).
+# ---------------------------------------------------------------------------
+
+
+@query("events_tumbling")
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (streaming-ready agg)."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            fmt_ts(F.col("bucket_ts"), "hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("events_sessionize")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user.
+
+    Batch form of a session window: lag → new-session flag → running sum
+    within the same user partition (one shuffle on user_id; both window
+    functions reuse that partitioning) → per-session rollup.
+    """
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order_w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    session_seq = F.sum(new_session).over(
+        order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_seq", session_seq)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            fmt_ts(F.min("ts"), "session_start", micros=True),
+            fmt_ts(F.max("ts"), "session_end", micros=True),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ledger / migration-engine operators (reference semantics, SURVEY.md §2.A).
+# The corpus is inlined identically on both engines via fixtures.py.
+# ---------------------------------------------------------------------------
+
+
+@query("ledger_status")
+def ledger_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 filtered ordered scan (reference internal/tracker/tracker.go:67-92)."""
+    ensure_deterministic(spark)
+    ledger = fixtures.ledger_df(spark)
+    return (
+        ledger.filter(F.col("status") == "applied")
+        .select(
+            "version",
+            "filename",
+            "checksum",
+            fmt_ts(F.col("applied_at"), "applied_at"),
+            "duration_ms",
+            "status",
+        )
+        .orderBy("version")
+    )
+
+
+@query("pending_migrations")
+def pending_migrations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: migrations not yet applied (E2 inverted,
+    reference internal/executor/executor.go:366-373). A rolled-back version
+    is pending again (status filter mirrors IsApplied,
+    reference internal/tracker/tracker.go:56-58)."""
+    ensure_deterministic(spark)
+    migrations = fixtures.migrations_df(spark)
+    applied = fixtures.ledger_df(spark).filter(F.col("status") == "applied")
+    return (
+        migrations.join(applied, "version", "left_anti")
+        .select("version", "name", "checksum")
+        .orderBy("version")
+    )
+
+
+@query("applied_semi")
+def applied_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: the batch form of the point-exists probe (L1,
+    reference internal/tracker/tracker.go:52-64)."""
+    ensure_deterministic(spark)
+    migrations = fixtures.migrations_df(spark)
+    applied = fixtures.ledger_df(spark).filter(F.col("status") == "applied")
+    return (
+        migrations.join(applied, "version", "left_semi")
+        .select("version", "name")
+        .orderBy("version")
+    )
+
+
+@query("checksum_verify")
+def checksum_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join + sha2 tamper check (E2,
+    reference internal/executor/executor.go:376-388). Runs against the
+    tampered ledger fixture so exactly one version mismatches."""
+    ensure_deterministic(spark)
+    migrations = fixtures.migrations_df(spark)
+    ledger = fixtures.ledger_df(spark, tampered=True).filter(
+        F.col("status") == "applied"
+    )
+    return (
+        migrations.alias("m")
+        .join(ledger.alias("t"), "version")
+        .select(
+            "version",
+            F.sha2(F.col("m.up_sql"), 256).alias("computed_checksum"),
+            F.col("t.checksum").alias("recorded_checksum"),
+            (F.sha2(F.col("m.up_sql"), 256) == F.col("t.checksum")).alias(
+                "checksum_ok"
+            ),
+        )
+        .orderBy("version")
+    )
+
+
+@query("rollback_topk")
+def rollback_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback last-N target selection = sort desc + limit (E8,
+    reference internal/executor/executor.go:143-160,
+    rollback_helpers.go:12-19). Lexicographic string version order is the
+    engine invariant (reference internal/migration/sorter.go:11-15)."""
+    ensure_deterministic(spark)
+    ledger = fixtures.ledger_df(spark)
+    return (
+        ledger.filter(F.col("status") == "applied")
+        .orderBy(F.desc("version"))
+        .limit(3)
+        .select("version", "filename")
+    )
+
+
+@query("after_version")
+def after_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback-to-version range predicate: applied rows with
+    version strictly greater than the target (target itself kept,
+    reference internal/executor/executor.go:162-164,
+    rollback_helpers.go:24-51)."""
+    ensure_deterministic(spark)
+    ledger = fixtures.ledger_df(spark)
+    return (
+        ledger.filter((F.col("status") == "applied") & (F.col("version") > "003"))
+        .select("version", fmt_ts(F.col("applied_at"), "applied_at"))
+        .orderBy(F.desc("version"))
+    )
+
+
+@query("upsert_ledger")
+def upsert_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics as anti-join + union (L3 upsert,
+    reference internal/tracker/tracker.go:96-113): re-applying a
+    rolled-back version replaces its row; a fresh version inserts.
+
+    At scale this is the classic copy-on-write MERGE: the anti-join
+    broadcasts the (small) batch of new rows against the big ledger, so no
+    ledger-wide shuffle happens.
+    """
+    ensure_deterministic(spark)
+    ledger = fixtures.ledger_df(spark)
+    migrations = fixtures.migrations_df(spark)
+    new_rows = (
+        migrations.filter(F.col("version").isin("007", "008"))
+        .select(
+            "version",
+            F.concat(
+                F.lit("V"), F.col("version"), F.lit("_"), F.col("name"),
+                F.lit(".up.sql"),
+            ).alias("filename"),
+            "checksum",
+            F.lit("2024-02-01 00:00:00").cast("timestamp").alias("applied_at"),
+            F.lit(99).alias("duration_ms"),
+            F.lit("applied").alias("status"),
+        )
+    )
+    merged = ledger.join(F.broadcast(new_rows), "version", "left_anti").unionByName(
+        new_rows
+    )
+    return merged.select(
+        "version",
+        "filename",
+        "checksum",
+        fmt_ts(F.col("applied_at"), "applied_at"),
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+        "status",
+    ).orderBy("version")

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference is a single-process Go CLI (no concurrency beyond an advisory
+lock, see reference internal/database/advisory_lock.go:12). Our engine runs
+on Spark, so the session is where the 100 TB posture is configured:
+
+* AQE on — runtime coalescing, skew-join splitting, dynamic broadcast.
+* Bounded shuffle partitions for local runs (32 ≈ local core count);
+  on a real cluster this would be sized to ~2-3× total cores, with AQE
+  coalescing small post-shuffle partitions.
+* Arrow enabled so any Pandas-UDF operator moves data in columnar batches.
+* Session timezone pinned to UTC so timestamp semantics are deterministic
+  and independent of the host (important for oracle comparisons and for
+  reproducible event-time windows at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "database-migration-engine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession tuned for this engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Adaptive execution: coalesce small shuffle partitions, split skewed
+        # ones, convert to broadcast joins at runtime when a side turns out
+        # small. This is the main lever that keeps one plan valid from
+        # sf0.001 fixtures up to 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas_udf / mapInPandas operator (dedup sketches,
+        # multimodal decode plumbing): columnar batch transfer, not pickled
+        # rows.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics regardless of host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Keep parquet scans splittable at sane sizes; at 100 TB this bounds
+        # task input so a single task never reads an entire multi-GB file.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def ensure_deterministic(spark: SparkSession) -> SparkSession:
+    """Pin runtime-mutable confs that query results depend on.
+
+    Queries served to the driver run on a session we did not build, so each
+    plan entry defensively pins the session timezone: parquet timestamps in
+    the fixtures are naive wall-clock values and every oracle comparison
+    (DuckDB) treats them as UTC.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
