@@ -1,0 +1,566 @@
+"""PostgreSQL DDL statement splitting + feature extraction (pure Python).
+
+The reference parses migrations with the real PostgreSQL parser via CGO
+(reference internal/parser/parser.go:7,24) and its rules pattern-match
+typed AST nodes. CGO is unavailable from PySpark workers, so — per
+SURVEY.md §4.2 — we implement a focused recognizer scoped to exactly what
+the 9 danger rules inspect, plus proper statement splitting (quotes,
+dollar-quoting, nested comments), mirroring ParseResult's per-statement
+stream (reference internal/parser/parser.go:11-14) and byte-offset
+statement extraction (reference internal/analyzer/rules.go:61-80).
+
+The output of :func:`extract_features` matches schemas.STATEMENT_FEATURES
+field-for-field; :func:`parse_sql` is the row-level function wrapped by the
+analyzer's Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# --- statement splitting ---------------------------------------------------
+
+
+def split_statements(sql: str) -> list[tuple[int, str]]:
+    """Split SQL into (start_offset, statement_text) at top-level ';'.
+
+    State machine over: single quotes (with '' escapes and E'\\' escapes),
+    double-quoted identifiers, $tag$ dollar quoting, line comments, and
+    nested block comments (PostgreSQL nests /* */). Mirrors the statement
+    stream + offset slicing of the reference
+    (internal/parser/parser.go:29-32, internal/analyzer/rules.go:61-80).
+    """
+    statements: list[tuple[int, str]] = []
+    n = len(sql)
+    i = 0
+    start = 0
+
+    def flush(end: int) -> None:
+        nonlocal start
+        text = sql[start:end].strip()
+        if text:
+            statements.append((start, text))
+        start = end + 1
+
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if ch == "-" and nxt == "-":
+            eol = sql.find("\n", i)
+            i = n if eol == -1 else eol + 1
+        elif ch == "/" and nxt == "*":
+            depth = 1
+            i += 2
+            while i < n and depth:
+                if sql.startswith("/*", i):
+                    depth += 1
+                    i += 2
+                elif sql.startswith("*/", i):
+                    depth -= 1
+                    i += 2
+                else:
+                    i += 1
+        elif ch == "'" or (ch in "eE" and nxt == "'"):
+            escaped_literal = ch in "eE"
+            i += 2 if escaped_literal else 1
+            while i < n:
+                if escaped_literal and sql[i] == "\\":
+                    i += 2
+                elif sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    i += 1
+        elif ch == '"':
+            i += 1
+            while i < n:
+                if sql[i] == '"':
+                    i += 1
+                    break
+                i += 1
+        elif ch == "$":
+            m = re.match(r"\$([A-Za-z_][\w]*)?\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                close = sql.find(tag, i + len(tag))
+                i = n if close == -1 else close + len(tag)
+            else:
+                i += 1
+        elif ch == ";":
+            flush(i)
+            i += 1
+        else:
+            i += 1
+    flush(n)
+    return statements
+
+
+# --- identifier handling ---------------------------------------------------
+
+_IDENT = r'(?:"[^"]*"|[A-Za-z_][\w$]*)'
+_QNAME = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
+
+
+def normalize_name(raw: str) -> str:
+    """Lowercase unquoted identifier parts, strip quotes from quoted ones —
+    PostgreSQL case-folding, so rule output matches the real parser's
+    (reference internal/analyzer/rules.go:48-58)."""
+    parts = re.split(r"\s*\.\s*", raw.strip())
+    out = []
+    for part in parts:
+        if part.startswith('"') and part.endswith('"'):
+            out.append(part[1:-1])
+        else:
+            out.append(part.lower())
+    return ".".join(out)
+
+
+def _strip_comments(stmt: str) -> str:
+    """Remove comments and collapse whitespace for pattern matching
+    (string literals are preserved verbatim)."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        nxt = stmt[i + 1] if i + 1 < n else ""
+        if ch == "-" and nxt == "-":
+            eol = stmt.find("\n", i)
+            i = n if eol == -1 else eol + 1
+            out.append(" ")
+        elif ch == "/" and nxt == "*":
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if stmt.startswith("/*", i):
+                    depth, i = depth + 1, i + 2
+                elif stmt.startswith("*/", i):
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+            out.append(" ")
+        elif ch == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'":
+                    if j + 1 < n and stmt[j + 1] == "'":
+                        j += 2
+                    else:
+                        j += 1
+                        break
+                else:
+                    j += 1
+            out.append(stmt[i:j])
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return re.sub(r"\s+", " ", "".join(out)).strip()
+
+
+# --- per-statement feature extraction --------------------------------------
+
+
+@dataclass
+class AlterCommand:
+    subtype: str | None = None
+    column: str | None = None
+    has_default: bool = False
+    default_volatile: bool = False
+    constraint_type: str | None = None
+    skip_validation: bool = False
+
+    def as_dict(self) -> dict:
+        return {
+            "subtype": self.subtype,
+            "column": self.column,
+            "has_default": self.has_default,
+            "default_volatile": self.default_volatile,
+            "constraint_type": self.constraint_type,
+            "skip_validation": self.skip_validation,
+        }
+
+
+@dataclass
+class StatementFeatures:
+    stmt_index: int
+    stmt_sql: str
+    stmt_type: str = "other"
+    table: str | None = None
+    tables: list[str] = field(default_factory=list)
+    concurrent: bool = False
+    vacuum_full: bool = False
+    if_exists: bool = False
+    rename_object: str | None = None
+    commands: list[AlterCommand] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "stmt_index": self.stmt_index,
+            "stmt_sql": self.stmt_sql,
+            "stmt_type": self.stmt_type,
+            "table": self.table,
+            "tables": self.tables,
+            "concurrent": self.concurrent,
+            "vacuum_full": self.vacuum_full,
+            "if_exists": self.if_exists,
+            "rename_object": self.rename_object,
+            "commands": [c.as_dict() for c in self.commands],
+        }
+
+
+_CONST_RE = re.compile(
+    r"""^(?:
+        '(?:[^']|'')*'            # string literal
+      | -?\d+(?:\.\d+)?           # numeric literal
+      | TRUE | FALSE | NULL
+    )
+    (?:\s*::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?)?   # optional ::type cast
+    $""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_CAST_RE = re.compile(r"^CAST\s*\(\s*(.+)\s+AS\s+[^)]+\)$", re.IGNORECASE | re.DOTALL)
+
+
+def is_volatile_default(expr: str) -> bool:
+    """Conservative volatility classification, same under-approximation as
+    the reference (internal/analyzer/rules/alter_add_column.go:112-134):
+    non-volatile iff a constant or a cast of a constant; any function call
+    (FuncCall) or other expression is assumed volatile."""
+    expr = expr.strip()
+    cast = _CAST_RE.match(expr)
+    if cast:
+        expr = cast.group(1).strip()
+    return not _CONST_RE.match(expr)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on `sep` outside parens and quotes."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            cur.append(text[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_DEFAULT_END_KEYWORDS = (
+    r"NOT\s+NULL|NULL|CHECK\b|REFERENCES\b|UNIQUE\b|PRIMARY\s+KEY|"
+    r"CONSTRAINT\b|COLLATE\b|GENERATED\b"
+)
+
+
+def _extract_default_expr(command: str) -> str | None:
+    """Slice the DEFAULT expression out of an ADD COLUMN command
+    (the textual analogue of walking the column's constraint list,
+    reference internal/analyzer/rules/alter_add_column.go:97-110)."""
+    m = re.search(r"\bDEFAULT\s+", command, re.IGNORECASE)
+    if not m:
+        return None
+    rest = command[m.end():]
+    # cut at the first top-level constraint keyword
+    depth = 0
+    i, n = 0, len(rest)
+    while i < n:
+        ch = rest[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if rest[j] == "'":
+                    if j + 1 < n and rest[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m2 = re.match(_DEFAULT_END_KEYWORDS, rest[i:], re.IGNORECASE)
+            if m2:
+                return rest[:i].strip()
+        i += 1
+    return rest.strip()
+
+
+def _parse_alter_command(cmd: str) -> AlterCommand:
+    out = AlterCommand()
+    m = re.match(
+        rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+(.*)$", cmd, re.IGNORECASE | re.DOTALL
+    )
+    bare = re.match(
+        r"ADD\s+(CHECK|FOREIGN\s+KEY|UNIQUE|PRIMARY\s+KEY|EXCLUDE)\b(.*)$",
+        cmd,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m or bare:
+        body = m.group(2) if m else (bare.group(1) + bare.group(2))
+        out.subtype = "add_constraint"
+        head = body.lstrip().upper()
+        if head.startswith("CHECK"):
+            out.constraint_type = "check"
+        elif head.startswith("FOREIGN KEY") or head.startswith("FOREIGN"):
+            out.constraint_type = "foreign"
+        elif head.startswith("UNIQUE"):
+            out.constraint_type = "unique"
+        elif head.startswith("PRIMARY"):
+            out.constraint_type = "primary"
+        elif head.startswith("EXCLUDE"):
+            out.constraint_type = "exclude"
+        out.skip_validation = bool(
+            re.search(r"\bNOT\s+VALID\s*$", cmd, re.IGNORECASE)
+        )
+        return out
+    m = re.match(
+        rf"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+(.*)$",
+        cmd,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        out.subtype = "add_column"
+        out.column = normalize_name(m.group(1))
+        default_expr = _extract_default_expr(m.group(2))
+        if default_expr is not None:
+            out.has_default = True
+            out.default_volatile = is_volatile_default(default_expr)
+        return out
+    m = re.match(
+        rf"ALTER\s+(?:COLUMN\s+)?({_IDENT})\s+(?:SET\s+DATA\s+)?TYPE\b",
+        cmd,
+        re.IGNORECASE,
+    )
+    if m:
+        out.subtype = "alter_column_type"
+        out.column = normalize_name(m.group(1))
+        return out
+    m = re.match(
+        rf"ALTER\s+(?:COLUMN\s+)?({_IDENT})\s+SET\s+NOT\s+NULL", cmd, re.IGNORECASE
+    )
+    if m:
+        out.subtype = "set_not_null"
+        out.column = normalize_name(m.group(1))
+        return out
+    m = re.match(
+        rf"ALTER\s+(?:COLUMN\s+)?({_IDENT})\s+DROP\s+NOT\s+NULL", cmd, re.IGNORECASE
+    )
+    if m:
+        out.subtype = "drop_not_null"
+        out.column = normalize_name(m.group(1))
+        return out
+    m = re.match(
+        rf"ALTER\s+(?:COLUMN\s+)?({_IDENT})\s+SET\s+DEFAULT\b", cmd, re.IGNORECASE
+    )
+    if m:
+        out.subtype = "set_default"
+        out.column = normalize_name(m.group(1))
+        return out
+    m = re.match(
+        rf"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?({_IDENT})", cmd, re.IGNORECASE
+    )
+    if m:
+        out.subtype = "drop_column"
+        out.column = normalize_name(m.group(1))
+        return out
+    out.subtype = "other"
+    return out
+
+
+def _names_list(raw: str) -> list[str]:
+    return [normalize_name(p) for p in _split_top_level(raw)]
+
+
+def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
+    """Extract the feature vector one statement — the textual analogue of
+    the reference's typed AST node matching (e.g. Node_IndexStmt in
+    internal/analyzer/rules/create_index.go:20, Node_DropStmt in
+    drop_table.go:22-29, DefElem walk in vacuum_full.go:43-56)."""
+    feats = StatementFeatures(stmt_index=stmt_index, stmt_sql=stmt_sql)
+    s = _strip_comments(stmt_sql).rstrip(";").strip()
+
+    m = re.match(
+        rf"CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?P<conc>CONCURRENTLY\s+)?"
+        rf"(?:IF\s+NOT\s+EXISTS\s+)?(?:{_IDENT}\s+)?ON\s+(?:ONLY\s+)?"
+        rf"(?P<table>{_QNAME})",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        feats.stmt_type = "create_index"
+        feats.concurrent = bool(m.group("conc"))
+        feats.table = normalize_name(m.group("table"))
+        feats.tables = [feats.table]
+        return feats
+
+    m = re.match(
+        r"DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<names>.+?)"
+        r"(?:\s+(?:CASCADE|RESTRICT))?$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        feats.stmt_type = "drop_table"
+        feats.tables = _names_list(m.group("names"))
+        feats.table = feats.tables[0] if feats.tables else None
+        feats.if_exists = bool(m.group("ifex"))
+        return feats
+
+    m = re.match(r"DROP\s+INDEX\s+(?P<conc>CONCURRENTLY\s+)?", s, re.IGNORECASE)
+    if m:
+        feats.stmt_type = "drop_index"
+        feats.concurrent = bool(m.group("conc"))
+        return feats
+
+    m = re.match(
+        r"TRUNCATE\s+(?:TABLE\s+)?(?:ONLY\s+)?(?P<names>.+?)"
+        r"(?:\s+(?:RESTART\s+IDENTITY|CONTINUE\s+IDENTITY|CASCADE|RESTRICT))*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        feats.stmt_type = "truncate"
+        feats.tables = _names_list(m.group("names"))
+        feats.table = feats.tables[0] if feats.tables else None
+        return feats
+
+    if re.match(r"VACUUM\b", s, re.IGNORECASE):
+        feats.stmt_type = "vacuum"
+        paren = re.match(r"VACUUM\s*\((?P<opts>[^)]*)\)\s*(?P<rest>.*)$", s,
+                         re.IGNORECASE | re.DOTALL)
+        if paren:
+            # option-list form: FULL [boolean] (reference vacuum_full.go:43-56)
+            for opt in _split_top_level(paren.group("opts")):
+                tokens = opt.split()
+                if tokens and tokens[0].upper() == "FULL":
+                    value = tokens[1].lower() if len(tokens) > 1 else "true"
+                    feats.vacuum_full = value not in ("false", "off", "0", "no")
+            rest = paren.group("rest").strip()
+        else:
+            keywords = re.match(
+                r"VACUUM\s+(?P<kw>(?:(?:FULL|FREEZE|VERBOSE|ANALYZE)\s*)+)?"
+                r"(?P<rest>.*)$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            kw = (keywords.group("kw") or "").upper().split()
+            feats.vacuum_full = "FULL" in kw
+            rest = keywords.group("rest").strip()
+        if rest:
+            name = re.match(_QNAME, rest)
+            if name:
+                feats.table = normalize_name(name.group(0))
+                feats.tables = [feats.table]
+        return feats
+
+    m = re.match(
+        r"LOCK\s+(?:TABLE\s+)?(?:ONLY\s+)?(?P<names>.+?)"
+        r"(?:\s+IN\s+.+\s+MODE)?(?:\s+NOWAIT)?$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        feats.stmt_type = "lock"
+        feats.tables = _names_list(m.group("names"))
+        feats.table = feats.tables[0] if feats.tables else None
+        return feats
+
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:ONLY\s+)?"
+        rf"(?P<table>{_QNAME})\s+(?P<rest>.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        feats.table = normalize_name(m.group("table"))
+        feats.tables = [feats.table]
+        rest = m.group("rest").strip()
+        if re.match(r"RENAME\s+TO\b", rest, re.IGNORECASE):
+            feats.stmt_type = "rename"
+            feats.rename_object = "table"
+            return feats
+        if re.match(r"RENAME\s+CONSTRAINT\b", rest, re.IGNORECASE):
+            feats.stmt_type = "rename"
+            feats.rename_object = "constraint"
+            return feats
+        rn = re.match(
+            rf"RENAME\s+(?:COLUMN\s+)?({_IDENT})\s+TO\s+", rest, re.IGNORECASE
+        )
+        if rn:
+            feats.stmt_type = "rename"
+            feats.rename_object = "column"
+            return feats
+        feats.stmt_type = "alter_table"
+        feats.commands = [
+            _parse_alter_command(c) for c in _split_top_level(rest)
+        ]
+        return feats
+
+    m = re.match(
+        rf"ALTER\s+INDEX\s+(?:IF\s+EXISTS\s+)?({_QNAME})\s+RENAME\s+TO\b",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        feats.stmt_type = "rename"
+        feats.rename_object = "index"
+        return feats
+
+    return feats
+
+
+def parse_sql(sql: str | None) -> list[dict]:
+    """Full parse of one migration's SQL → list of feature dicts
+    (rows of schemas.STATEMENT_FEATURES)."""
+    if not sql:
+        return []
+    return [
+        classify_statement(idx, text).as_dict()
+        for idx, (_offset, text) in enumerate(split_statements(sql))
+    ]
+
+
+def contains_concurrent_op(sql: str) -> bool:
+    """Tx-routing predicate: does the SQL contain a CONCURRENTLY operation
+    that must run outside a transaction? Keeps the reference's cheap
+    substring prefilter before the expensive parse
+    (reference internal/executor/concurrent.go:15-40)."""
+    if "CONCURRENTLY" not in sql.upper():
+        return False
+    return any(
+        f["concurrent"]
+        and f["stmt_type"] in ("create_index", "drop_index")
+        for f in parse_sql(sql)
+    )

@@ -131,12 +131,16 @@ TAMPERED_LEDGER_ROWS = [
 
 
 def migrations_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(MIGRATION_ROWS, schema=schemas.MIGRATIONS)
+    # coalesce(1): a dozen-row corpus should be one partition, not
+    # defaultParallelism tasks fanned out across every downstream sub-plan.
+    return spark.createDataFrame(
+        MIGRATION_ROWS, schema=schemas.MIGRATIONS
+    ).coalesce(1)
 
 
 def ledger_df(spark: SparkSession, tampered: bool = False) -> DataFrame:
     rows = TAMPERED_LEDGER_ROWS if tampered else LEDGER_ROWS
-    return spark.createDataFrame(rows, schema=schemas.SCHEMA_MIGRATIONS)
+    return spark.createDataFrame(rows, schema=schemas.SCHEMA_MIGRATIONS).coalesce(1)
 
 
 def _sql_str(value: str | None) -> str:

@@ -226,6 +226,132 @@ WHERE status = 'applied' AND version > '003'
 ORDER BY version DESC
 """
 
+# Independent SQL re-implementation of the 9 danger rules (R1–R9) over the
+# inlined corpus, at PG 14. Deliberately a different mechanism from the
+# Spark analyzer (LIKE/regexp vs statement parser) so agreement is a real
+# cross-check. Scoped to the corpus (single-statement migrations →
+# stmt_index 0).
+# Single quotes doubled: this regex is embedded inside a SQL string literal.
+_CONST_DEFAULT = (
+    r"^(''[^'']*''|-?[0-9.]+|TRUE|FALSE|NULL)"
+    r"(\s*::\s*[A-Za-z_ ]+(\([0-9, ]*\))?)?\s*;?\s*$"
+)
+
+_FINDINGS_SQL = f"""
+stmts AS (
+    SELECT version, trim(up_sql) AS stmt, upper(trim(up_sql)) AS us
+    FROM migrations
+),
+findings AS (
+    -- R1 create-index-not-concurrent
+    SELECT version, 'create-index-not-concurrent' AS rule, 3 AS severity,
+           lower(regexp_extract(stmt,
+               '(?i)ON\\s+(?:ONLY\\s+)?([A-Za-z_."][\\w."]*)', 1)) AS table_name,
+           'SHARE' AS lock_type, 0 AS stmt_index
+    FROM stmts
+    WHERE us LIKE 'CREATE%INDEX%' AND us NOT LIKE '%CONCURRENTLY%'
+    UNION ALL
+    -- R2 add-column-volatile-default (PG14: only volatile defaults fire)
+    SELECT version, 'add-column-volatile-default', 3,
+           lower(regexp_extract(stmt,
+               '(?i)ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([A-Za-z_."][\\w."]*)', 1)),
+           'ACCESS EXCLUSIVE', 0
+    FROM stmts
+    WHERE us LIKE 'ALTER TABLE%ADD%COLUMN%DEFAULT%'
+      AND NOT regexp_matches(
+              regexp_extract(stmt, '(?i)DEFAULT\\s+(.*)$', 1),
+              '(?i){_CONST_DEFAULT}')
+    UNION ALL
+    -- R3 add-constraint-without-not-valid (CHECK / FOREIGN KEY only)
+    SELECT version, 'add-constraint-without-not-valid', 3,
+           lower(regexp_extract(stmt,
+               '(?i)ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([A-Za-z_."][\\w."]*)', 1)),
+           'ACCESS EXCLUSIVE', 0
+    FROM stmts
+    WHERE us LIKE 'ALTER TABLE%ADD CONSTRAINT%'
+      AND (us LIKE '%CHECK%' OR us LIKE '%FOREIGN KEY%')
+      AND us NOT LIKE '%NOT VALID%'
+    UNION ALL
+    -- R4 alter-column-type
+    SELECT version, 'alter-column-type', 3,
+           lower(regexp_extract(stmt,
+               '(?i)ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([A-Za-z_."][\\w."]*)', 1)),
+           'ACCESS EXCLUSIVE', 0
+    FROM stmts
+    WHERE regexp_matches(stmt,
+        '(?i)ALTER\\s+TABLE\\s+.*ALTER\\s+(COLUMN\\s+)?[\\w"]+\\s+(SET\\s+DATA\\s+)?TYPE\\b')
+    UNION ALL
+    -- R5 set-not-null (PG14 >= 12 → MEDIUM)
+    SELECT version, 'set-not-null', 2,
+           lower(regexp_extract(stmt,
+               '(?i)ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([A-Za-z_."][\\w."]*)', 1)),
+           'ACCESS EXCLUSIVE', 0
+    FROM stmts
+    WHERE regexp_matches(stmt,
+        '(?i)ALTER\\s+TABLE\\s+.*ALTER\\s+(COLUMN\\s+)?[\\w"]+\\s+SET\\s+NOT\\s+NULL')
+    UNION ALL
+    -- R6 drop-table (DROP TABLE or TRUNCATE) — CRITICAL
+    SELECT version, 'drop-table', 4,
+           lower(regexp_extract(stmt,
+               '(?i)(?:DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?|TRUNCATE\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?)([A-Za-z_."][\\w."]*)', 1)),
+           'ACCESS EXCLUSIVE', 0
+    FROM stmts
+    WHERE us LIKE 'DROP TABLE%' OR us LIKE 'TRUNCATE%'
+    UNION ALL
+    -- R7 vacuum-full
+    SELECT version, 'vacuum-full', 3,
+           coalesce(nullif(lower(regexp_extract(stmt,
+               '(?i)^VACUUM\\s+(?:\\([^)]*\\)\\s*|(?:FULL|FREEZE|VERBOSE|ANALYZE)\\s+)*([A-Za-z_."][\\w."]*)?', 1)), ''),
+               '<all tables>'),
+           'ACCESS EXCLUSIVE', 0
+    FROM stmts
+    WHERE regexp_matches(stmt,
+        '(?i)^VACUUM\\s+(\\([^)]*\\bFULL\\b[^)]*\\)|((FREEZE|VERBOSE|ANALYZE)\\s+)*FULL\\b)')
+    UNION ALL
+    -- R8 lock-table (one finding per relation; corpus locks one)
+    SELECT version, 'lock-table', 3,
+           lower(regexp_extract(stmt,
+               '(?i)^LOCK\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?([A-Za-z_."][\\w."]*)', 1)),
+           'EXPLICIT', 0
+    FROM stmts
+    WHERE us LIKE 'LOCK%'
+    UNION ALL
+    -- R9 rename (table or column; constraint/index renames are safe)
+    SELECT version, 'rename', 2,
+           lower(regexp_extract(stmt,
+               '(?i)ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?([A-Za-z_."][\\w."]*)', 1)),
+           'ACCESS EXCLUSIVE', 0
+    FROM stmts
+    WHERE us LIKE 'ALTER TABLE%RENAME%'
+      AND us NOT LIKE '%RENAME CONSTRAINT%'
+)
+"""
+
+ORACLES["findings_explode"] = f"""
+WITH {_MIG},
+{_FINDINGS_SQL}
+SELECT version, rule, severity, table_name, lock_type, stmt_index
+FROM findings
+ORDER BY version, rule
+"""
+
+ORACLES["severity_rollup"] = f"""
+WITH {_MIG},
+{_FINDINGS_SQL},
+rollup AS (
+    SELECT version, MAX(severity) AS max_severity,
+           COUNT(*) AS n_findings
+    FROM findings GROUP BY version
+)
+SELECT m.version,
+       COALESCE(r.max_severity, 0) AS max_severity,
+       COALESCE(r.n_findings, 0) AS n_findings,
+       COALESCE(r.max_severity, 0) >= 3 AS has_high_or_critical
+FROM migrations m
+LEFT JOIN rollup r ON m.version = r.version
+ORDER BY m.version
+"""
+
 ORACLES["upsert_ledger"] = f"""
 WITH {_MIG}, {_LEDGER},
 new_rows AS (

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fixtures
+from ..analyzer.analyze import analyze, severity_rollup
 from ..io import read_table
 from ..session import ensure_deterministic
 
@@ -426,3 +427,39 @@ def upsert_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_ms").cast("int").alias("duration_ms"),
         "status",
     ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# SQL danger analysis (the reference's core competency, SURVEY.md §2.A
+# rules R1–R9). The oracle reimplements the rules independently in SQL
+# (LIKE/regexp) over the same inlined corpus — a cross-implementation
+# check, not a golden file.
+# ---------------------------------------------------------------------------
+
+
+@query("findings_explode")
+def findings_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All rule findings over the migration corpus at PG 14: the
+    migrations → statements (parse UDF + explode) → 9-rule union pipeline
+    (reference internal/analyzer/analyzer.go:53-94). Message/suggestion
+    prose is engine-specific and excluded from the compared projection."""
+    ensure_deterministic(spark)
+    findings = analyze(fixtures.migrations_df(spark), pg_version=14)
+    return findings.select(
+        "version",
+        "rule",
+        "severity",
+        F.col("table").alias("table_name"),
+        "lock_type",
+        "stmt_index",
+    ).orderBy("version", "rule")
+
+
+@query("severity_rollup")
+def severity_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-migration max severity + danger gate (AnalysisResult rollup,
+    reference internal/analyzer/analyzer.go:80-82, result.go:25-27;
+    gate threshold reference internal/cli/apply.go:180-194)."""
+    ensure_deterministic(spark)
+    migrations = fixtures.migrations_df(spark)
+    return severity_rollup(migrations, pg_version=14).orderBy("version")

@@ -192,6 +192,7 @@ STATEMENT_FEATURES = T.StructType(
         T.StructField("tables", T.ArrayType(T.StringType())),
         T.StructField("concurrent", T.BooleanType()),
         T.StructField("vacuum_full", T.BooleanType()),
+        T.StructField("if_exists", T.BooleanType()),
         T.StructField("rename_object", T.StringType()),
         T.StructField("commands", T.ArrayType(ALTER_COMMAND)),
     ]

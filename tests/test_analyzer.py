@@ -1,0 +1,88 @@
+"""Analyzer pipeline tests: expected findings per corpus migration
+(FIXTURES.md §1 fixes the expected rule/severity per version) and
+version-aware rule behavior (R2 PG≥11, R5 PG≥12)."""
+
+from __future__ import annotations
+
+from database_migration_engine_spark import fixtures
+from database_migration_engine_spark.analyzer.analyze import (
+    analyze,
+    extract_statements,
+    severity_rollup,
+)
+
+EXPECTED_PG14 = {
+    "002": [("create-index-not-concurrent", 3)],
+    "004": [("add-constraint-without-not-valid", 3)],
+    "005": [("alter-column-type", 3)],
+    "006": [("set-not-null", 2)],
+    "007": [("drop-table", 4)],
+    "008": [("vacuum-full", 3)],
+    "009": [("lock-table", 3)],
+    "010": [("rename", 2)],
+}
+
+
+def _findings_by_version(spark, pg_version):
+    rows = analyze(fixtures.migrations_df(spark), pg_version=pg_version).collect()
+    out: dict[str, list[tuple[str, int]]] = {}
+    for r in rows:
+        out.setdefault(r.version, []).append((r.rule, r.severity))
+    return out
+
+
+def test_corpus_findings_pg14(spark):
+    got = _findings_by_version(spark, 14)
+    assert got == EXPECTED_PG14
+
+
+def test_corpus_findings_pg10(spark):
+    """On PG<11 any ADD COLUMN DEFAULT fires R2 (constant or not) and
+    SET NOT NULL stays HIGH (reference alter_add_column.go:74-81,
+    alter_set_not_null.go:44-50)."""
+    got = _findings_by_version(spark, 10)
+    assert got["003"] == [("add-column-volatile-default", 3)]
+    assert got["006"] == [("set-not-null", 3)]
+
+
+def test_safe_migrations_have_no_findings(spark):
+    got = _findings_by_version(spark, 14)
+    for safe_version in ("001", "003", "011", "012"):
+        assert safe_version not in got
+
+
+def test_statement_features_shape(spark):
+    stmts = extract_statements(fixtures.migrations_df(spark)).collect()
+    assert len(stmts) == 12  # single-statement corpus
+    by_version = {r.version: r for r in stmts}
+    assert by_version["002"].stmt_type == "create_index"
+    assert by_version["011"].concurrent is True
+    assert by_version["007"].stmt_type == "drop_table"
+
+
+def test_rollup_gate(spark):
+    rollup = {
+        r.version: r
+        for r in severity_rollup(fixtures.migrations_df(spark)).collect()
+    }
+    assert len(rollup) == 12
+    assert rollup["007"].max_severity == 4
+    assert rollup["007"].has_high_or_critical is True
+    assert rollup["006"].max_severity == 2
+    assert rollup["006"].has_high_or_critical is False
+    assert rollup["001"].max_severity == 0
+    assert rollup["001"].n_findings == 0
+
+
+def test_statement_truncation(spark):
+    """Display cap at 120 chars (reference internal/analyzer/analyzer.go:10,
+    result.go:30-35)."""
+    from database_migration_engine_spark import schemas
+
+    long_sql = "DROP TABLE " + ", ".join(f"t{i}" for i in range(40)) + ";"
+    mig = spark.createDataFrame(
+        [("x", "n", long_sql, None, "c", "p")], schema=schemas.MIGRATIONS
+    )
+    [finding] = analyze(mig).collect()
+    assert len(finding.statement) == 120
+    assert finding.statement.endswith("...")
