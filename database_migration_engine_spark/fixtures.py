@@ -131,21 +131,41 @@ TAMPERED_LEDGER_ROWS = [
 
 
 def migrations_df(spark: SparkSession) -> DataFrame:
-    # coalesce(1): a dozen-row corpus should be one partition, not
-    # defaultParallelism tasks fanned out across every downstream sub-plan.
-    return spark.createDataFrame(
-        MIGRATION_ROWS, schema=schemas.MIGRATIONS
-    ).coalesce(1)
+    # Built from a SQL VALUES inline table, NOT createDataFrame: a local
+    # Python list becomes a Python-RDD-backed plan whose every evaluation
+    # round-trips through Python workers (seconds of overhead for 12 rows),
+    # while an inline table is a pure JVM LocalRelation — constant-folded,
+    # broadcastable, one partition.
+    rows = ",\n".join(
+        f"({_sql_str(v)}, {_sql_str(n)}, {_sql_str(up)}, {_sql_str(down)},"
+        f" {_sql_str(ck)}, {_sql_str(fp)})"
+        for v, n, up, down, ck, fp in MIGRATION_ROWS
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS "
+        f"migrations(version, name, up_sql, down_sql, checksum, file_path)"
+    )
 
 
 def ledger_df(spark: SparkSession, tampered: bool = False) -> DataFrame:
-    rows = TAMPERED_LEDGER_ROWS if tampered else LEDGER_ROWS
-    return spark.createDataFrame(rows, schema=schemas.SCHEMA_MIGRATIONS).coalesce(1)
+    source = TAMPERED_LEDGER_ROWS if tampered else LEDGER_ROWS
+    rows = ",\n".join(
+        f"({_sql_str(v)}, {_sql_str(fn)}, {_sql_str(ck)},"
+        f" TIMESTAMP '{ts:%Y-%m-%d %H:%M:%S}', {dur}, {_sql_str(st)})"
+        for v, fn, ck, ts, dur, st in source
+    )
+    return spark.sql(
+        f"SELECT version, filename, checksum, applied_at, "
+        f"CAST(duration_ms AS INT) AS duration_ms, status "
+        f"FROM (VALUES {rows}) AS schema_migrations"
+        f"(version, filename, checksum, applied_at, duration_ms, status)"
+    )
 
 
 def _sql_str(value: str | None) -> str:
+    # STRING is accepted by both Spark SQL and DuckDB (VARCHAR alias).
     if value is None:
-        return "CAST(NULL AS VARCHAR)"
+        return "CAST(NULL AS STRING)"
     return "'" + value.replace("'", "''") + "'"
 
 

@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Generalizes the reference's identity-by-checksum (SHA-256 of content,
+reference internal/migration/migration.go:19-23) into the dedup family a
+training-data pipeline needs:
+
+* exact          — hash-groupBy on sha2(content)
+* token-set      — bag/set-signature dedup (order-insensitive exact)
+* n-gram Jaccard — shingle-overlap near-dup with frequency capping
+* MinHash-LSH    — banded signatures for sub-quadratic candidate pairs
+* SimHash        — 64-bit similarity fingerprint
+
+All are pure DataFrame expressions (no Python UDFs): hashing uses Spark's
+built-in ``hash``/``xxhash64``/``sha2``/``md5`` (JVM, codegen). Scale
+notes per operator: the quadratic shingle self-join is the *verify* step;
+at 100 TB candidate generation must go through LSH banding (that's the
+point of ``minhash_lsh_pairs``) and hot shingles are dropped by document
+frequency before any join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def dedup_exact(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: shuffle on the 64-hex sha2 digest,
+    never on the (arbitrarily wide) content itself."""
+    return (
+        df.select(
+            F.col(id_col), F.sha2(F.col(content_col), 256).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def token_set_signature(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Order-insensitive signature: md5 of the sorted distinct token set.
+    Catches shuffled/reordered copies that byte-hashing misses."""
+    toks = tokens(content_col)
+    return df.withColumn(
+        "sig",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))),
+    )
+
+
+def dedup_token_sig(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of documents sharing a token-set signature (>1 member)."""
+    return (
+        token_set_signature(df, content_col)
+        .groupBy("sig")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, content_col: str, id_col: str, n: int
+) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc"), tokens(content_col).alias("toks"))
+        .select("doc", F.explode(shingles("toks", n)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by n-gram (token shingle) Jaccard similarity.
+
+    Pipeline: distinct shingles per doc → drop shingles appearing in more
+    than ``max_df`` docs (hot-shingle cap: a stop-phrase shared by 10⁶ docs
+    would otherwise produce a 10¹²-row self-join at scale) → self-join on
+    shingle (da < db) → common counts → jaccard = common/(|A|+|B|-common).
+
+    The doc sizes |A|,|B| are counted AFTER the frequency cap so both the
+    numerator and denominator live in the same filtered space (and so the
+    oracle SQL can reproduce the numbers exactly).
+    """
+    sh = _doc_shingles(df, content_col, id_col, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as ``num_hashes`` columns h0..h{k-1}.
+
+    Each hash family member is Spark's Murmur3 ``hash(shingle, seed_i)``
+    (seeding by mixing in a literal — JVM-side, codegen-friendly); the
+    signature is one groupBy over the exploded shingles computing all mins
+    in a single pass (partial aggregation map-side, one shuffle on doc id).
+    """
+    sh = _doc_shingles(df, content_col, id_col, n)
+    aggs = [
+        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    The signature (num_hashes mins) is split into ``bands`` bands of
+    ``num_hashes//bands`` rows; docs colliding on any band's hash become a
+    candidate pair. Sub-quadratic: the only join is an equi-join on
+    (band_id, band_hash) — the classic LSH bucketing that replaces the
+    all-pairs comparison at 100 TB. Estimated similarity = fraction of
+    equal signature components.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, num_hashes, n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.hash(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc", *[F.col(f"h{i}") for i in range(num_hashes)],
+        F.explode(band_structs).alias("band"),
+    ).select(
+        "doc", "band.band_id", "band.band_hash",
+        *[f"h{i}" for i in range(num_hashes)],
+    )
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            *[
+                (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"eq{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(num_hashes)
+    return candidates.select(
+        "doc_a", "doc_b", est.cast("double").alias("est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    xxhash64 per token; for each bit position, sum +1/-1 weighted by the
+    bit; fingerprint bit b = sign of the sum. One explode + one groupBy
+    with 64 conditional-sum aggregates — all JVM-side, single shuffle.
+    Near-duplicate docs differ in few bits (Hamming distance).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(content_col)).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc").agg(*bit_sums)
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        shifted = F.shiftleft(bit, b)
+        fingerprint = shifted if fingerprint is None else fingerprint + shifted
+    return sums.select("doc", fingerprint.alias("simhash"))
+
+
+def hamming64(a: str, b: str):
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(F.expr(f"{a} ^ {b}"))

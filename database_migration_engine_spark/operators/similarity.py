@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, per the standard ANN playbook:
+
+* **Brute-force cosine top-k** — the exactness baseline. The (small) query
+  set is broadcast against the corpus, so the corpus is scanned once with
+  no shuffle; ranking is a windowed top-k per query. At 100 TB the corpus
+  side stays partition-parallel and the broadcast side must stay small —
+  which is exactly the shape of "find neighbors for this batch".
+* **Random-hyperplane LSH** — the scale path. Sign-bit bucketing reduces
+  candidate generation to an equi-join on bucket keys; cosine is computed
+  only within buckets. Recall is tunable via bits/tables.
+
+All vector math is JVM column expressions (functions/vectors.py); the
+hyperplanes are derived deterministically from Spark's hash so results are
+reproducible without storing a model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine, norm
+
+
+def _prepared(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        as_double_array(vec_col).alias(f"{prefix}vec"),
+    ).withColumn(f"{prefix}norm", norm(f"{prefix}vec"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast(queries) ⋈ corpus, windowed rank.
+
+    Norms are precomputed once per side so the N×M inner loop is a single
+    dot product. Ties break on neighbor id for determinism.
+    """
+    q = _prepared(queries, id_col, vec_col, "q")
+    c = _prepared(corpus, id_col, vec_col, "n")
+    pairs = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .withColumn("cos_sim", cosine("qvec", "nvec", "qnorm", "nnorm"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )
+
+
+def _lsh_bucket(vec_col: str, num_bits: int, dim: int, table: int = 0):
+    """Deterministic random-hyperplane bucket key: hyperplane component
+    (bit, dim) is a pseudo-random value in [-1, 1) derived from
+    hash(table, bit, dim); the key packs the sign bits of the projections.
+    """
+    bit_exprs = []
+    for b in range(num_bits):
+        comps = ", ".join(
+            f"(CAST(hash({table}, {b}, {d}) % 1000000 AS DOUBLE) / 1000000.0)"
+            for d in range(dim)
+        )
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({comps}),"
+            f" (x, h) -> x * h), 0D, (acc, x) -> acc + x)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr(" + ".join(bit_exprs)).cast("long")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket; exact cosine and
+    ranking happen only within buckets. One equi-join on the bucket key —
+    the 100 TB-safe shape (no all-pairs scan)."""
+    q = _prepared(queries, id_col, vec_col, "q").withColumn(
+        "bucket", _lsh_bucket("qvec", num_bits, dim)
+    )
+    c = _prepared(corpus, id_col, vec_col, "n").withColumn(
+        "bucket", _lsh_bucket("nvec", num_bits, dim)
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos_sim", cosine("qvec", "nvec", "qnorm", "nnorm"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )

@@ -11,6 +11,7 @@ corpora.
 from __future__ import annotations
 
 from .. import fixtures
+from ..functions import text as TX
 
 _DEC = "DECIMAL(28,10)"
 
@@ -374,4 +375,156 @@ FROM (
     SELECT * FROM new_rows
 )
 ORDER BY version
+"""
+
+# --- text analysis / dedup / similarity over documents & embeddings ------
+# Token expressions built from the same constants as the Spark side
+# (functions/text.py) so the two cannot drift.
+
+_TOKS = TX.sql_tokens("text")
+
+ORACLES["text_stats"] = f"""
+WITH t AS (
+    SELECT lang, n_chars, len({_TOKS}) AS n_tokens FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["token_count"] = f"""
+WITH t AS (
+    SELECT source, len({_TOKS}) AS n_tokens FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM t GROUP BY source ORDER BY source
+"""
+
+_EN_STOPS = ",".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+
+ORACLES["quality_score"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           length(text) AS n_chars,
+           len(list_filter({_TOKS}, t -> t IN ({_EN_STOPS}))) AS stop_hits,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_cnt
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+       CASE WHEN n_chars > 0
+            THEN CAST(punct_cnt AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+       CAST(least(n_chars, {TX.LEN_NORM}) AS DOUBLE) / {TX.LEN_NORM} AS len_score,
+       (CASE WHEN n_tokens > 0
+             THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) * {TX.W_STOP}
+       + (CASE WHEN n_chars > 0
+               THEN CAST(punct_cnt AS DOUBLE) / n_chars ELSE 0.0 END) * {TX.W_PUNCT}
+       + (CAST(least(n_chars, {TX.LEN_NORM}) AS DOUBLE) / {TX.LEN_NORM}) * {TX.W_LEN}
+       AS score
+FROM t
+"""
+
+_HITS = {
+    lang: TX.sql_stopword_hits("toks", lang) for lang in TX.LANG_PRIORITY
+}
+_BEST = "greatest(" + ", ".join(_HITS[lang] for lang in TX.LANG_PRIORITY) + ")"
+_PRED_CASE = "CASE " + " ".join(
+    f"WHEN {_BEST} > 0 AND {_HITS[lang]} = {_BEST} THEN '{lang}'"
+    for lang in TX.LANG_PRIORITY
+) + " ELSE 'unknown' END"
+
+ORACLES["lang_id_confusion"] = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+SELECT lang, {_PRED_CASE} AS predicted, COUNT(*) AS n
+FROM t GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM documents
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT sha256(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY sha256(text)
+"""
+
+ORACLES["dedup_token_sig"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS sig
+    FROM documents
+)
+SELECT sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM t GROUP BY sig HAVING COUNT(*) > 1
+"""
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS shingle
+    FROM toks
+),
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+),
+shr AS (
+    SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM shr GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, common,
+       CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES["similarity_topk"] = """
+WITH prepared AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS qid, n.vec_id AS nid,
+           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+    FROM prepared q, prepared n
+    WHERE q.vec_id < 50 AND q.vec_id != n.vec_id
+),
+ranked AS (
+    SELECT qid, nid, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid ASC) AS rnk
+    FROM pairs
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk
 """

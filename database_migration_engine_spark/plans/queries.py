@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 from .. import fixtures
 from ..analyzer.analyze import analyze, severity_rollup
+from ..functions import text as TX
 from ..io import read_table
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
 from ..session import ensure_deterministic
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -463,3 +466,179 @@ def severity_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     migrations = fixtures.migrations_df(spark)
     return severity_rollup(migrations, pg_version=14).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents` (north-star LLM-pipeline operators).
+# ---------------------------------------------------------------------------
+
+
+@query("text_stats")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: tokenize + aggregate, all JVM-side."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", TX.token_count())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("token_count")
+def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/punctuation token counting rolled up per source."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", TX.token_count())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query("quality_score")
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score. Components are
+    integer ratios in double — bit-deterministic without any rounding."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    comp = TX.quality_components()
+    return docs.select(
+        "doc_id",
+        comp["n_tokens"].alias("n_tokens"),
+        comp["stop_ratio"].alias("stop_ratio"),
+        comp["punct_ratio"].alias("punct_ratio"),
+        comp["len_score"].alias("len_score"),
+        comp["score"].alias("score"),
+    )
+
+
+@query("lang_id_confusion")
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID vs the labeled lang (confusion counts)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", "lang", TX.tokens().alias("toks"))
+    return (
+        toks_df.withColumn("predicted", TX.predicted_lang("toks"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint per document."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint().alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family over `documents`.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_exact")
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha2(text) hash-groupBy — the scale-out form of the
+    reference's checksum identity (internal/migration/migration.go:19-23)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.dedup_exact(docs).select("text_hash", "keep_id", "n_dups")
+
+
+@query("dedup_token_sig")
+def dedup_token_sig_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dedup: groups sharing a sorted-distinct-token
+    signature (catches shuffled copies)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.dedup_token_sig(docs).select("sig", "keep_id", "n_docs")
+
+
+@query("ngram_jaccard_pairs")
+def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.1 with document-frequency
+    capping (see operators/dedup.py for the 100 TB shape)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=50).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("dedup_near_minhash")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (rows-only check: the banded Murmur3
+    signatures are not expressible in the oracle). To guarantee known
+    near-dups exist at any scale factor, the corpus is unioned with a
+    mirrored copy (doc_id + 1e6): every original must collide with its
+    mirror, so output size ≥ corpus size; pytest asserts recall on the
+    mirrored pairs."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrored = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    return DD.minhash_lsh_pairs(docs.unionByName(mirrored)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("simhash_fingerprint")
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: xxhash64 differs from any
+    oracle-side hash). Self-consistency is pytest-asserted (identical docs
+    → identical fingerprints, Hamming 0)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.simhash64(docs).select(
+        F.col("doc").alias("doc_id"), "simhash"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`.
+# ---------------------------------------------------------------------------
+
+
+@query("similarity_topk")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 50 vectors as queries.
+    Bit-exact vs the oracle: both engines reduce the dot product
+    sequentially in double."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    return SIM.cosine_topk(emb, queries_df, k=5).orderBy("qid", "rnk")
+
+
+@query("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-5 (rows-only: deterministic
+    hash-derived hyperplanes are engine-specific). Recall vs brute force
+    is pytest-asserted."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    return SIM.ann_lsh_topk(emb, queries_df, k=5, num_bits=8).orderBy(
+        "qid", "rnk"
+    )

@@ -43,11 +43,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_matches_oracle(spark_df, duck_con, sql: str) -> None:
-    """Mirror of the driver's check: row count, column names, values."""
+    """Mirror of the driver's check: row count, column names, values.
+
+    Values compare as strings (like a value-hash would): 19525 vs 19525.0
+    must FAIL even though numerically equal — dtype drift between engines
+    (e.g. DuckDB HUGEINT → float64) changes the driver's hash.
+    """
     got = normalize(spark_df.toPandas())
     want = normalize(duck_con.sql(sql).df())
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_exact=True
+    )

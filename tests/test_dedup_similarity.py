@@ -1,0 +1,105 @@
+"""Self-consistency tests for the non-oracle-expressible operators:
+MinHash-LSH recall on known duplicates, SimHash fingerprint properties,
+ANN-LSH recall against the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_migration_engine_spark import schemas
+from database_migration_engine_spark.io import read_table
+from database_migration_engine_spark.operators import dedup as DD
+from database_migration_engine_spark.operators import similarity as SIM
+
+from .conftest import SF_DIR
+
+
+def _docs(spark, n=100):
+    return (
+        read_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < n)
+        .select("doc_id", "text")
+    )
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark):
+    """Every doc unioned with an identical mirror must produce its
+    (doc, mirror) candidate pair with est_jaccard == 1.0 — identical
+    shingle sets give identical signatures in every band."""
+    docs = _docs(spark)
+    n = docs.count()
+    mirrored = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    pairs = DD.minhash_lsh_pairs(docs.unionByName(mirrored))
+    mirror_hits = pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1_000_000)
+        & (F.col("est_jaccard") == 1.0)
+    )
+    assert mirror_hits.count() == n
+
+
+def test_minhash_est_similarity_tracks_jaccard(spark):
+    """LSH candidates that are true near-dups (trigram jaccard ≥ 0.5)
+    should carry high estimated similarity."""
+    docs = _docs(spark, 200)
+    true_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in DD.minhash_lsh_pairs(docs).collect()
+    }
+    for pair, true_j in true_pairs.items():
+        assert pair in est, f"LSH missed high-similarity pair {pair} (j={true_j})"
+        assert est[pair] >= 0.25
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    docs = _docs(spark, 50)
+    mirrored = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    fp = DD.simhash64(docs.unionByName(mirrored))
+    joined = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            F.col("b.doc") == F.col("a.doc") + 1_000_000,
+        )
+        .withColumn("ham", DD.hamming64("a.simhash", "b.simhash"))
+    )
+    assert joined.filter(F.col("ham") != 0).count() == 0
+
+
+def test_dedup_exact_partitions_input(spark):
+    """Exact-dedup groups partition the input: sum of group sizes equals
+    the corpus size, keep_id is a member of each group."""
+    docs = read_table(spark, SF_DIR, "documents")
+    groups = DD.dedup_exact(docs)
+    total = groups.agg(F.sum("n_dups")).first()[0]
+    assert total == docs.count()
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Bucketed ANN returns a subset of true neighbors; recall@5 over the
+    query set should be non-trivial (same-bucket collision of similar
+    vectors) and every returned pair must be in the brute-force ranking
+    order (cos values match exactly for shared pairs)."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.qid, r.nid): r.cos_sim
+        for r in SIM.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = SIM.ann_lsh_topk(emb, queries, k=5, num_bits=4).collect()
+    assert len(approx) > 0
+    hits = sum(1 for r in approx if (r.qid, r.nid) in brute)
+    for r in approx:
+        if (r.qid, r.nid) in brute:
+            assert r.cos_sim == brute[(r.qid, r.nid)]
+    assert hits >= 1
+
+
+def test_ngram_jaccard_bounds(spark):
+    docs = _docs(spark, 200)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.1)
+    bad = pairs.filter((F.col("jaccard") < 0.1) | (F.col("jaccard") > 1.0))
+    assert bad.count() == 0
