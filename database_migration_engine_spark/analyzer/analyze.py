@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .. import schemas
+from ..session import ensure_worker_imports
 from . import parse as _parse
 from .rules import HIGH, SEVERITY_NAMES, apply_rules
 
@@ -38,6 +39,9 @@ def extract_statements(migrations: DataFrame, sql_col: str = "up_sql") -> DataFr
     (reference internal/parser/parser.go:29-32) followed by the per-statement
     dispatcher iteration (reference internal/analyzer/analyzer.go:63-87).
     """
+    # the parse UDF unpickles on workers by importing this package —
+    # ship it so plans work regardless of the host process's cwd
+    ensure_worker_imports(migrations.sparkSession)
     return (
         migrations.select(
             "version", F.explode(_parse_udf(F.col(sql_col))).alias("stmt")

@@ -17,6 +17,8 @@ on Spark, so the session is where the 100 TB posture is configured:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +61,38 @@ def build_session(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+_PKG_ZIP: str | None = None
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers.
+
+    A pandas UDF pickled on the driver is unpickled on each worker by
+    importing its defining module — which fails whenever the driver's cwd /
+    sys.path tweak isn't inherited (any host process not launched from the
+    repo root). Shipping the package as a zip via ``addPyFile`` makes every
+    UDF-bearing plan location-independent; on a real cluster this is also
+    exactly how the package would reach executors.
+    """
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), "database_migration_engine_spark_pkg.zip"
+        )
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        _PKG_ZIP = zpath
+    if not spark.conf.get("spark.dbme.pyfiles.added", None):
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+        spark.conf.set("spark.dbme.pyfiles.added", "true")
 
 
 def ensure_deterministic(spark: SparkSession) -> SparkSession:

@@ -1,0 +1,203 @@
+"""Orchestrator lifecycle tests, mirroring the reference's integration
+suite (reference integration/lifecycle_test.go:49-591 — apply-all-tracked,
+re-apply-skips, checksum tamper, dry-run, rollback step/target/no-down,
+danger gate) against a tmpdir parquet ledger and a collecting SQL runner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_engine_spark import fixtures
+from database_migration_engine_spark.executor.orchestrator import (
+    ChecksumMismatchError,
+    CollectingRunner,
+    DangerousMigrationsError,
+    Executor,
+    NoDownSQLError,
+    NothingToRollbackError,
+    ParquetLedger,
+    TargetNotFoundError,
+)
+
+
+@pytest.fixture()
+def ledger(spark, tmp_path):
+    return ParquetLedger(spark, str(tmp_path / "schema_migrations"))
+
+
+@pytest.fixture()
+def runner():
+    return CollectingRunner()
+
+
+@pytest.fixture()
+def executor(ledger, runner):
+    return Executor(ledger=ledger, runner=runner)
+
+
+def _safe_migrations(spark):
+    """Corpus subset with no HIGH/CRITICAL findings at PG14 (001, 003, 011,
+    012 are SAFE per FIXTURES.md)."""
+    return fixtures.migrations_df(spark).filter(
+        F.col("version").isin("001", "003", "011", "012")
+    )
+
+
+def test_apply_all_tracked(spark, executor, ledger, runner):
+    executor.apply(_safe_migrations(spark))
+    applied = {r.version for r in ledger.applied().collect()}
+    assert applied == {"001", "003", "011", "012"}
+    assert len(runner.calls) == 4
+    statuses = [e.status for e in executor.events]
+    assert statuses.count("completed") == 4
+
+
+def test_concurrently_routed_outside_tx(spark, executor, runner):
+    """V011 (CREATE INDEX CONCURRENTLY) must run with in_tx=False
+    (reference internal/executor/executor.go:286-288); others in_tx=True."""
+    executor.apply(_safe_migrations(spark))
+    by_sql = {sql: in_tx for sql, in_tx in runner.calls}
+    assert by_sql["CREATE INDEX CONCURRENTLY idx_users_status ON users (status);"] is False
+    assert by_sql["ALTER TABLE users ADD COLUMN bio TEXT;"] is True
+
+
+def test_reapply_skips(spark, executor, ledger, runner):
+    migs = _safe_migrations(spark)
+    executor.apply(migs)
+    n_calls = len(runner.calls)
+    executor.events.clear()
+    executor.apply(migs)
+    assert len(runner.calls) == n_calls  # nothing re-executed
+    assert all(e.status == "skipped" for e in executor.events)
+
+
+def test_checksum_tamper_detected(spark, executor, ledger):
+    migs = _safe_migrations(spark)
+    executor.apply(migs)
+    tampered = migs.withColumn(
+        "checksum",
+        F.when(F.col("version") == "003", F.lit("0" * 64)).otherwise(
+            F.col("checksum")
+        ),
+    )
+    with pytest.raises(ChecksumMismatchError):
+        executor.apply(tampered)
+
+
+def test_dry_run_records_nothing(spark, executor, ledger, runner):
+    executor.apply(_safe_migrations(spark), dry_run=True)
+    assert runner.calls == []
+    assert ledger.applied().count() == 0
+    assert all(e.status == "skipped" for e in executor.events)
+
+
+def test_danger_gate_blocks(spark, executor):
+    with pytest.raises(DangerousMigrationsError) as exc:
+        executor.apply(fixtures.migrations_df(spark))
+    assert "007" in exc.value.versions  # DROP TABLE is CRITICAL
+    assert "002" in exc.value.versions  # non-concurrent index is HIGH
+
+
+def test_danger_gate_force_overrides(spark, executor, ledger):
+    executor.apply(fixtures.migrations_df(spark), force=True)
+    assert ledger.applied().count() == 12
+
+
+def test_fail_fast_keeps_prior_recorded(spark, ledger):
+    """First error aborts; prior migrations stay recorded
+    (reference integration/lifecycle_test.go:312-349)."""
+    runner = CollectingRunner(fail_on="ADD COLUMN status")
+    ex = Executor(ledger=ledger, runner=runner)
+    with pytest.raises(Exception):
+        ex.apply(_safe_migrations(spark))
+    applied = {r.version for r in ledger.applied().collect()}
+    assert applied == {"001"}  # 001 done, 003 failed, 011/012 never ran
+    assert [e.status for e in ex.events][-1] == "failed"
+
+
+def test_rollback_steps_runs_down_in_reverse(spark, executor, ledger, runner):
+    migs = fixtures.migrations_df(spark).filter(
+        F.col("version").isin("001", "003", "011")
+    )
+    executor.apply(migs)
+    runner.calls.clear()
+    executor.rollback(migs, steps=2)
+    down_sqls = [sql for sql, _ in runner.calls]
+    assert down_sqls == [
+        "DROP INDEX CONCURRENTLY IF EXISTS idx_users_status;",
+        "ALTER TABLE users DROP COLUMN IF EXISTS status;",
+    ]  # 011 first (desc), then 003
+    applied = {r.version for r in ledger.applied().collect()}
+    assert applied == {"001"}
+    statuses = {r.version: r.status for r in ledger.df().collect()}
+    assert statuses["003"] == "rolled_back"
+    assert statuses["011"] == "rolled_back"
+
+
+def test_rollback_steps_clamped(spark, executor, ledger):
+    migs = fixtures.migrations_df(spark).filter(
+        F.col("version").isin("001", "003")
+    )
+    executor.apply(migs)
+    executor.rollback(migs, steps=99)  # clamp, not error
+    assert ledger.applied().count() == 0
+
+
+def test_rollback_zero_steps_noop(spark, executor, ledger):
+    migs = _safe_migrations(spark)
+    executor.apply(migs)
+    executor.rollback(migs, steps=0)
+    assert ledger.applied().count() == 4
+
+
+def test_rollback_empty_ledger_errors(spark, executor):
+    with pytest.raises(NothingToRollbackError):
+        executor.rollback(_safe_migrations(spark), steps=1)
+
+
+def test_rollback_no_down_errors(spark, executor, ledger):
+    migs = fixtures.migrations_df(spark).filter(
+        F.col("version").isin("001", "012")  # 012 has no down file
+    )
+    executor.apply(migs)
+    with pytest.raises(NoDownSQLError):
+        executor.rollback(migs, steps=1)
+
+
+def test_rollback_to_version(spark, executor, ledger, runner):
+    migs = fixtures.migrations_df(spark).filter(
+        F.col("version").isin("001", "003", "011")
+    )
+    executor.apply(migs)
+    runner.calls.clear()
+    executor.rollback_to_version(migs, "001")  # 001 itself kept
+    applied = {r.version for r in ledger.applied().collect()}
+    assert applied == {"001"}
+
+
+def test_rollback_to_missing_target_errors(spark, executor, ledger):
+    migs = _safe_migrations(spark)
+    executor.apply(migs)
+    with pytest.raises(TargetNotFoundError):
+        executor.rollback_to_version(migs, "999")
+
+
+def test_reapply_after_rollback_upserts(spark, executor, ledger):
+    """Upsert-after-rollback (reference integration/tracker_test.go:93):
+    re-applying a rolled-back version replaces its ledger row."""
+    migs = fixtures.migrations_df(spark).filter(
+        F.col("version").isin("001", "003")
+    )
+    executor.apply(migs)
+    executor.rollback(migs, steps=1)
+    executor.apply(migs)
+    rows = ledger.df().filter(F.col("version") == "003").collect()
+    assert len(rows) == 1  # upsert, not duplicate insert
+    assert rows[0].status == "applied"
+
+
+def test_ledger_ensure_idempotent(spark, ledger):
+    ledger.ensure()
+    ledger.ensure()
+    assert ledger.df().count() == 0
