@@ -528,3 +528,7 @@ ranked AS (
 SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk
 FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk
 """
+
+# The streaming twin shares the batch oracle: the watermarked windowed
+# aggregate drained with availableNow must equal the batch group-by.
+ORACLES["events_tumbling_stream"] = ORACLES["events_tumbling"]

@@ -631,6 +631,30 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, queries_df, k=5).orderBy("qid", "rnk")
 
 
+@query("events_tumbling_stream")
+def events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_tumbling: watermarked tumbling
+    window over a file-source readStream, drained with availableNow into a
+    memory sink. Shares the batch oracle — the streaming plan must produce
+    byte-identical aggregates."""
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    stream = SE.read_events_stream(spark, sf_dir)
+    return SE.run_to_memory(SE.tumbling_counts(stream))
+
+
+@query("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo (rows-only): deterministic synthetic binary
+    assets → Arrow-batched mapInPandas feature extraction (decode stubbed
+    per environment constraints; batch shape and schema are real)."""
+    from ..operators import multimodal as MM
+
+    ensure_deterministic(spark)
+    return MM.decode_features(MM.synth_assets(spark, 200)).orderBy("asset_id")
+
+
 @query("similarity_ann_lsh")
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 (rows-only: deterministic

@@ -1,0 +1,117 @@
+"""Streaming twins must equal their batch forms; multimodal plumbing is
+real (schema/batching/determinism) with the decode stubbed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_engine_spark.io import read_table
+from database_migration_engine_spark.operators import multimodal as MM
+from database_migration_engine_spark.streaming import events as SE
+from database_migration_engine_spark.streaming.stateful import user_profiles
+
+from .conftest import SF_DIR
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = SE.read_events_stream(spark, SF_DIR)
+    result = SE.run_to_memory(SE.tumbling_counts(stream))
+    got = {
+        (r.hour_bucket, r.event_type): (r.n_events, r.sum_value)
+        for r in result.collect()
+    }
+    batch = read_table(spark, SF_DIR, "events")
+    want = {
+        (r.hour_bucket, r.event_type): (r.n_events, r.sum_value)
+        for r in (
+            batch.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+                .alias("hour_bucket"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,10)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_streaming_session_windows(spark):
+    stream = SE.read_events_stream(spark, SF_DIR)
+    result = SE.run_to_memory(SE.session_windows(stream)).collect()
+    assert len(result) > 0
+    # session invariants: start <= end, counts positive
+    for r in result:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+    # total events preserved across sessions
+    assert sum(r.n_events for r in result) == read_table(
+        spark, SF_DIR, "events"
+    ).count()
+
+
+def test_streaming_dedup_within_watermark(spark):
+    stream = SE.read_events_stream(spark, SF_DIR)
+    deduped = SE.run_to_memory(
+        SE.dedup_within_watermark(stream), output_mode="append"
+    )
+    n = read_table(spark, SF_DIR, "events").count()
+    assert deduped.count() == n  # fixture has unique event_ids
+    assert deduped.select("event_id").distinct().count() == n
+
+
+def test_stateful_user_profiles(spark):
+    stream = SE.read_events_stream(spark, SF_DIR)
+    result = SE.run_to_memory(user_profiles(stream), output_mode="update")
+    got = {r.user_id: r.n_events for r in result.collect()}
+    want = {
+        r.user_id: r.n
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_multimodal_decode_fake(spark):
+    assets = MM.synth_assets(spark, 60)
+    feats = MM.decode_features(assets, mode="fake")
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert feats.schema == MM.FEATURE_SCHEMA
+    by_id = {r.asset_id: r for r in rows}
+    assert by_id[0].n_bytes == 96
+    assert 64 <= by_id[0].width < 256
+    # deterministic: re-running produces identical features
+    again = {r.asset_id: r for r in MM.decode_features(assets).collect()}
+    assert by_id[5].payload_sha == again[5].payload_sha
+    assert by_id[5].mean_byte == again[5].mean_byte
+
+
+def test_multimodal_real_mode_raises(spark):
+    assets = MM.synth_assets(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        MM.decode_features(assets, mode="real").collect()
+
+
+def test_multimodal_frame_sample(spark):
+    assets = MM.synth_assets(spark, 30)
+    frames = MM.frame_sample(assets, every_n_bytes=16)
+    rows = frames.collect()
+    # only video modality, 96 bytes / 16 = 6 offsets each
+    video_ids = {
+        r.asset_id for r in assets.filter(F.col("modality") == "video").collect()
+    }
+    assert {r.asset_id for r in rows} == video_ids
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r.asset_id, []).append(r.frame_offset)
+    for offsets in per_asset.values():
+        assert sorted(offsets) == [0, 16, 32, 48, 64, 80]
