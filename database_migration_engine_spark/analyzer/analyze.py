@@ -51,8 +51,14 @@ def extract_statements(migrations: DataFrame, sql_col: str = "up_sql") -> DataFr
 
 
 def analyze(migrations: DataFrame, pg_version: int = 14) -> DataFrame:
-    """Full findings DataFrame for a migrations DataFrame."""
-    return apply_rules(extract_statements(migrations), pg_version=pg_version)
+    """Full findings DataFrame for a migrations DataFrame.
+
+    The statements DataFrame is persisted: the 9-rule union would otherwise
+    re-run the whole parse subtree (including the Python UDF) once per
+    rule branch — at any scale that is 9 parses of every migration.
+    """
+    stmts = extract_statements(migrations).persist()
+    return apply_rules(stmts, pg_version=pg_version)
 
 
 def severity_rollup(

@@ -36,3 +36,25 @@ def cosine(a: str, b: str, norm_a: str | None = None, norm_b: str | None = None)
     na = F.col(norm_a) if norm_a else norm(a)
     nb = F.col(norm_b) if norm_b else norm(b)
     return dot(a, b) / (na * nb)
+
+
+# --- unrolled fixed-dimension variants -------------------------------------
+# Catalyst interprets higher-order-function lambdas (zip_with/aggregate)
+# per element — fine for one pass over a column, slow inside an N×M
+# similarity join. For a known dimension, unrolling into a flat
+# element_at-product chain stays inside whole-stage codegen and preserves
+# the exact left-to-right addition order (bit-identical results).
+
+
+def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    terms = " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+    return F.expr(terms)
+
+
+def norm_unrolled(a: str, dim: int) -> Column:
+    terms = " + ".join(
+        f"element_at({a}, {i}) * element_at({a}, {i})" for i in range(1, dim + 1)
+    )
+    return F.expr(f"sqrt({terms})")

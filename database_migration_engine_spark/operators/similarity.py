@@ -21,14 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double_array, cosine, norm
+from ..functions.vectors import (
+    as_double_array,
+    cosine,
+    dot_unrolled,
+    norm,
+    norm_unrolled,
+)
 
 
-def _prepared(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    return df.select(
+def _prepared(
+    df: DataFrame, id_col: str, vec_col: str, prefix: str, dim: int | None
+) -> DataFrame:
+    out = df.select(
         F.col(id_col).alias(f"{prefix}id"),
         as_double_array(vec_col).alias(f"{prefix}vec"),
-    ).withColumn(f"{prefix}norm", norm(f"{prefix}vec"))
+    )
+    nrm = (
+        norm_unrolled(f"{prefix}vec", dim) if dim else norm(f"{prefix}vec")
+    )
+    return out.withColumn(f"{prefix}norm", nrm)
 
 
 def cosine_topk(
@@ -37,17 +49,27 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast(queries) ⋈ corpus, windowed rank.
 
     Norms are precomputed once per side so the N×M inner loop is a single
-    dot product. Ties break on neighbor id for determinism.
+    dot product — unrolled to a codegen-friendly chain when `dim` is known
+    (interpreted lambda reduction is ~10× slower inside the join).
+    Ties break on neighbor id for determinism.
     """
-    q = _prepared(queries, id_col, vec_col, "q")
-    c = _prepared(corpus, id_col, vec_col, "n")
+    q = _prepared(queries, id_col, vec_col, "q", dim)
+    c = _prepared(corpus, id_col, vec_col, "n", dim)
+    dot_expr = (
+        dot_unrolled("qvec", "nvec", dim)
+        if dim
+        else cosine("qvec", "nvec", "qnorm", "nnorm") * F.col("qnorm") * F.col("nnorm")
+    )
     pairs = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .withColumn("cos_sim", cosine("qvec", "nvec", "qnorm", "nnorm"))
+        .withColumn(
+            "cos_sim", dot_expr / (F.col("qnorm") * F.col("nnorm"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
@@ -88,16 +110,20 @@ def ann_lsh_topk(
     """Approximate top-k: candidates share an LSH bucket; exact cosine and
     ranking happen only within buckets. One equi-join on the bucket key —
     the 100 TB-safe shape (no all-pairs scan)."""
-    q = _prepared(queries, id_col, vec_col, "q").withColumn(
+    q = _prepared(queries, id_col, vec_col, "q", dim).withColumn(
         "bucket", _lsh_bucket("qvec", num_bits, dim)
     )
-    c = _prepared(corpus, id_col, vec_col, "n").withColumn(
+    c = _prepared(corpus, id_col, vec_col, "n", dim).withColumn(
         "bucket", _lsh_bucket("nvec", num_bits, dim)
     )
     pairs = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("cos_sim", cosine("qvec", "nvec", "qnorm", "nnorm"))
+        .withColumn(
+            "cos_sim",
+            dot_unrolled("qvec", "nvec", dim)
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (

@@ -532,3 +532,125 @@ FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk
 # The streaming twin shares the batch oracle: the watermarked windowed
 # aggregate drained with availableNow must equal the batch group-by.
 ORACLES["events_tumbling_stream"] = ORACLES["events_tumbling"]
+
+# --- relational coverage batch -------------------------------------------
+
+ORACLES["local_supplier_revenue"] = f"""
+SELECT n_name, {_dsum(_DISC_PRICE, 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+ORACLES["customer_order_counts"] = """
+WITH per_customer AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_customer
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+ORACLES["orders_with_big_discount"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["revenue_rollup"] = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+ORACLES["events_json"] = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10)
+            AS INTEGER) AS k_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_bucket
+"""
+
+ORACLES["orderdate_parts"] = """
+SELECT year(o_orderdate) AS yr,
+       quarter(o_orderdate) AS qtr,
+       COUNT(*) AS n_orders,
+       CAST(MIN(month(o_orderdate)) AS INTEGER) AS first_month,
+       CAST(MAX(month(o_orderdate)) AS INTEGER) AS last_month,
+       CAST(MAX(day(o_orderdate)) AS INTEGER) AS max_day
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, qtr
+"""
+
+ORACLES["customer_name_funcs"] = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       substring(c_name, 1, 8) AS prefix8,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       c_mktsegment || '|' || c_name AS tagged,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+FROM customer
+WHERE c_name LIKE '%1%'
+ORDER BY c_custkey
+"""
+
+ORACLES["embedding_stats"] = """
+WITH staged AS (
+    SELECT label,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax
+    FROM embeddings
+)
+SELECT label, COUNT(*) AS n,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       MIN(first_elem) AS min_first, MAX(vmax) AS max_elem
+FROM staged
+GROUP BY label
+ORDER BY label
+"""
+
+ORACLES["rule_catalog"] = f"""
+WITH {_MIG},
+{_FINDINGS_SQL},
+catalog(rule, default_severity, lock_type) AS (VALUES
+    ('create-index-not-concurrent', 3, 'SHARE'),
+    ('add-column-volatile-default', 3, 'ACCESS EXCLUSIVE'),
+    ('add-constraint-without-not-valid', 3, 'ACCESS EXCLUSIVE'),
+    ('alter-column-type', 3, 'ACCESS EXCLUSIVE'),
+    ('set-not-null', 2, 'ACCESS EXCLUSIVE'),
+    ('drop-table', 4, 'ACCESS EXCLUSIVE'),
+    ('vacuum-full', 3, 'ACCESS EXCLUSIVE'),
+    ('lock-table', 3, 'EXPLICIT'),
+    ('rename', 2, 'ACCESS EXCLUSIVE')),
+counts AS (
+    SELECT rule, COUNT(*) AS n_findings FROM findings GROUP BY rule
+)
+SELECT c.rule, c.default_severity, c.lock_type,
+       COALESCE(n.n_findings, 0) AS n_findings
+FROM catalog c LEFT JOIN counts n ON c.rule = n.rule
+ORDER BY c.rule
+"""

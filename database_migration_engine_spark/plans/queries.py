@@ -215,6 +215,196 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("local_supplier_revenue")
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (customer⋈orders⋈lineitem⋈supplier with
+    the local-supplier constraint c_nationkey = s_nationkey, plus the
+    nation⋈region dimension chain) → revenue per nation.
+
+    The big fact-fact join (orders⋈lineitem) shuffles on orderkey; every
+    dimension side is broadcast; Catalyst orders the joins from the
+    pushed-down region filter outward."""
+    ensure_deterministic(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.expr(DISC_PRICE), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query("customer_order_counts")
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    distribution of customers by order count, including zero-order
+    customers (the outer join's null side)."""
+    ensure_deterministic(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_customer = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_customer.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query("orders_with_big_discount")
+def orders_with_big_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (left-semi join) — count orders per priority
+    having at least one deeply discounted line item."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    discounted = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") > 0.05
+    )
+    return (
+        orders.join(
+            discounted, orders.o_orderkey == discounted.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("revenue_rollup")
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (grouping sets): per (returnflag, linestatus),
+    per returnflag subtotal, and grand total in one pass — Spark expands
+    to grouping sets with partial aggregation per set."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+@query("events_json")
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column: histogram of the
+    integer field k by event_type (get_json_object / json_extract)."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        # explicit floor: Spark's double→int cast truncates but DuckDB's
+        # rounds — floor() makes the bucketing identical in both engines
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+@query("orderdate_parts")
+def orderdate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part functions: orders histogram by (year, quarter) with
+    month/day extremes — scalar date function coverage."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mth"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+        )
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("mth").alias("first_month"),
+            F.max("mth").alias("last_month"),
+            F.max("dom").alias("max_day"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+@query("customer_name_funcs")
+def customer_name_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: upper/substring/length/concat/replace over
+    customer names with a LIKE predicate."""
+    ensure_deterministic(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_name").like("%1%"))
+        .select(
+            "c_custkey",
+            F.upper(F.col("c_name")).alias("upper_name"),
+            F.substring(F.col("c_name"), 1, 8).alias("prefix8"),
+            F.length(F.col("c_name")).alias("name_len"),
+            F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias(
+                "tagged"
+            ),
+            F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query("embedding_stats")
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over embeddings: per label, count plus
+    min/max of the vector norm and first element (min/max select exact
+    doubles — order-independent, unlike float sums)."""
+    ensure_deterministic(spark)
+    from ..functions.vectors import as_double_array, norm
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "label",
+        as_double_array("embedding").alias("v"),
+    )
+    staged = emb.select(
+        "label",
+        norm("v").alias("nrm"),
+        F.element_at("v", 1).alias("first_elem"),
+        F.array_max("v").alias("vmax"),
+    )
+    return (
+        staged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.min("first_elem").alias("min_first"),
+            F.max("vmax").alias("max_elem"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windowing (batch forms; streaming twins in streaming/).
 # ---------------------------------------------------------------------------
@@ -468,6 +658,47 @@ def severity_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return severity_rollup(migrations, pg_version=14).orderBy("version")
 
 
+@query("rule_catalog")
+def rule_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static rule catalog ⋈ findings (broadcast join): per registered rule,
+    its default severity/lock plus how many corpus findings it produced —
+    the E10 broadcast-lookup shape (reference rollback_helpers.go:54-61)
+    over the analyzer output. Rules with no findings appear with 0."""
+    ensure_deterministic(spark)
+    catalog_rows = ",".join(
+        f"('{rule}', {sev}, '{lock}')"
+        for rule, sev, lock in [
+            ("create-index-not-concurrent", 3, "SHARE"),
+            ("add-column-volatile-default", 3, "ACCESS EXCLUSIVE"),
+            ("add-constraint-without-not-valid", 3, "ACCESS EXCLUSIVE"),
+            ("alter-column-type", 3, "ACCESS EXCLUSIVE"),
+            ("set-not-null", 2, "ACCESS EXCLUSIVE"),
+            ("drop-table", 4, "ACCESS EXCLUSIVE"),
+            ("vacuum-full", 3, "ACCESS EXCLUSIVE"),
+            ("lock-table", 3, "EXPLICIT"),
+            ("rename", 2, "ACCESS EXCLUSIVE"),
+        ]
+    )
+    catalog = spark.sql(
+        f"SELECT * FROM (VALUES {catalog_rows}) AS "
+        f"rule_catalog(rule, default_severity, lock_type)"
+    )
+    findings = analyze(fixtures.migrations_df(spark), pg_version=14)
+    counts = findings.groupBy("rule").agg(F.count(F.lit(1)).alias("n_findings"))
+    return (
+        catalog.join(F.broadcast(counts), "rule", "left")
+        .select(
+            "rule",
+            F.col("default_severity").cast("int").alias("default_severity"),
+            "lock_type",
+            F.coalesce(F.col("n_findings"), F.lit(0))
+            .cast("long")
+            .alias("n_findings"),
+        )
+        .orderBy("rule")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over `documents` (north-star LLM-pipeline operators).
 # ---------------------------------------------------------------------------
@@ -517,28 +748,70 @@ def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("quality_score")
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score. Components are
-    integer ratios in double — bit-deterministic without any rounding."""
+    integer ratios in double — bit-deterministic without any rounding.
+
+    Staged selects materialize the token array and counts once; a single
+    nested expression tree would re-split the text per component (codegen
+    does not reliably CSE the regexp split)."""
     ensure_deterministic(spark)
     docs = read_table(spark, sf_dir, "documents")
-    comp = TX.quality_components()
-    return docs.select(
+    stops = ",".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    staged = (
+        docs.select("doc_id", "text", TX.tokens().alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            F.expr(f"size(filter(toks, t -> t IN ({stops})))").alias("stop_hits"),
+            TX.punct_count("text").alias("punct_cnt"),
+        )
+    )
+    stop_ratio = F.when(
+        F.col("n_tokens") > 0, F.col("stop_hits") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("n_chars") > 0, F.col("punct_cnt") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(F.col("n_chars"), F.lit(TX.LEN_NORM)) / F.lit(
+        TX.LEN_NORM
+    ).cast("double")
+    return staged.select(
         "doc_id",
-        comp["n_tokens"].alias("n_tokens"),
-        comp["stop_ratio"].alias("stop_ratio"),
-        comp["punct_ratio"].alias("punct_ratio"),
-        comp["len_score"].alias("len_score"),
-        comp["score"].alias("score"),
+        "n_tokens",
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        len_score.alias("len_score"),
+        (
+            stop_ratio * F.lit(TX.W_STOP)
+            + punct_ratio * F.lit(TX.W_PUNCT)
+            + len_score * F.lit(TX.W_LEN)
+        ).alias("score"),
     )
 
 
 @query("lang_id_confusion")
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-voting language ID vs the labeled lang (confusion counts)."""
+    """Stopword-voting language ID vs the labeled lang (confusion counts).
+
+    Hit counts are materialized as columns before the argmax CASE chain —
+    the nested form re-counts each language's stopwords ~3× per row."""
     ensure_deterministic(spark)
     docs = read_table(spark, sf_dir, "documents")
-    toks_df = docs.select("doc_id", "lang", TX.tokens().alias("toks"))
+    staged = docs.select("lang", TX.tokens().alias("toks")).select(
+        "lang",
+        *[
+            TX.stopword_hits("toks", lang).alias(f"hits_{lang}")
+            for lang in TX.LANG_PRIORITY
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in TX.LANG_PRIORITY])
+    predicted = F.lit("unknown")
+    for lang in reversed(TX.LANG_PRIORITY):
+        predicted = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(predicted)
     return (
-        toks_df.withColumn("predicted", TX.predicted_lang("toks"))
+        staged.select("lang", predicted.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
