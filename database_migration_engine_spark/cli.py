@@ -1,0 +1,238 @@
+"""CLI — the product surface of the migration engine.
+
+Command set mirrors the reference CLI (reference internal/cli/): analyze,
+apply (danger gate, --dry-run, --force), rollback (--steps | --target,
+mutually exclusive per internal/cli/rollback.go:28), status. ``plan`` —
+never built in the reference (internal/cli/plan.go:22-26) — is implemented
+here as a real impact preview (per-migration findings + lock types).
+
+Flag precedence follows config.load (file → MIGRATE_* env → flags).
+Without --database-url, apply/rollback require --echo (record-only mode,
+no SQL leaves the process) so nothing destructive can happen by accident.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from . import config as cfg
+from .analyzer.analyze import analyze, severity_rollup
+from .analyzer.rules import SEVERITY_NAMES
+from .executor.orchestrator import (
+    CollectingRunner,
+    DangerousMigrationsError,
+    Executor,
+    JdbcRunner,
+    ParquetLedger,
+)
+from .session import build_session
+from .sources.migrations import load_from_dir
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="database-migration-engine-spark",
+        description="PySpark-native zero-downtime migration engine",
+    )
+    p.add_argument("--config", help="config file (yaml/json)")
+    p.add_argument("--database-url")
+    p.add_argument("--ledger-path")
+    p.add_argument("--pg-version", type=int, dest="target_pg_version")
+    p.add_argument("--format", choices=["text", "json"])
+    sub = p.add_subparsers(dest="command", required=True)
+
+    an = sub.add_parser("analyze", help="danger-analyze a migrations dir")
+    an.add_argument("dir", nargs="?")
+    an.add_argument("--fail-on-high", action="store_true")
+
+    ap = sub.add_parser("apply", help="apply pending migrations in order")
+    ap.add_argument("dir", nargs="?")
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--echo", action="store_true",
+                    help="record-only mode (no database needed)")
+
+    rb = sub.add_parser("rollback", help="roll back applied migrations")
+    rb.add_argument("dir", nargs="?")
+    group = rb.add_mutually_exclusive_group(required=True)
+    group.add_argument("--steps", type=int)
+    group.add_argument("--target")
+    rb.add_argument("--echo", action="store_true")
+
+    st = sub.add_parser("status", help="ledger + pending summary")
+    st.add_argument("dir", nargs="?")
+
+    pl = sub.add_parser("plan", help="impact preview (reference stub, real here)")
+    pl.add_argument("dir", nargs="?")
+    return p
+
+
+def _load_cfg(args: argparse.Namespace) -> cfg.Config:
+    flags = {
+        "database_url": args.database_url,
+        "ledger_path": args.ledger_path,
+        "target_pg_version": args.target_pg_version,
+        "format": args.format,
+    }
+    if getattr(args, "dir", None):
+        flags["migrations_dir"] = args.dir
+    return cfg.load(config_file=args.config, flags=flags)
+
+
+def _executor(spark, conf: cfg.Config, echo: bool) -> Executor:
+    if conf.database_url:
+        runner = JdbcRunner(
+            spark,
+            conf.database_url,
+            lock_timeout_ms=conf.lock_timeout_ms,
+            statement_timeout_ms=conf.statement_timeout_ms,
+        )
+        print(f"database: {cfg.redact_url(conf.database_url)}")
+    elif echo:
+        runner = CollectingRunner()
+        print("echo mode: SQL recorded, not executed")
+    else:
+        print("error: no --database-url (use --echo for record-only mode)",
+              file=sys.stderr)
+        raise SystemExit(2)
+    return Executor(
+        ledger=ParquetLedger(spark, conf.ledger_path),
+        runner=runner,
+        pg_version=conf.target_pg_version,
+        progress=lambda e: print(
+            f"  [{e.status}] V{e.version} {e.name}"
+            + (f" ({e.duration_ms}ms)" if e.status == "completed" else "")
+            + (f": {e.error}" if e.error else "")
+        ),
+    )
+
+
+def cmd_analyze(spark, conf: cfg.Config, args) -> int:
+    migs = load_from_dir(spark, conf.migrations_dir)
+    findings = analyze(migs, pg_version=conf.target_pg_version)
+    rollup = severity_rollup(migs, findings=findings).collect()
+    rows = findings.collect()
+    if conf.format == "json":
+        print(json.dumps([r.asDict() for r in rows], default=str, indent=2))
+    else:
+        for r in rows:
+            print(f"V{r.version} [{r.severity_name}] {r.rule} on {r.table}:"
+                  f" {r.message}")
+            print(f"    suggestion: {r.suggestion}")
+        n_dangerous = sum(1 for r in rollup if r.has_high_or_critical)
+        print(f"{len(rollup)} migrations, {len(rows)} findings,"
+              f" {n_dangerous} with HIGH/CRITICAL")
+    if args.fail_on_high and any(r.has_high_or_critical for r in rollup):
+        return 1
+    return 0
+
+
+def cmd_apply(spark, conf: cfg.Config, args) -> int:
+    migs = load_from_dir(spark, conf.migrations_dir)
+    ex = _executor(spark, conf, args.echo)
+    try:
+        ex.apply(migs, dry_run=args.dry_run, force=args.force)
+    except DangerousMigrationsError as exc:
+        print(f"blocked: {exc}", file=sys.stderr)
+        return 1
+    done = sum(1 for e in ex.events if e.status == "completed")
+    skipped = sum(1 for e in ex.events if e.status == "skipped")
+    print(f"applied {done}, skipped {skipped}"
+          + (" (dry run)" if args.dry_run else ""))
+    return 0
+
+
+def cmd_rollback(spark, conf: cfg.Config, args) -> int:
+    migs = load_from_dir(spark, conf.migrations_dir)
+    ex = _executor(spark, conf, args.echo)
+    if args.target is not None:
+        ex.rollback_to_version(migs, args.target)
+    else:
+        ex.rollback(migs, steps=args.steps)
+    done = sum(1 for e in ex.events if e.status == "completed")
+    print(f"rolled back {done}")
+    return 0
+
+
+def cmd_status(spark, conf: cfg.Config, args) -> int:
+    ledger = ParquetLedger(spark, conf.ledger_path)
+    ledger.ensure()
+    applied = ledger.applied().collect()
+    try:
+        migs = load_from_dir(spark, conf.migrations_dir)
+        pending_rows = True
+    except Exception:
+        print(f"(migrations dir {conf.migrations_dir!r} not readable;"
+              f" showing ledger only)")
+        migs = None
+        pending_rows = False
+    if not pending_rows:
+        print(f"applied ({len(applied)}):")
+        for r in applied:
+            print(f"  V{r.version} {r.filename} at {r.applied_at}"
+                  f" [{r.duration_ms}ms]")
+        return 0
+    pending = (
+        migs.join(
+            ledger.df().filter(F.col("status") == "applied"),
+            "version",
+            "left_anti",
+        )
+        .orderBy("version")
+        .collect()
+    )
+    print(f"applied ({len(applied)}):")
+    for r in applied:
+        print(f"  V{r.version} {r.filename} at {r.applied_at}"
+              f" [{r.duration_ms}ms]")
+    print(f"pending ({len(pending)}):")
+    for r in pending:
+        print(f"  V{r.version} {r.name}")
+    return 0
+
+
+def cmd_plan(spark, conf: cfg.Config, args) -> int:
+    migs = load_from_dir(spark, conf.migrations_dir)
+    findings = analyze(migs, pg_version=conf.target_pg_version).collect()
+    by_version: dict[str, list] = {}
+    for r in findings:
+        by_version.setdefault(r.version, []).append(r)
+    for m in migs.orderBy("version").collect():
+        fs = by_version.get(m.version, [])
+        if not fs:
+            print(f"V{m.version} {m.name}: SAFE, no exclusive locks expected")
+            continue
+        worst = max(f.severity for f in fs)
+        locks = sorted({f.lock_type for f in fs})
+        print(f"V{m.version} {m.name}: {SEVERITY_NAMES[worst]};"
+              f" locks: {', '.join(locks)};"
+              f" {len(fs)} finding(s)")
+    return 0
+
+
+COMMANDS = {
+    "analyze": cmd_analyze,
+    "apply": cmd_apply,
+    "rollback": cmd_rollback,
+    "status": cmd_status,
+    "plan": cmd_plan,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    conf = _load_cfg(args)
+    spark = build_session(app_name=f"dbme-{args.command}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return COMMANDS[args.command](spark, conf, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

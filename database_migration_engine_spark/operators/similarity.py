@@ -79,6 +79,38 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
+    cosine similarity exceeds `threshold`.
+
+    This is the exact O(N²) verify step; at 100 TB candidate generation
+    must come from `ann_lsh_topk`'s bucketing first (same cosine
+    expression, sub-quadratic pair count) — this operator is then applied
+    only within buckets.
+    """
+    a = _prepared(df, id_col, vec_col, "q", dim)
+    b = _prepared(df, id_col, vec_col, "n", dim)
+    dot_expr = (
+        dot_unrolled("qvec", "nvec", dim) if dim else dot("qvec", "nvec")
+    )
+    return (
+        a.join(b, F.col("qid") < F.col("nid"))
+        .withColumn("cos_sim", dot_expr / (F.col("qnorm") * F.col("nnorm")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("nid").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
 def _lsh_bucket(vec_col: str, num_bits: int, dim: int, table: int = 0):
     """Deterministic random-hyperplane bucket key: hyperplane component
     (bit, dim) is a pseudo-random value in [-1, 1) derived from

@@ -654,3 +654,17 @@ SELECT c.rule, c.default_severity, c.lock_type,
 FROM catalog c LEFT JOIN counts n ON c.rule = n.rule
 ORDER BY c.rule
 """
+
+ORACLES["dedup_embedding"] = """
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+ORDER BY id_a, id_b
+"""

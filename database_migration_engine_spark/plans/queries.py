@@ -928,6 +928,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(MM.synth_assets(spark, 200)).orderBy("asset_id")
 
 
+@query("dedup_embedding")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4): the exact verify step
+    of embedding dedup. At scale, candidates come from LSH bucketing first
+    (see operators/similarity.py); the exact form is oracle-checkable."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dup_pairs(emb, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query("similarity_ann_lsh")
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 (rows-only: deterministic
