@@ -47,14 +47,26 @@ def cosine(a: str, b: str, norm_a: str | None = None, norm_b: str | None = None)
 
 
 def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """Dot product over raw float arrays with per-element double casts.
+
+    Deliberately NOT a `transform(arr, CAST)` pre-pass: Catalyst's
+    projection collapse inlines such a transform into every element_at
+    consumer, re-running the 64-cast array build once per term (measured
+    ~40× slowdown inside an N×M join). Per-element casts keep each term a
+    2-op expression, and float→double is exact so the sum is unchanged.
+    """
     terms = " + ".join(
-        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+        f"CAST(element_at({a}, {i}) AS DOUBLE) *"
+        f" CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
     )
     return F.expr(terms)
 
 
 def norm_unrolled(a: str, dim: int) -> Column:
     terms = " + ".join(
-        f"element_at({a}, {i}) * element_at({a}, {i})" for i in range(1, dim + 1)
+        f"CAST(element_at({a}, {i}) AS DOUBLE) *"
+        f" CAST(element_at({a}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
     )
     return F.expr(f"sqrt({terms})")

@@ -668,3 +668,37 @@ FROM p a JOIN p b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
 ORDER BY id_a, id_b
 """
+
+# Streaming session_window twin: the batch gap-sessionizer definition
+# without the per-user sequence number (undefined in the streaming form).
+ORACLES["events_sessionize_stream"] = f"""
+WITH flagged AS (
+    SELECT
+        user_id, ts, event_id, value,
+        CASE
+            WHEN lag(ts) OVER w IS NULL THEN 1
+            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                THEN 1
+            ELSE 0
+        END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT
+        user_id, ts, value,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+    FROM flagged
+)
+SELECT
+    user_id,
+    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+    COUNT(*) AS n_events,
+    {_dsum('value', 'sum_value')}
+FROM sessions
+GROUP BY user_id, session_seq
+"""

@@ -901,7 +901,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 50)
-    return SIM.cosine_topk(emb, queries_df, k=5).orderBy("qid", "rnk")
+    return SIM.cosine_topk_arrow(emb, queries_df, k=5).orderBy("qid", "rnk")
 
 
 @query("events_tumbling_stream")
@@ -917,6 +917,29 @@ def events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.run_to_memory(SE.tumbling_counts(stream))
 
 
+@query("events_sessionize_stream")
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization via the built-in session_window —
+    must agree with the batch lag/cumsum sessionizer on session bounds,
+    event counts and sums (oracle = batch definition without the seq)."""
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    stream = SE.read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            fmt_ts(F.min("ts"), "session_start", micros=True),
+            fmt_ts(F.max("ts"), "session_end", micros=True),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+    return SE.run_to_memory(sessions)
+
+
 @query("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo (rows-only): deterministic synthetic binary
@@ -930,13 +953,21 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_embedding")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4): the exact verify step
-    of embedding dedup. At scale, candidates come from LSH bucketing first
-    (see operators/similarity.py); the exact form is oracle-checkable."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4): the exact all-pairs
+    verify of embedding dedup, via the Arrow kernel (dimension-loop
+    accumulation → bit-exact vs the oracle, numpy throughput across
+    pairs). At larger corpora, gate behind ann_lsh_topk's bucketing."""
     ensure_deterministic(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_near_dup_pairs(emb, threshold=0.4).orderBy(
-        "id_a", "id_b"
+    pairs = SIM.cosine_pairs_arrow(emb, emb, threshold=0.4)
+    return (
+        pairs.filter(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("nid").alias("id_b"),
+            "cos_sim",
+        )
+        .orderBy("id_a", "id_b")
     )
 
 

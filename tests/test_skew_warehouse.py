@@ -1,0 +1,98 @@
+"""Skew operators preserve exact results; bucketed joins drop the
+shuffle (no Exchange in the physical plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_engine_spark import warehouse as WH
+from database_migration_engine_spark.io import read_table
+from database_migration_engine_spark.operators import skew as SK
+
+from .conftest import SF_DIR
+
+
+def test_salted_sum_equals_plain_sum(spark):
+    """Two-phase salted sum must equal the single-phase sum exactly —
+    decimal partials are associative."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    plain = {
+        r.l_returnflag: r.total
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total")
+        )
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: r.total
+        for r in SK.salted_sum(li, "l_returnflag", "l_quantity").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = read_table(spark, SF_DIR, "orders")
+    cust = read_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").count()
+    salted = SK.salted_join(orders, cust, "o_custkey", salts=8).count()
+    assert salted == plain
+
+
+def test_key_histogram(spark):
+    ev = read_table(spark, SF_DIR, "events")
+    hist = SK.key_histogram(ev, "event_type", top=5).collect()
+    assert len(hist) == 5
+    assert hist[0].n_rows >= hist[-1].n_rows
+    assert sum(r.n_rows for r in hist) == ev.count()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    # the session's warehouse dir is fixed at startup; bucketed tables land
+    # there under unique names
+    orders = read_table(spark, SF_DIR, "orders")
+    li = read_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    WH.write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    WH.write_bucketed(li, "b_lineitem", "o_orderkey", num_buckets=8)
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    left, right = bucketed_tables
+    assert WH.bucketed_join_ready(spark, left, right)
+    # disable broadcast so the planner must consider bucket co-location
+    # (at fixture scale it would otherwise just broadcast the small side —
+    # at 100 TB neither fact side is broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = WH.shuffle_free_join(spark, left, right, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, (
+        f"bucketed join still shuffles:\n{plan}"
+    )
+    assert "SortMergeJoin" in plan
+    # and it is correct
+    plain = (
+        read_table(spark, SF_DIR, "orders")
+        .join(
+            read_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            "o_orderkey",
+        )
+        .count()
+    )
+    assert joined.count() == plain
