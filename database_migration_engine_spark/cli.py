@@ -22,11 +22,13 @@ from pyspark.sql import functions as F
 from . import config as cfg
 from .analyzer.analyze import analyze, severity_rollup
 from .analyzer.rules import SEVERITY_NAMES
+from .executor.lock import LockNotAcquiredError
 from .executor.orchestrator import (
     CollectingRunner,
     DangerousMigrationsError,
     Executor,
     JdbcRunner,
+    MigrationError,
     ParquetLedger,
 )
 from .session import build_session
@@ -230,6 +232,12 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         return COMMANDS[args.command](spark, conf, args)
+    except LockNotAcquiredError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 3
+    except MigrationError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
     finally:
         spark.stop()
 

@@ -35,6 +35,7 @@ from .. import schemas
 from ..analyzer.analyze import analyze
 from ..analyzer.parse import contains_concurrent_op
 from ..analyzer.rules import HIGH
+from .lock import AdvisoryFileLock
 
 
 # --- sentinel errors (reference internal/executor/executor.go:34-42) -------
@@ -323,9 +324,12 @@ class Executor:
             dangerous = self.danger_gate(migrations)
             if dangerous:
                 raise DangerousMigrationsError(dangerous)
-        self.ledger.ensure()
-        for mig in self.from_df(migrations):
-            self._apply_one(mig, dry_run)
+        # mutual exclusion before touching the ledger (E12; lock → ensure →
+        # loop order mirrors reference internal/executor/executor.go:120-138)
+        with AdvisoryFileLock(self.ledger.path):
+            self.ledger.ensure()
+            for mig in self.from_df(migrations):
+                self._apply_one(mig, dry_run)
         return self.events
 
     def _apply_one(self, mig: Migration, dry_run: bool) -> None:
@@ -378,17 +382,18 @@ class Executor:
         :144-146, clamp :154-156)."""
         if steps <= 0:
             return self.events
-        self.ledger.ensure()
-        targets = [
-            r.version
-            for r in self.ledger.applied()
-            .orderBy(F.desc("version"))
-            .limit(steps)
-            .collect()
-        ]
-        if not targets:
-            raise NothingToRollbackError("no applied migrations")
-        self._rollback_targets(migrations, targets)
+        with AdvisoryFileLock(self.ledger.path):  # withRollbackLock (E12)
+            self.ledger.ensure()
+            targets = [
+                r.version
+                for r in self.ledger.applied()
+                .orderBy(F.desc("version"))
+                .limit(steps)
+                .collect()
+            ]
+            if not targets:
+                raise NothingToRollbackError("no applied migrations")
+            self._rollback_targets(migrations, targets)
         return self.events
 
     def rollback_to_version(
@@ -397,16 +402,17 @@ class Executor:
         """Roll back everything strictly after `target` (target kept, E9,
         reference internal/executor/executor.go:162-177,
         rollback_helpers.go:24-51)."""
-        self.ledger.ensure()
-        applied = [r.version for r in self.ledger.applied().collect()]
-        if target not in applied:
-            raise TargetNotFoundError(f"version {target} is not applied")
-        targets = sorted(
-            (v for v in applied if v > target), reverse=True
-        )
-        if not targets:
-            raise NothingToRollbackError(f"nothing applied after {target}")
-        self._rollback_targets(migrations, targets)
+        with AdvisoryFileLock(self.ledger.path):  # withRollbackLock (E12)
+            self.ledger.ensure()
+            applied = [r.version for r in self.ledger.applied().collect()]
+            if target not in applied:
+                raise TargetNotFoundError(f"version {target} is not applied")
+            targets = sorted(
+                (v for v in applied if v > target), reverse=True
+            )
+            if not targets:
+                raise NothingToRollbackError(f"nothing applied after {target}")
+            self._rollback_targets(migrations, targets)
         return self.events
 
     def _rollback_targets(

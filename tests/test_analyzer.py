@@ -86,3 +86,26 @@ def test_statement_truncation(spark):
     [finding] = analyze(mig).collect()
     assert len(finding.statement) == 120
     assert finding.statement.endswith("...")
+
+
+def test_multi_statement_migration(spark):
+    """One migration containing several statements: per-statement fan-out
+    with correct stmt_index (the reference iterates RawStmts in order,
+    analyzer.go:63-87)."""
+    from database_migration_engine_spark import schemas
+
+    sql = (
+        "CREATE TABLE t (id int);\n"
+        "CREATE INDEX i ON t (id);\n"
+        "DROP TABLE old_t;\n"
+    )
+    mig = spark.createDataFrame(
+        [("x", "multi", sql, None, "c", "p")], schema=schemas.MIGRATIONS
+    )
+    findings = sorted(
+        (r.stmt_index, r.rule, r.severity) for r in analyze(mig).collect()
+    )
+    assert findings == [
+        (1, "create-index-not-concurrent", 3),
+        (2, "drop-table", 4),
+    ]

@@ -53,3 +53,20 @@ def test_version_sort_is_lexicographic(spark, tmp_path):
     _write(d, "V10_ten.up.sql", "SELECT 10;")
     versions = [r.version for r in load_from_dir(spark, str(d)).collect()]
     assert versions == ["10", "9"]
+
+
+def test_jdbc_partitioned_read_requires_bounds(spark):
+    from database_migration_engine_spark.sources import jdbc
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc.reader(
+            spark, "jdbc:postgresql://h/db", "t", partition_column="id"
+        )
+
+
+def test_jdbc_ping_unreachable_is_false(spark):
+    from database_migration_engine_spark.sources import jdbc
+
+    assert jdbc.ping(spark, "jdbc:postgresql://127.0.0.1:1/nope") is False
