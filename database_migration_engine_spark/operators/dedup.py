@@ -68,9 +68,15 @@ def dedup_token_sig(
 def _doc_shingles(
     df: DataFrame, content_col: str, id_col: str, n: int
 ) -> DataFrame:
+    """One row per (doc, distinct shingle), with the shingle carried as an
+    xxhash64 — every downstream shuffle/join moves 8 bytes instead of the
+    shingle string. Counting semantics are unchanged (a 64-bit collision
+    across a corpus' distinct shingles is ~birthday(2^64) — negligible,
+    and the standard trade in shingle-based dedup)."""
     return (
         df.select(F.col(id_col).alias("doc"), tokens(content_col).alias("toks"))
-        .select("doc", F.explode(shingles("toks", n)).alias("shingle"))
+        .select("doc", F.explode(shingles("toks", n)).alias("shingle_str"))
+        .select("doc", F.xxhash64("shingle_str").alias("shingle"))
     )
 
 

@@ -702,3 +702,25 @@ SELECT
 FROM sessions
 GROUP BY user_id, session_seq
 """
+
+ORACLES["distinct_counts"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["conditional_aggs"] = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_big,
+       {_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END",
+              'finished_value')}
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -215,6 +215,49 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("distinct_counts")
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation: per return flag, distinct parts and
+    suppliers plus total lines. COUNT(DISTINCT) expands to a two-level
+    aggregation (partial distinct per partition → final) — the exact
+    counterpart of the approx_count_distinct HLL path used when
+    exactness isn't required at scale."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("conditional_aggs")
+def conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count-if / sum-case): the generalized form
+    of the reference's countMigrationsWithFindings
+    (reference internal/cli/analyze.go:110-120)."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(big).alias("n_big"),
+            dsum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+                .otherwise(F.lit(0.0)),
+                "finished_value",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @query("local_supplier_revenue")
 def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join (customer⋈orders⋈lineitem⋈supplier with
