@@ -235,27 +235,46 @@ def _lsh_bucket(vec_col: str, num_bits: int, dim: int, table: int = 0):
     return F.expr(" + ".join(bit_exprs)).cast("long")
 
 
+def _lsh_buckets(vec_col: str, num_bits: int, dim: int, num_tables: int):
+    """One bucket key per hash table, table id mixed into the key so
+    buckets from different tables never collide."""
+    return F.explode(
+        F.array(
+            *[
+                _lsh_bucket(vec_col, num_bits, dim, table=t)
+                + F.lit(t << num_bits).cast("long")
+                for t in range(num_tables)
+            ]
+        )
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     num_bits: int = 8,
     dim: int = 64,
+    num_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket; exact cosine and
-    ranking happen only within buckets. One equi-join on the bucket key —
-    the 100 TB-safe shape (no all-pairs scan)."""
+    """Approximate top-k: candidates share an LSH bucket in ANY of
+    `num_tables` independent hash tables (the standard recall lever —
+    each extra table adds one more chance for near neighbors to collide);
+    exact cosine and ranking happen only within buckets. Equi-joins on
+    bucket keys — the 100 TB-safe shape (no all-pairs scan)."""
     q = _prepared(queries, id_col, vec_col, "q", dim).withColumn(
-        "bucket", _lsh_bucket("qvec", num_bits, dim)
+        "bucket", _lsh_buckets("qvec", num_bits, dim, num_tables)
     )
     c = _prepared(corpus, id_col, vec_col, "n", dim).withColumn(
-        "bucket", _lsh_bucket("nvec", num_bits, dim)
+        "bucket", _lsh_buckets("nvec", num_bits, dim, num_tables)
     )
     pairs = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("nid"))
+        # a pair colliding in several tables is computed once
+        .dropDuplicates(["qid", "nid"])
         .withColumn(
             "cos_sim",
             dot_unrolled("qvec", "nvec", dim)

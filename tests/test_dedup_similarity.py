@@ -103,3 +103,21 @@ def test_ngram_jaccard_bounds(spark):
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.1)
     bad = pairs.filter((F.col("jaccard") < 0.1) | (F.col("jaccard") > 1.0))
     assert bad.count() == 0
+
+
+def test_ann_lsh_more_tables_no_worse_recall(spark):
+    """Recall@5 is monotone in the number of hash tables (every 1-table
+    candidate pair is also a 2-table candidate pair)."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.qid, r.nid) for r in SIM.cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(num_tables):
+        approx = SIM.ann_lsh_topk(
+            emb, queries, k=5, num_bits=4, num_tables=num_tables
+        ).collect()
+        return sum(1 for r in approx if (r.qid, r.nid) in brute)
+
+    assert recall(2) >= recall(1)
