@@ -47,6 +47,20 @@ def token_count(text_col: str = "text") -> Column:
     return F.size(tokens(text_col))
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, lookahead-free so both Java
+# regex and RE2 accept it): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs.
+BPE_ISH_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_ish_count(text_col: str = "text") -> Column:
+    """Token count under the BPE-ish pre-tokenization regex — the
+    LLM-pipeline proxy for 'how many tokens will the tokenizer emit'."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE))
+
+
 def shingles(tokens_col: str, n: int = 3) -> Column:
     """Distinct n-token shingles as space-joined strings; empty array for
     docs shorter than n tokens."""

@@ -216,6 +216,100 @@ def cosine_near_dup_pairs(
     )
 
 
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids,  # numpy array (C, dim) float64
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: each vector → its `nprobe` nearest centroids
+    by cosine (Arrow kernel, dimension-loop accumulation). nprobe=1 for
+    indexing the corpus; nprobe>1 for querying (probing several cells
+    recovers neighbors that fell across a cell boundary)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorms = _seq_norms(cmat)
+
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            vmat = np.array(
+                [np.asarray(v) for v in pdf[vec_col]], dtype=np.float64
+            )
+            if vmat.size == 0:
+                continue
+            vnorms = _seq_norms(vmat)
+            dots = np.zeros((vmat.shape[0], cmat.shape[0]), dtype=np.float64)
+            for i in range(vmat.shape[1]):
+                dots += np.multiply.outer(vmat[:, i], cmat[:, i])
+            cos = dots / np.multiply.outer(vnorms, cnorms)
+            # argsort descending; ties resolve to the lower cell id
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(vids, nprobe),
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors indexed into their nearest
+    centroid's cell; queries probe their `nprobe` nearest cells; exact
+    cosine + ranking only within probed cells. The equi-join on cell id
+    is the inverted-file lookup — same sub-quadratic shape as LSH, but
+    data-adaptive when the centroids come from a clustering pass."""
+    c_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    c = _prepared(corpus, id_col, vec_col, "n", dim).join(
+        c_cells.withColumnRenamed("vid", "nid"), "nid"
+    )
+    q = _prepared(queries, id_col, vec_col, "q", dim).join(
+        q_cells.withColumnRenamed("vid", "qid"), "qid"
+    )
+    pairs = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
+        .withColumn(
+            "cos_sim",
+            dot_unrolled("qvec", "nvec", dim)
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )
+
+
 def _lsh_bucket(vec_col: str, num_bits: int, dim: int, table: int = 0):
     """Deterministic random-hyperplane bucket key: hyperplane component
     (bit, dim) is a pseudo-random value in [-1, 1) derived from

@@ -399,11 +399,14 @@ FROM t GROUP BY lang ORDER BY lang
 
 ORACLES["token_count"] = f"""
 WITH t AS (
-    SELECT source, len({_TOKS}) AS n_tokens FROM documents
+    SELECT source, len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '{TX.BPE_ISH_RE.replace("'", "''")}')) AS n_bpe
+    FROM documents
 )
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
 FROM t GROUP BY source ORDER BY source
 """
@@ -723,4 +726,17 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+
+ORACLES["events_pivot"] = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
 """

@@ -353,6 +353,26 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_pivot")
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns. The explicit value
+    list keeps the plan a single pass (no distinct-values pre-query) —
+    the form that scales."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+        .orderBy("user_id")
+    )
+
+
 @query("events_json")
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column: histogram of the
@@ -776,10 +796,12 @@ def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return (
         docs.withColumn("n_tokens", TX.token_count())
+        .withColumn("n_bpe", TX.bpe_ish_count())
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
                 "avg_tokens"
             ),
@@ -1011,6 +1033,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@query("similarity_ivf")
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (rows-only): corpus bucketed into centroid
+    cells (deterministic seeding: the first 16 vectors), queries probe
+    their 2 nearest cells. Recall vs brute force is pytest-asserted."""
+    import numpy as np
+
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroid_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    centroids = np.array([r.embedding for r in centroid_rows], dtype=np.float64)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    return SIM.ivf_topk(emb, queries_df, centroids, k=5, nprobe=2).orderBy(
+        "qid", "rnk"
     )
 
 

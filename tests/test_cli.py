@@ -1,0 +1,98 @@
+"""CLI command tests (reference internal/cli/apply_test.go,
+analyze_test.go per SURVEY.md §5): gate blocks dangerous dirs, exit codes,
+output formats — driving cmd_* with the shared session."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import pytest
+
+from database_migration_engine_spark import cli
+from database_migration_engine_spark import config as cfg
+
+
+@pytest.fixture()
+def migdir(tmp_path):
+    d = tmp_path / "migs"
+    d.mkdir()
+    (d / "V001_safe_create.up.sql").write_text(
+        "CREATE TABLE users (id BIGSERIAL PRIMARY KEY);"
+    )
+    (d / "V001_safe_create.down.sql").write_text("DROP TABLE IF EXISTS users;")
+    (d / "V002_dangerous_index.up.sql").write_text(
+        "CREATE INDEX idx ON users (id);"
+    )
+    (d / "V002_dangerous_index.down.sql").write_text(
+        "DROP INDEX IF EXISTS idx;"
+    )
+    return d
+
+
+def _conf(migdir, tmp_path, **kw):
+    return cfg.Config(
+        migrations_dir=str(migdir),
+        ledger_path=str(tmp_path / "ledger"),
+        **kw,
+    )
+
+
+def _args(**kw):
+    return argparse.Namespace(**kw)
+
+
+def test_analyze_exit_codes(spark, migdir, tmp_path, capsys):
+    conf = _conf(migdir, tmp_path)
+    assert cli.cmd_analyze(spark, conf, _args(fail_on_high=False)) == 0
+    assert cli.cmd_analyze(spark, conf, _args(fail_on_high=True)) == 1
+    out = capsys.readouterr().out
+    assert "create-index-not-concurrent" in out
+    assert "2 migrations, 1 findings, 1 with HIGH/CRITICAL" in out
+
+
+def test_analyze_json_format(spark, migdir, tmp_path, capsys):
+    conf = _conf(migdir, tmp_path, format="json")
+    cli.cmd_analyze(spark, conf, _args(fail_on_high=False))
+    payload = json.loads(capsys.readouterr().out)
+    assert payload[0]["rule"] == "create-index-not-concurrent"
+    assert payload[0]["version"] == "002"
+
+
+def test_apply_gate_blocks_then_force(spark, migdir, tmp_path, capsys):
+    conf = _conf(migdir, tmp_path)
+    blocked = cli.cmd_apply(
+        spark, conf, _args(dry_run=False, force=False, echo=True)
+    )
+    assert blocked == 1
+    ok = cli.cmd_apply(
+        spark, conf, _args(dry_run=False, force=True, echo=True)
+    )
+    assert ok == 0
+    assert "applied 2, skipped 0" in capsys.readouterr().out
+
+
+def test_status_and_plan(spark, migdir, tmp_path, capsys):
+    conf = _conf(migdir, tmp_path)
+    cli.cmd_apply(spark, conf, _args(dry_run=False, force=True, echo=True))
+    capsys.readouterr()
+    assert cli.cmd_status(spark, conf, _args()) == 0
+    out = capsys.readouterr().out
+    assert "applied (2):" in out and "pending (0):" in out
+    assert cli.cmd_plan(spark, conf, _args()) == 0
+    out = capsys.readouterr().out
+    assert "V001 safe_create: SAFE" in out
+    assert "V002 dangerous_index: HIGH; locks: SHARE" in out
+
+
+def test_rollback_command(spark, migdir, tmp_path, capsys):
+    conf = _conf(migdir, tmp_path)
+    cli.cmd_apply(spark, conf, _args(dry_run=False, force=True, echo=True))
+    assert (
+        cli.cmd_rollback(spark, conf, _args(steps=1, target=None, echo=True))
+        == 0
+    )
+    capsys.readouterr()
+    cli.cmd_status(spark, conf, _args())
+    out = capsys.readouterr().out
+    assert "applied (1):" in out and "pending (1):" in out

@@ -121,3 +121,28 @@ def test_ann_lsh_more_tables_no_worse_recall(spark):
         return sum(1 for r in approx if (r.qid, r.nid) in brute)
 
     assert recall(2) >= recall(1)
+
+
+def test_ivf_recall_and_exactness(spark):
+    """IVF results are a subset of true cosine values (exact within probed
+    cells) with non-trivial recall at nprobe=2."""
+    import numpy as np
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    centroids = np.array(
+        [r.embedding for r in emb.filter(F.col("vec_id") < 16)
+         .orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.qid, r.nid): r.cos_sim
+        for r in SIM.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = SIM.ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        if (r.qid, r.nid) in brute:
+            assert r.cos_sim == brute[(r.qid, r.nid)]
+    hits = sum(1 for r in ivf if (r.qid, r.nid) in brute)
+    assert hits >= 1
