@@ -323,9 +323,14 @@ DEFAULT_RULES = [
 ]
 
 
-def apply_rules(stmts: DataFrame, pg_version: int = 14) -> DataFrame:
-    """Run every registered rule over the statements DataFrame; union of 9
+def apply_rules(
+    stmts: DataFrame, pg_version: int = 14, rules: list | None = None
+) -> DataFrame:
+    """Run every registered rule over the statements DataFrame; union of
     static sub-plans (the Spark form of the dispatcher loop,
-    reference internal/analyzer/analyzer.go:53-94)."""
-    findings = [rule(stmts, pg_version) for rule in DEFAULT_RULES]
+    reference internal/analyzer/analyzer.go:53-94). The registry is
+    injectable like the reference's (analyzer.New takes a rule list,
+    internal/analyzer/rules.go:28-45): a custom rule is any callable
+    ``(stmts_df, pg_version) -> findings_df`` with the FINDINGS columns."""
+    findings = [rule(stmts, pg_version) for rule in (rules or DEFAULT_RULES)]
     return reduce(lambda a, b: a.unionByName(b), findings)

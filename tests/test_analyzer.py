@@ -109,3 +109,75 @@ def test_multi_statement_migration(spark):
         (1, "create-index-not-concurrent", 3),
         (2, "drop-table", 4),
     ]
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/testdata/migrations"),
+    reason="reference corpus not present",
+)
+def test_reference_corpus_end_to_end(spark):
+    """Parity proof on the reference's OWN test corpus of record: scan its
+    real migration files with our loader and assert the exact findings its
+    analyzer produces (expected set fixed by the reference's rule tests,
+    SURVEY.md §5)."""
+    from database_migration_engine_spark.sources.migrations import load_from_dir
+
+    migs = load_from_dir(spark, "/root/reference/testdata/migrations")
+    rows = {r.version: r for r in migs.collect()}
+    assert len(rows) == 12
+    # orphan-less pairing: V008/V009/V012 have no down files
+    assert rows["008"].down_sql is None
+    assert rows["012"].down_sql is None
+    assert rows["001"].down_sql is not None
+
+    got = _findings_by_version_df(spark, migs, 14)
+    assert got == EXPECTED_PG14
+
+
+def _findings_by_version_df(spark, migs, pg_version):
+    rows = analyze(migs, pg_version=pg_version).collect()
+    out: dict[str, list[tuple[str, int]]] = {}
+    for r in rows:
+        out.setdefault(r.version, []).append((r.rule, r.severity))
+    return out
+
+
+def test_custom_rule_injection(spark):
+    """The rule registry is pluggable (reference analyzer.New,
+    internal/analyzer/rules.go:28-45): a user-defined rule joins the
+    union like any built-in."""
+    from pyspark.sql import functions as F
+
+    from database_migration_engine_spark.analyzer.analyze import (
+        extract_statements,
+    )
+    from database_migration_engine_spark.analyzer.rules import (
+        DEFAULT_RULES,
+        apply_rules,
+        _finding,
+    )
+
+    def rule_no_truncate_ever(stmts, pg_version):
+        hit = stmts.filter(F.col("stmt_type") == "truncate")
+        return _finding(
+            hit, "no-truncate-ever", F.lit(4), F.col("table"),
+            F.lit("custom policy: TRUNCATE is banned"),
+            F.lit("delete in batches"), "ACCESS EXCLUSIVE",
+        )
+
+    from database_migration_engine_spark import schemas
+
+    mig = spark.createDataFrame(
+        [("x", "t", "TRUNCATE audit_log;", None, "c", "p")],
+        schema=schemas.MIGRATIONS,
+    )
+    stmts = extract_statements(mig)
+    findings = apply_rules(
+        stmts, rules=DEFAULT_RULES + [rule_no_truncate_ever]
+    ).collect()
+    rules_fired = sorted(r.rule for r in findings)
+    assert rules_fired == ["drop-table", "no-truncate-ever"]
