@@ -241,3 +241,63 @@ def simhash64(
 def hamming64(a: str, b: str):
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(F.expr(f"{a} ^ {b}"))
+
+
+def rolling_hashes(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    base: int = 257,
+    modulus: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Rabin-Karp rolling hashes: one hash per `window`-byte sliding
+    window, computed in O(n) per document (each step removes the outgoing
+    byte's term and appends the incoming one). The content-defined
+    fingerprint set behind chunk-level dedup: two documents sharing any
+    window produce colliding hashes without any alignment assumption.
+
+    Arrow-batched pandas UDF: per-character arithmetic has no efficient
+    column-expression form, and Python ints make the modular math exact.
+    Output: (doc, pos, rhash) — downstream groupBy(rhash) finds shared
+    chunks exactly like the shingle pipeline."""
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("rhash", T.LongType()),
+        ]
+    )
+    pow_out = pow(base, window - 1, modulus)
+
+    def kernel(batches):
+        for pdf in batches:
+            docs, positions, hashes = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[content_col]):
+                data = text.encode("utf-8")
+                if len(data) < window:
+                    continue
+                h = 0
+                for ch in data[:window]:
+                    h = (h * base + ch) % modulus
+                docs.append(doc_id)
+                positions.append(0)
+                hashes.append(h - (1 << 63) if h >= (1 << 63) else h)
+                for i in range(window, len(data)):
+                    h = (
+                        (h - data[i - window] * pow_out) * base + data[i]
+                    ) % modulus
+                    docs.append(doc_id)
+                    positions.append(i - window + 1)
+                    hashes.append(h - (1 << 63) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"doc": docs, "pos": positions, "rhash": hashes}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)

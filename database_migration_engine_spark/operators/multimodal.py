@@ -120,6 +120,51 @@ def decode_features(assets: DataFrame, mode: str = "fake") -> DataFrame:
     )
 
 
+def resize(
+    assets: DataFrame, target_w: int = 64, target_h: int = 64, mode: str = "fake"
+) -> DataFrame:
+    """Image-resize plumbing: Arrow-batched transform emitting a resized
+    payload + updated metadata. ``mode="fake"`` deterministically
+    truncates/pads the payload to target_w*target_h/64 bytes (stand-in
+    for the decoded-pixels buffer); ``mode="real"`` raises at the seam
+    where PIL's ``Image.resize`` would run."""
+    ensure_worker_imports(assets.sparkSession)
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    n_bytes = max(1, target_w * target_h // 64)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError(
+                    "PIL is not available in this environment;"
+                    " use mode='fake'"
+                )
+            payloads = pdf["payload"].map(
+                lambda b: (bytes(b) * (n_bytes // max(len(bytes(b)), 1) + 1))[
+                    :n_bytes
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(run, out_schema)
+
+
 def frame_sample(assets: DataFrame, every_n_bytes: int = 16) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled offset (the
     stand-in for per-frame decode), pure column expressions."""

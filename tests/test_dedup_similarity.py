@@ -146,3 +146,36 @@ def test_ivf_recall_and_exactness(spark):
             assert r.cos_sim == brute[(r.qid, r.nid)]
     hits = sum(1 for r in ivf if (r.qid, r.nid) in brute)
     assert hits >= 1
+
+
+def test_rolling_hashes_detect_shared_chunks(spark):
+    """Rabin-Karp property: a document sharing a 32-byte substring with
+    another produces at least one identical (rhash) value; per-doc hash
+    count is len(utf8)-window+1."""
+    from database_migration_engine_spark import schemas as S
+    from pyspark.sql import types as T
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, "PREFIX-" + base[10:40] + "-SUFFIX padding padding"),  # shares 30 bytes? use 40
+        (3, "completely different content with no overlap at all here"),
+    ]
+    # make doc2 share a full 32-byte window with doc1
+    rows[1] = (2, "XX" + base[5:45] + "YYYY more tail")
+    df = spark.createDataFrame(
+        rows,
+        schema=T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("text", T.StringType())]
+        ),
+    )
+    hashes = DD.rolling_hashes(df, window=32).collect()
+    by_doc = {}
+    for r in hashes:
+        by_doc.setdefault(r.doc, set()).add(r.rhash)
+    for doc_id, text in rows:
+        expected = len(text.encode()) - 32 + 1
+        assert len([r for r in hashes if r.doc == doc_id]) == expected
+    assert by_doc[1] & by_doc[2], "shared 32-byte chunk not detected"
+    assert not (by_doc[1] & by_doc[3])

@@ -115,3 +115,23 @@ def test_multimodal_frame_sample(spark):
         per_asset.setdefault(r.asset_id, []).append(r.frame_offset)
     for offsets in per_asset.values():
         assert sorted(offsets) == [0, 16, 32, 48, 64, 80]
+
+
+def test_multimodal_resize_fake(spark):
+    assets = MM.synth_assets(spark, 30)
+    resized = MM.resize(assets, target_w=64, target_h=64).collect()
+    image_ids = {
+        r.asset_id for r in assets.filter(F.col("modality") == "image").collect()
+    }
+    assert {r.asset_id for r in resized} == image_ids
+    for r in resized:
+        assert (r.width, r.height) == (64, 64)
+        assert len(r.payload) == 64 * 64 // 64
+
+
+def test_multimodal_resize_real_raises(spark):
+    import pytest
+
+    assets = MM.synth_assets(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        MM.resize(assets, mode="real").collect()
