@@ -135,3 +135,72 @@ def test_multimodal_resize_real_raises(spark):
     assets = MM.synth_assets(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         MM.resize(assets, mode="real").collect()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark semantics across restarts: the watermark is
+    persisted in the checkpoint, so a row arriving in a later run whose
+    window already closed is dropped (never appears in the append-mode
+    output)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        # microsecond precision: Spark cannot scan parquet timestamp[ns]
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), d / name)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .parquet(str(d))
+        )
+        windowed = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "HH:mm").alias("ws"), "n"
+            )
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: watermark advances to 12:00 - 10min; the 10:00 window closes
+    write("a_first.parquet", [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}"),
+    ])
+    run_once()
+    # run 2: one fresh event and one stale one (09:00 window closed long ago)
+    write("b_second.parquet", [
+        (3, "2024-01-01 12:30:00", 1, "click", 1.0, "{}"),
+        (4, "2024-01-01 09:00:00", 1, "click", 1.0, "{}"),  # late -> dropped
+    ])
+    run_once()
+
+    emitted = {
+        r.ws: r.n
+        for r in spark.read.schema("ws string, n long").parquet(out).collect()
+    }
+    assert "09:00" not in emitted, f"late row not dropped: {emitted}"
+    assert emitted.get("10:00") == 1
