@@ -106,7 +106,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_count") <= max_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle")
+    # persisted: consumed three times (sizes + both self-join sides); the
+    # tokenize→shingle→hash subtree would otherwise recompute per consumer
+    sh = sh.join(rare, "shingle").persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -185,7 +187,7 @@ def minhash_lsh_pairs(
     ).select(
         "doc", "band.band_id", "band.band_hash",
         *[f"h{i}" for i in range(num_hashes)],
-    )
+    ).persist()  # both self-join sides read it; signatures compute once
 
     left = banded.alias("a")
     right = banded.alias("b")
