@@ -508,6 +508,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order_w))
+    # strictly-greater gap starts a new session — session_window MERGES an
+    # event arriving at exactly prev + gap (verified by the boundary test
+    # in tests/test_streaming_multimodal.py), so > keeps batch and
+    # streaming twins in exact agreement
     new_session = F.when(
         gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)

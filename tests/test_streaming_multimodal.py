@@ -204,3 +204,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     }
     assert "09:00" not in emitted, f"late row not dropped: {emitted}"
     assert emitted.get("10:00") == 1
+
+
+def test_sessionize_batch_stream_agree_on_exact_gap(spark, tmp_path):
+    """Exact-30:00 gap boundary: session_window MERGES an event arriving
+    at exactly prev + gap, so the batch lag/cumsum form uses strictly-
+    greater; both must yield one merged session here."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:30:00", 7, "click", 1.0, "{}"),  # exactly 30:00
+        (3, "2024-01-01 10:40:00", 7, "click", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   d / "events.parquet")
+
+    from database_migration_engine_spark.plans.queries import (
+        events_sessionize,
+    )
+
+    batch = events_sessionize(spark, str(d)).collect()
+    batch_sessions = sorted((r.session_start, r.n_events) for r in batch)
+
+    stream = SE.read_events_stream(spark, str(d))
+    streamed = SE.run_to_memory(SE.session_windows(stream)).collect()
+    stream_sessions = sorted(
+        (r.session_start.strftime("%Y-%m-%d %H:%M:%S.%f"), r.n_events)
+        for r in streamed
+    )
+    assert batch_sessions == stream_sessions == [
+        ("2024-01-01 10:00:00.000000", 3),
+    ]
