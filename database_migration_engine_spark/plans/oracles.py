@@ -740,3 +740,19 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+ORACLES["text_normalize"] = """
+WITH t AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT md5(norm_text) AS norm_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs,
+       CAST(MIN(length(norm_text)) AS INTEGER) AS norm_len
+FROM t GROUP BY md5(norm_text)
+ORDER BY norm_hash
+"""

@@ -887,6 +887,32 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_normalize")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning pipeline: lowercase, strip non-alphanumerics,
+    collapse whitespace — then dedup-exact on the normalized form (the
+    canonical pre-dedup normalization step of a corpus pipeline)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", normalized.alias("norm_text"))
+        .groupBy(F.md5("norm_text").alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.length("norm_text")).alias("norm_len"),
+        )
+        .orderBy("norm_hash")
+    )
+
+
 @query("doc_fingerprint")
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint per document."""
