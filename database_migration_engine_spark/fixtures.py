@@ -194,3 +194,20 @@ def ledger_values_cte(alias: str = "schema_migrations", tampered: bool = False) 
         f"{alias}(version, filename, checksum, applied_at, duration_ms, status) AS "
         f"(VALUES\n    {rows})"
     )
+
+
+# --- price-band interval dimension (range-join queries) --------------------
+
+# Ten fixed-width retail-price bands covering the part fixture's
+# p_retailprice domain [900, 1000). Emitted as a VALUES literal so both
+# engines inline the identical tiny dimension (JVM LocalRelation on the
+# Spark side — never createDataFrame, see memory/perf notes).
+PRICE_BANDS = [(i, 900.0 + 10.0 * i, 910.0 + 10.0 * i) for i in range(10)]
+
+
+def price_bands_values() -> str:
+    """``(band_id, lo, hi)`` VALUES body shared by Spark SQL and DuckDB."""
+    return ",\n    ".join(
+        f"({i}, CAST({lo:.1f} AS DOUBLE), CAST({hi:.1f} AS DOUBLE))"
+        for i, lo, hi in PRICE_BANDS
+    )

@@ -1,0 +1,75 @@
+"""Connected components over a pair graph — dedup cluster formation.
+
+Near-dup detection (operators/dedup.py) emits PAIRS; a corpus pipeline
+needs CLUSTERS (keep one representative per component). The reference has
+no graph surface at all (SURVEY.md §2.A explicit negatives); this extends
+its exact-dedup identity (checksum grouping,
+``internal/migration/migration.go:19-23``) to transitive near-dup groups.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round every node takes the min of its own label and its
+neighbors' labels; converged when the global label sum stops decreasing
+(labels are monotonically non-increasing positive ints, so the sum is a
+strictly decreasing convergence witness — no join-based equality check
+needed).
+
+Scale notes (100 TB posture): rounds = graph diameter. Dedup graphs are
+many tiny quasi-cliques (diameter ≤ ~3), so 3–4 shuffle rounds on the
+edge list — each a plain shuffle hash join keyed by node — finish the
+job; that is why plain propagation is the right choice here over the
+O(log n)-round large-star/small-star of Kiveris et al. "Connected
+Components in MapReduce and Beyond" (SOCC'14), which wins only on
+high-diameter graphs. Each round persists its labels and unpersists the
+previous round's, so lineage does not grow unboundedly and executor
+memory holds exactly one label set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame,
+    node_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node in ``nodes`` with the minimum node id reachable
+    through ``edges`` (undirected). Isolated nodes label themselves.
+
+    Returns a persisted DataFrame ``(node, label)``; deterministic for
+    integer node ids regardless of partitioning (min is order-free).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).persist()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        propagated = sym.join(
+            labels, sym["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("label"))
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels

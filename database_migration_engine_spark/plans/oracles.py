@@ -474,8 +474,9 @@ SELECT sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
 FROM t GROUP BY sig HAVING COUNT(*) > 1
 """
 
-ORACLES["ngram_jaccard_pairs"] = f"""
-WITH toks AS (
+# Shared CTE chain for the 3-gram Jaccard pair graph — consumed by both
+# ngram_jaccard_pairs and dedup_clusters (jacc applies the 0.1 threshold).
+_JACC_CTES = f"""toks AS (
     SELECT doc_id, {_TOKS} AS t FROM documents
 ),
 sh AS (
@@ -495,17 +496,23 @@ shr AS (
 sizes AS (
     SELECT doc_id, COUNT(*) AS n_sh FROM shr GROUP BY doc_id
 ),
-pairs AS (
+prs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
     FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b, common,
-       CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
-FROM pairs
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1
+),
+jacc AS (
+    SELECT doc_a, doc_b, common,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM prs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1
+)"""
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH {_JACC_CTES}
+SELECT doc_a, doc_b, common, jaccard FROM jacc
 ORDER BY doc_a, doc_b
 """
 
@@ -755,4 +762,178 @@ SELECT md5(norm_text) AS norm_hash,
        CAST(MIN(length(norm_text)) AS INTEGER) AS norm_len
 FROM t GROUP BY md5(norm_text)
 ORDER BY norm_hash
+"""
+
+
+# --- temporal joins, distribution stats, graph clustering ------------------
+
+_TS_US = "%Y-%m-%d %H:%M:%S.%f"
+
+ORACLES["events_asof_purchase"] = f"""
+WITH purchases AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+ranked AS (
+    SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+           p.event_id AS purchase_id, p.ts AS p_ts,
+           p.value AS purchase_value,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                              ORDER BY p.ts DESC, p.event_id DESC) AS rn
+    FROM events e
+    JOIN purchases p ON p.user_id = e.user_id AND p.ts <= e.ts
+    WHERE e.event_type != 'purchase'
+)
+SELECT event_id, user_id,
+       strftime(ts, '{_TS_US}') AS ts,
+       event_type, value, purchase_id,
+       strftime(p_ts, '{_TS_US}') AS purchase_ts,
+       purchase_value,
+       epoch_us(ts) - epoch_us(p_ts) AS gap_us
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+ORACLES["events_copair_60s"] = """
+SELECT e.user_id,
+       e.event_id AS a_id, f.event_id AS b_id,
+       e.event_type AS a_type, f.event_type AS b_type,
+       epoch_us(f.ts) - epoch_us(e.ts) AS gap_us
+FROM events e
+JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts > e.ts
+ AND epoch_us(f.ts) <= epoch_us(e.ts) + 60000000
+ORDER BY a_id, b_id
+"""
+
+_BANDS = fixtures.price_bands_values()
+
+ORACLES["price_band_join"] = f"""
+WITH bands(band_id, lo, hi) AS (VALUES
+    {_BANDS})
+SELECT band_id, lo, hi,
+       COUNT(*) AS n_parts,
+       {_davg('p_retailprice', 'avg_price')},
+       {_dsum('p_retailprice', 'sum_price')}
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id, lo, hi
+ORDER BY band_id
+"""
+
+ORACLES["supplier_stats"] = """
+WITH sums AS (
+    SELECT l_suppkey,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS _sq,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS _sqq,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS _sp,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS _spp,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS _spq
+    FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 1
+),
+d AS (
+    SELECT l_suppkey, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+           CAST(CAST(_sq AS VARCHAR) AS DOUBLE) AS sq,
+           CAST(CAST(_sqq AS VARCHAR) AS DOUBLE) AS sqq,
+           CAST(CAST(_sp AS VARCHAR) AS DOUBLE) AS sp,
+           CAST(CAST(_spp AS VARCHAR) AS DOUBLE) AS spp,
+           CAST(CAST(_spq AS VARCHAR) AS DOUBLE) AS spq
+    FROM sums
+)
+SELECT l_suppkey, n,
+       (nd * sqq - sq * sq) / (nd * (nd - 1)) AS var_qty,
+       sqrt((nd * sqq - sq * sq) / (nd * (nd - 1))) AS std_qty,
+       (nd * spq - sq * sp)
+           / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp))
+           AS corr_qty_price
+FROM d
+ORDER BY l_suppkey
+"""
+
+ORACLES["order_price_quartiles"] = """
+WITH staged AS (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+)
+SELECT o_orderpriority,
+       MAX(n) AS n_orders,
+       MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS q1_price,
+       (MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END)
+        + MAX(CASE WHEN rn = (n + 2) // 2 THEN o_totalprice END)) / 2
+           AS median_price,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END) AS q3_price
+FROM staged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["events_hopping"] = f"""
+WITH e AS (
+    SELECT event_type, value, epoch_us(ts) AS us FROM events
+),
+wins AS (
+    SELECT event_type, value,
+           (us // 300000000 - i.i) * 300000000 AS ws_us
+    FROM e CROSS JOIN (VALUES (0), (1)) AS i(i)
+)
+SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(make_timestamp(ws_us + 600000000), '%Y-%m-%d %H:%M:%S')
+           AS win_end,
+       event_type, COUNT(*) AS n_events,
+       {_dsum('value', 'sum_value')}
+FROM wins
+GROUP BY ws_us, event_type
+ORDER BY win_start, event_type
+"""
+
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_JACC_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jacc
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jacc
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS root FROM documents
+    UNION
+    SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY doc_id
+"""
+
+_ALL_STOPS = ",".join(
+    f"'{w}'" for words in TX.STOPWORDS.values() for w in words
+)
+
+ORACLES["top_terms"] = f"""
+WITH tok AS (
+    SELECT source, unnest(list_distinct({_TOKS})) AS token FROM documents
+),
+counts AS (
+    SELECT source, token, COUNT(*) AS df
+    FROM tok WHERE token NOT IN ({_ALL_STOPS})
+    GROUP BY source, token
+),
+ranked AS (
+    SELECT source, token, df,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY df DESC, token ASC) AS rnk
+    FROM counts
+)
+SELECT source, token, df, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY source, rnk
 """

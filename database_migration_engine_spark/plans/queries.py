@@ -32,6 +32,8 @@ from ..analyzer.analyze import analyze, severity_rollup
 from ..functions import text as TX
 from ..io import read_table
 from ..operators import dedup as DD
+from ..operators import graph as GR
+from ..operators import joins as JN
 from ..operators import similarity as SIM
 from ..session import ensure_deterministic
 
@@ -1093,4 +1095,293 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 50)
     return SIM.ann_lsh_topk(emb, queries_df, k=5, num_bits=8).orderBy(
         "qid", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins, distribution statistics, graph clustering (round 2).
+# ---------------------------------------------------------------------------
+
+
+@query("events_asof_purchase")
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join inside the event stream: every non-purchase event is
+    joined to the same user's most recent purchase at-or-before it
+    (inclusive boundary; ties to the highest purchase event_id).
+
+    Union+window formulation (operators/joins.py): one shuffle on
+    user_id, no range-predicate explosion — generalizes the reference's
+    "latest ledger row before a point" semantics
+    (internal/executor/rollback_helpers.go:12-19) to temporal data.
+    """
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    joined = JN.asof_join(
+        others,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        payload_cols=["purchase_id", "purchase_ts", "purchase_value"],
+        left_seq="event_id",
+        right_seq="purchase_id",
+    )
+    return (
+        joined.filter(F.col("asof").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts(F.col("ts"), "ts", micros=True),
+            "event_type",
+            "value",
+            F.col("asof.purchase_id").alias("purchase_id"),
+            fmt_ts(F.col("asof.purchase_ts"), "purchase_ts", micros=True),
+            F.col("asof.purchase_value").alias("purchase_value"),
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.col("asof.purchase_ts"))
+            ).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query("events_copair_60s")
+def events_copair_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range self-join: ordered same-user event pairs at most 60 s
+    apart. The interval predicate is decomposed into a two-bucket
+    equi-join (operators/joins.py banded_pairs) so the shuffle keys on
+    (user_id, minute-bucket) instead of exploding per-user cross
+    products."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    pairs = JN.banded_pairs(
+        ev, key="user_id", ts="ts", band_us=60_000_000,
+        carry=["event_id", "event_type"],
+    )
+    return pairs.select(
+        "user_id",
+        F.col("a_event_id").alias("a_id"),
+        F.col("b_event_id").alias("b_id"),
+        F.col("a_event_type").alias("a_type"),
+        F.col("b_event_type").alias("b_type"),
+        "gap_us",
+    ).orderBy("a_id", "b_id")
+
+
+@query("price_band_join")
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-dimension join: parts binned into fixed price bands via a
+    broadcast non-equi join (BroadcastNestedLoopJoin against a 10-row
+    inline dimension), then per-band rollup."""
+    ensure_deterministic(spark)
+    part = read_table(spark, sf_dir, "part")
+    bands = spark.sql(
+        f"SELECT band_id, lo, hi FROM (VALUES\n    {fixtures.price_bands_values()})"
+        " AS t(band_id, lo, hi)"
+    )
+    return (
+        JN.interval_dim_join(part, bands, value_col="p_retailprice")
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg(F.col("p_retailprice"), "avg_price"),
+            dsum(F.col("p_retailprice"), "sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@query("supplier_stats")
+def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier variance / stddev / correlation computed from EXACT
+    decimal power sums (n, Σx, Σx², Σy, Σy², Σxy), derived in double at
+    the very end with the identical IEEE expression tree as the oracle —
+    order-independent, bit-identical across engines. Built-in
+    var_samp/corr reduce in shuffle order and cannot hash-match."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    q = "CAST(l_quantity AS DECIMAL(18,2))"
+    p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    sums = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(q)).alias("_sq"),
+            F.sum(F.expr(f"{q} * {q}")).alias("_sqq"),
+            F.sum(F.expr(p)).alias("_sp"),
+            F.sum(F.expr(f"{p} * {p}")).alias("_spp"),
+            F.sum(F.expr(f"{q} * {p}")).alias("_spq"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            "l_suppkey",
+            "n",
+            F.col("n").cast("double").alias("nd"),
+            F.col("_sq").cast("double").alias("sq"),
+            F.col("_sqq").cast("double").alias("sqq"),
+            F.col("_sp").cast("double").alias("sp"),
+            F.col("_spp").cast("double").alias("spp"),
+            F.col("_spq").cast("double").alias("spq"),
+        )
+    )
+    return sums.select(
+        "l_suppkey",
+        "n",
+        F.expr("(nd * sqq - sq * sq) / (nd * (nd - 1))").alias("var_qty"),
+        F.expr("sqrt((nd * sqq - sq * sq) / (nd * (nd - 1)))").alias("std_qty"),
+        F.expr(
+            "(nd * spq - sq * sp)"
+            " / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp))"
+        ).alias("corr_qty_price"),
+    ).orderBy("l_suppkey")
+
+
+@query("order_price_quartiles")
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles via rank arithmetic — no engine
+    percentile interpolation (Spark and DuckDB disagree on continuous
+    quantile FP evaluation). q1/q3 are lower discrete quantiles (actual
+    row values); the median averages the two middle rows (one IEEE
+    addition + halving, identical both engines)."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    cw = Window.partitionBy("o_orderpriority")
+    staged = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    pick = lambda idx_expr: F.max(  # noqa: E731 — exactly one row matches
+        F.when(F.col("rn") == F.expr(idx_expr), F.col("o_totalprice"))
+    )
+    return (
+        staged.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            pick("(n + 3) div 4").alias("q1_price"),
+            ((pick("(n + 1) div 2") + pick("(n + 2) div 2")) / 2).alias(
+                "median_price"
+            ),
+            pick("(3 * n + 3) div 4").alias("q3_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("events_hopping")
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 10-minute width, 5-minute slide — every
+    event lands in exactly two epoch-aligned windows. Batch twin of
+    `window(ts, '10 minutes', '5 minutes')` streaming aggregation."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            fmt_ts(F.col("w.start"), "win_start"),
+            fmt_ts(F.col("w.end"), "win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the 3-gram
+    Jaccard pair graph (same pairs as `ngram_jaccard_pairs`). cluster_id
+    is the min doc_id of the component — the canonical keep-one
+    representative of corpus dedup; singletons cluster with themselves."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=50).select(
+        "doc_a", "doc_b"
+    ).persist()
+    # Iterate ONLY over pair-participating nodes: at corpus scale the
+    # candidate subgraph is a small fraction of all docs, and shuffling
+    # every doc's label per propagation round would dominate. Singletons
+    # join the result once, via a single anti-join, after convergence.
+    pair_nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = GR.connected_components(
+        pairs, src="doc_a", dst="doc_b",
+        nodes=pair_nodes, node_col="doc_id",
+    )
+    # anti-join against the materialized labels (NOT pair_nodes, whose
+    # lineage would recompute the jaccard join after pairs.unpersist())
+    singletons = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left_anti")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    )
+    pairs.unpersist()
+    return (
+        labels.unionByName(singletons)
+        .select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("top_terms")
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms by document frequency (stopwords of every
+    language excluded; ties break lexicographically). Integer counts +
+    window rank only — fully deterministic, no log/idf floats."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    stops = [w for words in TX.STOPWORDS.values() for w in words]
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(TX.tokens("text"))).alias("token"),
+        )
+        .filter(~F.col("token").isin(stops))
+    )
+    ranked = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("df"), F.asc("token")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .select("source", "token", "df", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("source", "rnk")
     )

@@ -27,6 +27,10 @@ def vhash(df: pd.DataFrame) -> str:
     return hashlib.sha256(pd.util.hash_pandas_object(df.astype(str), index=False).values.tobytes()).hexdigest()[:12]
 
 qs, oracles = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # optional subset: driver_sim.py q1 q2 ...
+    unknown = [a for a in sys.argv[1:] if a not in qs]
+    assert not unknown, f"unknown queries: {unknown}"
+    qs = {n: qs[n] for n in sys.argv[1:]}
 fails = []
 for name, fn in qs.items():
     got = fn(spark, sf).toPandas()
