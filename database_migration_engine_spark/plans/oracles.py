@@ -937,3 +937,100 @@ SELECT source, token, df, CAST(rnk AS INTEGER) AS rnk
 FROM ranked WHERE rnk <= 5
 ORDER BY source, rnk
 """
+
+# Streaming twins share their batch oracles (the streaming plans must
+# produce byte-identical results when drained with availableNow).
+ORACLES["events_hopping_stream"] = ORACLES["events_hopping"]
+ORACLES["events_copair_stream"] = ORACLES["events_copair_60s"]
+
+
+# --- relational wave 2 -----------------------------------------------------
+
+ORACLES["cube_status_priority"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+ORACLES["orders_above_cust_avg"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,10)))
+                             AS VARCHAR) AS DOUBLE)
+                   / COUNT(o2.o_totalprice)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+    FROM orders o
+)
+WHERE o_totalprice > 1.5 * cust_avg
+ORDER BY o_orderkey
+"""
+
+ORACLES["nation_balance_fullouter"] = f"""
+WITH c AS (
+    SELECT c_nationkey,
+           COUNT(*) AS _nc,
+           {_dsum('c_acctbal', '_cb')}
+    FROM customer GROUP BY c_nationkey
+),
+s AS (
+    SELECT s_nationkey,
+           COUNT(*) AS _ns,
+           {_dsum('s_acctbal', '_sb')}
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       CAST(COALESCE(_nc, 0) AS BIGINT) AS n_customers,
+       COALESCE(_cb, CAST(0 AS DOUBLE)) AS cust_bal,
+       CAST(COALESCE(_ns, 0) AS BIGINT) AS n_suppliers,
+       COALESCE(_sb, CAST(0 AS DOUBLE)) AS supp_bal
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+ORACLES["set_ops_multiset"] = """
+SELECT 'except_all' AS op, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT 'intersect_all' AS op, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+)
+ORDER BY op, user_id
+"""
+
+ORACLES["big_orders_having"] = f"""
+WITH big AS (
+    SELECT l_orderkey,
+           {_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_custkey, c_name,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 250
+ORDER BY o_orderkey
+"""
+
+ORACLES["promo_revenue_share"] = f"""
+WITH sums AS (
+    SELECT
+        {_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0 END", 'promo_revenue')},
+        {_dsum(_DISC_PRICE, 'total_revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share
+FROM sums
+"""

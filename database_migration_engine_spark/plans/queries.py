@@ -1385,3 +1385,177 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", "df", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("source", "rnk")
     )
+
+
+@query("events_hopping_stream")
+def events_hopping_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hopping: watermarked
+    10-min/5-min hopping windows drained with availableNow. Shares the
+    batch oracle — the sliding windows must align and sum identically."""
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    stream = SE.read_events_stream(spark, sf_dir)
+    return SE.run_to_memory(SE.hopping_counts(stream))
+
+
+@query("events_copair_stream")
+def events_copair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_copair_60s: stream-stream
+    self-join under a time-range condition with watermarked state expiry
+    (append mode). Shares the batch range-join oracle."""
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    stream = SE.read_events_stream(spark, sf_dir)
+    return SE.run_to_memory(
+        SE.interval_join_pairs(stream), output_mode="append"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational wave 2: cube, correlated subquery, full outer, multiset set ops.
+# ---------------------------------------------------------------------------
+
+
+@query("cube_status_priority")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id — all four grouping
+    sets in one two-phase aggregation pass."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query("orders_above_cust_avg")
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery shape (TPC-H Q17 flavor): orders priced
+    above 1.5× their customer's average. Expressed as the decorrelated
+    plan Catalyst would produce anyway — aggregate once per customer,
+    join back (one shuffle each) — while the oracle keeps the correlated
+    SQL form."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(
+        davg(F.col("o_totalprice"), "cust_avg")
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .filter(F.expr("o_totalprice > 1.5 * cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+        .orderBy("o_orderkey")
+    )
+
+
+@query("nation_balance_fullouter")
+def nation_balance_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer vs supplier rollups —
+    nations with customers but no suppliers (and vice versa) survive with
+    zeroed counts (COALESCE keeps every output column non-null)."""
+    ensure_deterministic(spark)
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("_nc"),
+            dsum(F.col("c_acctbal"), "_cb"),
+        )
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("_ns"),
+            dsum(F.col("s_acctbal"), "_sb"),
+        )
+    )
+    return (
+        cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("_nc", F.lit(0)).alias("n_customers"),
+            F.coalesce("_cb", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("_ns", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("_sb", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query("set_ops_multiset")
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set algebra: EXCEPT ALL / INTERSECT ALL over per-user
+    event occurrences (bag semantics — duplicates carry multiplicity,
+    unlike the distinct-set set_ops_users query)."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    exc = clicks.exceptAll(errors).withColumn("op", F.lit("except_all"))
+    its = clicks.intersectAll(errors).withColumn("op", F.lit("intersect_all"))
+    return exc.unionByName(its).select("op", "user_id").orderBy("op", "user_id")
+
+
+@query("big_orders_having")
+def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-filter-join-back (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 250, with customer attribution. The HAVING
+    aggregate runs first so the join only sees qualifying keys."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            fmt_ts(F.col("o_orderdate"), "o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query("promo_revenue_share")
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio (TPC-H Q14 shape): PROMO parts' share
+    of discounted revenue. Both sums stay exact decimal; the percentage
+    is one shared double expression."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return (
+        joined.agg(
+            dsum(
+                F.when(F.col("p_type") == "PROMO", F.expr(DISC_PRICE)).otherwise(
+                    F.lit(0)
+                ),
+                "promo_revenue",
+            ),
+            dsum(F.expr(DISC_PRICE), "total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.expr("100.0 * promo_revenue / total_revenue").alias("promo_share"),
+        )
+    )

@@ -113,3 +113,63 @@ def run_to_memory(
     )
     query.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def hopping_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked hopping-window aggregation — streaming twin of the
+    batch events_hopping plan (every event lands in width/slide
+    epoch-aligned windows; identical exact-decimal sum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_end"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def interval_join_pairs(
+    events: DataFrame, band_seconds: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream self-join with a time-range condition — streaming
+    twin of the batch banded range join (events_copair_60s). The
+    watermark plus the range bound let Spark expire join state: side *a*
+    rows are held only ``band_seconds`` past the watermark."""
+    a = events.withWatermark("ts", watermark).alias("a")
+    b = events.withWatermark("ts", watermark).alias("b")
+    return a.join(
+        b,
+        F.expr(
+            f"""a.user_id = b.user_id
+            AND b.ts > a.ts
+            AND b.ts <= a.ts + INTERVAL {band_seconds} SECONDS"""
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.event_type").alias("a_type"),
+        F.col("b.event_type").alias("b_type"),
+        (
+            F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+        ).alias("gap_us"),
+    )
