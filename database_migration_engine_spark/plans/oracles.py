@@ -1034,3 +1034,119 @@ SELECT promo_revenue, total_revenue,
        100.0 * promo_revenue / total_revenue AS promo_share
 FROM sums
 """
+
+
+# --- training-data pipeline primitives -------------------------------------
+
+ORACLES["deterministic_sample"] = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+ORDER BY doc_id
+"""
+
+ORACLES["train_val_test_split"] = f"""
+WITH tagged AS (
+    SELECT CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+               ELSE 'train'
+           END AS split,
+           n_chars
+    FROM documents
+)
+SELECT split, COUNT(*) AS n_docs,
+       {_dsum('n_chars', 'sum_chars')},
+       {_davg('n_chars', 'avg_chars')}
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""
+
+ORACLES["zscore_events"] = """
+WITH moments AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS nd,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                         * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS ss
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       (value - s / nd) / sqrt((nd * ss - s * s) / (nd * (nd - 1))) AS zvalue
+FROM events e JOIN moments m ON e.event_type = m.event_type
+ORDER BY event_id
+"""
+
+ORACLES["funnel_steps"] = """
+WITH views AS (
+    SELECT user_id, MIN(ts) AS v_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+    SELECT e.user_id, MIN(e.ts) AS c_ts
+    FROM events e JOIN views v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+purchases AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'viewed' AS step, COUNT(*) AS n FROM views
+UNION ALL
+SELECT 2 AS stage, 'clicked_after_view' AS step, COUNT(*) AS n FROM clicks
+UNION ALL
+SELECT 3 AS stage, 'purchased_after_click' AS step, COUNT(*) AS n FROM purchases
+ORDER BY stage
+"""
+
+ORACLES["top_supplier_per_part"] = f"""
+WITH per_supp AS (
+    SELECT l_partkey, l_suppkey,
+           {_dsum('l_quantity', 'supplied_qty')}
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+    SELECT l_partkey, l_suppkey, supplied_qty,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+                              ORDER BY supplied_qty DESC, l_suppkey ASC) AS rnk
+    FROM per_supp
+)
+SELECT p_partkey, p_brand, l_suppkey AS top_suppkey, supplied_qty
+FROM ranked JOIN part ON l_partkey = p_partkey
+WHERE rnk = 1
+ORDER BY p_partkey
+"""
+
+ORACLES["orders_exists_notexists"] = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+)
+AND NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_tax > 0.07
+)
+ORDER BY o_orderkey
+"""
+
+ORACLES["rich_idle_customers"] = f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {_dsum('c_acctbal', 'total_bal')}
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,10)))
+                     AS VARCHAR) AS DOUBLE) / COUNT(c2.c_acctbal)
+    FROM customer c2 WHERE c2.c_acctbal > 0
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

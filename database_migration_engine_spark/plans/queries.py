@@ -1559,3 +1559,209 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("100.0 * promo_revenue / total_revenue").alias("promo_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline primitives: deterministic sampling, splits,
+# normalization, funnels.
+# ---------------------------------------------------------------------------
+
+
+@query("deterministic_sample")
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 25% sample: keep docs whose md5(doc_id) starts
+    below hex '4'. Unlike rand()-based sampling this is reproducible
+    across engines, runs, and partitionings — the property a training
+    pipeline needs for auditable corpus subsets."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .filter(F.substring("h", 1, 1) < "4")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query("train_val_test_split")
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed train/val/test split (~80/10/10) on md5(doc_id)
+    prefix ranges — deterministic, stable under corpus growth (a doc's
+    split never changes when other docs arrive), and skew-free."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum(F.col("n_chars"), "sum_chars"),
+            davg(F.col("n_chars"), "avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query("zscore_events")
+def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: z-score of event value within
+    its event_type. Group moments come from exact decimal power sums
+    (supplier_stats pattern), broadcast back to the rows; the z
+    expression is the identical IEEE tree in both engines."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    v = "CAST(value AS DECIMAL(18,6))"
+    moments = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(v)).alias("_s"),
+            F.sum(F.expr(f"{v} * {v}")).alias("_ss"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("double").alias("nd"),
+            F.col("_s").cast("double").alias("s"),
+            F.col("_ss").cast("double").alias("ss"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr(
+                "(value - s / nd)"
+                " / sqrt((nd * ss - s * s) / (nd * (nd - 1)))"
+            ).alias("zvalue"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query("funnel_steps")
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked at or
+    after their first view, then purchased at or after that first
+    qualifying click. Three stage-wise min-aggregations, each joined
+    forward — the standard sequential-event funnel."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(1).alias("stage"), F.lit("viewed").alias("step"), "n"
+        )
+        .unionByName(
+            clicks.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(2).alias("stage"), F.lit("clicked_after_view").alias("step"), "n"
+            )
+        )
+        .unionByName(
+            purchases.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(3).alias("stage"),
+                F.lit("purchased_after_click").alias("step"),
+                "n",
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+@query("top_supplier_per_part")
+def top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax (TPC-H Q2 flavor): for every part, the supplier
+    that shipped the greatest quantity (ties to the lowest suppkey).
+    Aggregate once on (part, supplier), then a rank-1 window — no
+    correlated re-scan of lineitem."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_quantity"), "supplied_qty")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("supplied_qty"), F.asc("l_suppkey")
+    )
+    return (
+        per_supp.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("top_suppkey"),
+            "supplied_qty",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query("orders_exists_notexists")
+def orders_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS combination (TPC-H Q21 flavor): orders with at
+    least one deep-discount item and no high-tax item — a left-semi and a
+    left-anti join against the same fact table, both on the join key."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    discounted = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    taxed = li.filter(F.col("l_tax") > 0.07).select("l_orderkey")
+    return (
+        orders.join(
+            discounted, orders["o_orderkey"] == discounted["l_orderkey"], "left_semi"
+        )
+        .join(taxed, orders["o_orderkey"] == taxed["l_orderkey"], "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query("rich_idle_customers")
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + anti-join (TPC-H Q22 shape): customers whose
+    balance beats the positive-balance average but who placed no order
+    since 1998, rolled up by market segment. The scalar average joins in
+    as a broadcast single-row plan — no driver-side collect."""
+    ensure_deterministic(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal"), "thr")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

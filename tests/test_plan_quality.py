@@ -51,3 +51,58 @@ def test_dedup_exact_shuffles_hash_not_content(spark):
 def test_window_rank_single_shuffle(spark):
     plan = _plan(spark, "window_rank")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The as-of join must shuffle once on the key — no join explosion,
+    no extra exchanges before the window."""
+    plan = _plan(spark, "events_asof_purchase")
+    # exactly one hash exchange (on _k) + the final sort; no Join operator
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_copair_banded_equijoin_not_cartesian(spark):
+    """The range self-join must decompose to an equi-join keyed on
+    (user_id, bucket) — never a cartesian/nested-loop."""
+    plan = _plan(spark, "events_copair_60s")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan  # broadcast at test scale, shuffle at 100 TB
+
+
+def test_price_band_join_broadcasts_dimension(spark):
+    plan = _plan(spark, "price_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the 10-row band dim is the build side, never the fact table
+    assert "BuildRight" in plan
+
+
+def test_supplier_stats_single_aggregation_pass(spark):
+    """All six power sums must come from ONE two-phase aggregation —
+    adding moments must not add scans or shuffles."""
+    plan = _plan(spark, "supplier_stats")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zscore_broadcasts_moments(spark):
+    """The per-group moments (5 rows) join back via broadcast; the event
+    scan happens twice (moments + join) but shuffles zero times."""
+    plan = _plan(spark, "zscore_events")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_supplier_agg_before_window(spark):
+    """Argmax ranks the (part, supplier) aggregate — the window must see
+    grouped rows, not raw lineitem (HashAggregate below Window)."""
+    plan = _plan(spark, "top_supplier_per_part")
+    assert plan.index("HashAggregate") > plan.index("Window")  # physical plans print top-down
+
+
+def test_rich_idle_customers_stays_distributed(spark):
+    """The scalar threshold must enter the plan as a broadcast join —
+    no driver-side collect materializes it."""
+    plan = _plan(spark, "rich_idle_customers")
+    assert "BroadcastNestedLoopJoin" in plan
