@@ -1150,3 +1150,29 @@ AND NOT EXISTS (
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+ORACLES["price_deciles"] = f"""
+WITH binned AS (
+    SELECT o_totalprice,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT decile, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo_price,
+       MAX(o_totalprice) AS hi_price,
+       {_davg('o_totalprice', 'avg_price')}
+FROM binned
+GROUP BY decile
+ORDER BY decile
+"""
+
+ORACLES["user_value_moving_avg"] = """
+SELECT event_id, user_id, value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR)
+            AS DOUBLE)
+           / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

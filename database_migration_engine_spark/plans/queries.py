@@ -1765,3 +1765,52 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query("price_deciles")
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning: orders split into global price deciles with
+    ntile (deterministic under the totalprice+orderkey total order), then
+    per-decile stats — the histogram/binning primitive of feature
+    engineering."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+            davg(F.col("o_totalprice"), "avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query("user_value_moving_avg")
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling feature: per-user 5-row moving average of event value in
+    time order. The frame sum stays exact decimal — engines disagree on
+    windowed double accumulation (sliding recompute vs segment trees),
+    decimal makes the frame order irrelevant."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            (
+                F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("moving_avg"),
+        )
+        .orderBy("event_id")
+    )
