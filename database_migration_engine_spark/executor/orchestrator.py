@@ -231,6 +231,19 @@ class ParquetLedger:
         merged = self.df().join(new, "version", "left_anti").unionByName(new)
         self._swap_in(merged)
 
+    def merge_batch(self, new_rows: DataFrame) -> None:
+        """Multi-row MERGE keyed on version — the batch is authoritative
+        for every version it carries (same new-wins semantics as the
+        reference's ON CONFLICT DO UPDATE, tracker.go:96-113). Used by
+        the streaming foreachBatch sink; rows must match
+        SCHEMA_MIGRATIONS."""
+        merged = (
+            self.df()
+            .join(new_rows, "version", "left_anti")
+            .unionByName(new_rows.select(*self.df().columns))
+        )
+        self._swap_in(merged)
+
     def record_rolled_back(self, version: str) -> None:
         """L4 conditional update + affected-rows check
         (reference internal/tracker/tracker.go:116-130)."""

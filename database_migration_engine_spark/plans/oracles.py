@@ -1176,3 +1176,16 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+ORACLES["stratified_sample"] = f"""
+WITH rates(lang, cut) AS (VALUES
+    ('en', '20'), ('de', '80'), ('es', '80'), ('fr', '80'),
+    ('zh', 'c0'), ('unknown', 'ff')
+)
+SELECT d.lang, COUNT(*) AS n_kept,
+       {_dsum('n_chars', 'sum_chars')}
+FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < COALESCE(r.cut, 'ff')
+GROUP BY d.lang
+ORDER BY d.lang
+"""

@@ -1814,3 +1814,29 @@ def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query("stratified_sample")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: each language keeps a
+    different md5-bucket fraction (rebalancing a skewed corpus). The
+    rate table broadcasts; the keep decision is a pure column predicate
+    — no shuffle, reproducible under any partitioning."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    rates = spark.sql(
+        "SELECT lang, cut FROM (VALUES"
+        " ('en', '20'), ('de', '80'), ('es', '80'), ('fr', '80'),"
+        " ('zh', 'c0'), ('unknown', 'ff')) AS t(lang, cut)"
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.join(F.broadcast(rates), "lang", "left")
+        .filter(h2 < F.coalesce(F.col("cut"), F.lit("ff")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            dsum(F.col("n_chars"), "sum_chars"),
+        )
+        .orderBy("lang")
+    )
