@@ -1189,3 +1189,35 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < COALESCE(r.cut, 'ff')
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+ORACLES["latest_event_per_user"] = """
+SELECT user_id,
+       arg_max(event_type, ts) AS last_type,
+       arg_max(event_id, ts) AS last_event_id,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["doc_chunks"] = f"""
+WITH staged AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+    WHERE len({_TOKS}) > 0
+),
+chunks AS (
+    SELECT doc_id,
+           unnest(range(0, (len(toks) - 1) // 20 + 1)) AS chunk_idx,
+           len(toks) AS n_toks
+    FROM staged
+)
+SELECT CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       COUNT(*) AS n_chunks,
+       CAST(MIN(LEAST(n_toks - chunk_idx * 20, 20)) AS INTEGER) AS min_tokens,
+       CAST(MAX(LEAST(n_toks - chunk_idx * 20, 20)) AS INTEGER) AS max_tokens,
+       CAST(SUM(LEAST(n_toks - chunk_idx * 20, 20)) AS BIGINT) AS sum_tokens
+FROM chunks
+GROUP BY chunk_idx
+ORDER BY chunk_idx
+"""

@@ -1840,3 +1840,57 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("latest_event_per_user")
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax AGGREGATE (max_by/arg_max) — the groupBy-native alternative
+    to a rank-1 window when only the winner is needed: one shuffle, no
+    sort, partial-aggregable map-side. Deterministic because (user_id,
+    ts) is unique in the fixture."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "ts").alias("last_type"),
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            fmt_ts(F.max("ts"), "last_ts", micros=True),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("doc_chunks")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking with positional lateral explode: every document
+    splits into fixed 20-token chunks (the LLM-pipeline segmentation
+    step), posexplode keeps the chunk index, then per-index rollup.
+    Tokens stage into a column first — Spark re-evaluates shared
+    subexpressions inside nested HOFs otherwise."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", TX.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0  # empty docs produce no chunks (div/floor-div
+        # disagree on -1/20, so the guard is also a cross-engine contract)
+    )
+    chunks = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST((size(toks) - 1) DIV 20 AS INT)),"
+                " i -> size(slice(toks, i * 20 + 1, 20)))"
+            )
+        ).alias("chunk_idx", "chunk_tokens"),
+    )
+    return (
+        chunks.groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("chunk_tokens").alias("min_tokens"),
+            F.max("chunk_tokens").alias("max_tokens"),
+            F.sum(F.col("chunk_tokens").cast("long")).alias("sum_tokens"),
+        )
+        .orderBy("chunk_idx")
+    )
