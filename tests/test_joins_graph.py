@@ -185,3 +185,56 @@ def test_top_terms_excludes_stopwords_and_ranks(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         dfs = [r.df for r in rs]
         assert dfs == sorted(dfs, reverse=True)
+
+
+def test_asof_join_equals_naive_on_random_data(spark):
+    """Seeded-random equivalence: the union+window as-of must agree with
+    the naive join-then-rank formulation on ties, boundaries, and
+    missing-key cases alike."""
+    import random
+
+    rng = random.Random(20260813)
+    rights = [
+        (rng.randrange(8), rng.randrange(50), seq) for seq in range(120)
+    ]
+    lefts = [
+        (rng.randrange(10), rng.randrange(50), 1000 + seq)
+        for seq in range(200)
+    ]
+    right = _values_df(
+        spark,
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({k},{t},{s})" for k, t, s in rights)
+        + ") AS r(k, t, seq)",
+    )
+    left = _values_df(
+        spark,
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({k},{t},{s})" for k, t, s in lefts)
+        + ") AS l(k, t, seq)",
+    )
+    got = {
+        r.seq: (r.asof.seq if r.asof is not None else None)
+        for r in JN.asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            payload_cols=["seq"], left_seq="seq", right_seq="seq",
+        ).collect()
+    }
+    naive = {
+        r.lseq: r.rseq
+        for r in spark.sql(
+            "SELECT lseq, rseq FROM ("
+            "  SELECT l.seq AS lseq, r.seq AS rseq,"
+            "         ROW_NUMBER() OVER (PARTITION BY l.seq"
+            "             ORDER BY r.t DESC, r.seq DESC) AS rn"
+            "  FROM {l} l JOIN {r} r ON r.k = l.k AND r.t <= l.t"
+            ") WHERE rn = 1",
+            l=left,
+            r=right,
+        ).collect()
+    }
+    for lseq, want in naive.items():
+        assert got[lseq] == want
+    for lseq, val in got.items():
+        if lseq not in naive:
+            assert val is None
