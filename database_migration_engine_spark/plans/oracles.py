@@ -1221,3 +1221,46 @@ FROM chunks
 GROUP BY chunk_idx
 ORDER BY chunk_idx
 """
+
+# wide→long melt over the full-outer rollup (UNION ALL is the ANSI form
+# of UNPIVOT; 'side' carries the source column name like Spark's unpivot)
+ORACLES["unpivot_balances"] = f"""
+WITH wide AS (
+    {ORACLES["nation_balance_fullouter"].replace("ORDER BY nationkey", "")}
+)
+SELECT nationkey, 'cust_bal' AS side, cust_bal AS balance FROM wide
+UNION ALL
+SELECT nationkey, 'supp_bal' AS side, supp_bal AS balance FROM wide
+ORDER BY nationkey, side
+"""
+
+ORACLES["priority_price_distribution"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+ORDER BY o_orderkey
+"""
+
+ORACLES["user_event_types"] = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',')
+           AS types_seen,
+       CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["sql_revenue_by_nation"] = """
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""

@@ -1894,3 +1894,84 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_idx")
     )
+
+
+@query("unpivot_balances")
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt: the per-nation customer/supplier balance rollup
+    unpivoted into (nationkey, side, balance) rows via DataFrame.unpivot
+    — the inverse of events_pivot."""
+    ensure_deterministic(spark)
+    wide = nation_balance_fullouter(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["nationkey"],
+            values=["cust_bal", "supp_bal"],
+            variableColumnName="side",
+            valueColumnName="balance",
+        )
+        .orderBy("nationkey", "side")
+    )
+
+
+@query("priority_price_distribution")
+def priority_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank and cume_dist of each order's
+    price within its priority class — rank-ratio doubles (integer
+    divisions) are engine-identical, unlike value interpolation."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query("user_event_types")
+def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set is order-free only
+    after array_sort; emitted as a canonical joined string (collect_list
+    order would be partitioning-dependent — never hashable)."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "types_seen"
+            ),
+            F.size(F.collect_set("event_type")).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("sql_revenue_by_nation")
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Spark SQL surface: the same engine serves SQL text over
+    registered views (io.register_views) — users are not locked into the
+    DataFrame API. Same exact-decimal discipline inside the SQL."""
+    ensure_deterministic(spark)
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
