@@ -1264,3 +1264,55 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+ORACLES["hourly_event_spine"] = f"""
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS d0,
+           date_trunc('hour', MAX(ts)) AS d1
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS _n,
+           {_dsum('value', '_sv')}
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       t.event_type,
+       CAST(COALESCE(_n, 0) AS BIGINT) AS n_events,
+       COALESCE(_sv, CAST(0 AS DOUBLE)) AS sum_value
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+ORDER BY hour, t.event_type
+"""
+
+ORACLES["orders_profile"] = """
+WITH one AS (
+    SELECT COUNT(*) AS _total,
+           COUNT(o_orderkey) AS nn_ok, COUNT(DISTINCT o_orderkey) AS nd_ok,
+           COUNT(o_custkey) AS nn_ck, COUNT(DISTINCT o_custkey) AS nd_ck,
+           COUNT(o_orderstatus) AS nn_os, COUNT(DISTINCT o_orderstatus) AS nd_os,
+           COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT o_totalprice) AS nd_tp,
+           COUNT(o_orderdate) AS nn_od, COUNT(DISTINCT o_orderdate) AS nd_od,
+           COUNT(o_orderpriority) AS nn_op, COUNT(DISTINCT o_orderpriority) AS nd_op
+    FROM orders
+)
+SELECT 'o_orderkey' AS column_name, _total - nn_ok AS n_nulls, nd_ok AS n_distinct FROM one
+UNION ALL
+SELECT 'o_custkey', _total - nn_ck, nd_ck FROM one
+UNION ALL
+SELECT 'o_orderstatus', _total - nn_os, nd_os FROM one
+UNION ALL
+SELECT 'o_totalprice', _total - nn_tp, nd_tp FROM one
+UNION ALL
+SELECT 'o_orderdate', _total - nn_od, nd_od FROM one
+UNION ALL
+SELECT 'o_orderpriority', _total - nn_op, nd_op FROM one
+ORDER BY column_name
+"""

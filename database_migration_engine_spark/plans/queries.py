@@ -1975,3 +1975,66 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@query("hourly_event_spine")
+def hourly_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time spine: every (hour × event_type) slot between the
+    stream's bounds, zero-filled where no events landed — the calendar
+    densification step reports and ML feature windows need. sequence +
+    explode generates the spine inside the plan (no driver loop)."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("d0"),
+        F.date_trunc("HOUR", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 hour)")).alias("hour")
+    ).crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy(
+        F.date_trunc("HOUR", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        dsum(F.col("value"), "_sv"),
+    )
+    return (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            fmt_ts(F.col("hour"), "hour"),
+            "event_type",
+            F.coalesce("_n", F.lit(0)).alias("n_events"),
+            F.coalesce("_sv", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query("orders_profile")
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null and distinct counts in ONE
+    aggregation pass (12 aggregates, one shuffle), pivoted to rows with
+    stack — the schema-quality report an ETL engine runs before load."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _total - _nn_{c}, _nd_{c}" for c in cols
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_args})"
+                " AS (column_name, n_nulls, n_distinct)"
+            )
+        )
+        .orderBy("column_name")
+    )

@@ -238,3 +238,19 @@ def test_asof_join_equals_naive_on_random_data(spark):
     for lseq, val in got.items():
         if lseq not in naive:
             assert val is None
+
+
+def test_connected_components_no_edges_all_singletons(spark):
+    edges = _values_df(
+        spark, "SELECT * FROM (VALUES (1, 2)) AS e(a, b)"
+    ).filter("a > 100")  # empty edge set with a stable schema
+    nodes = _values_df(
+        spark, "SELECT * FROM (VALUES (7), (8), (9)) AS n(node_id)"
+    )
+    labels = {
+        r.node: r.label
+        for r in GR.connected_components(
+            edges, src="a", dst="b", nodes=nodes, node_col="node_id"
+        ).collect()
+    }
+    assert labels == {7: 7, 8: 8, 9: 9}
