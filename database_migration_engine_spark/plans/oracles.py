@@ -1316,3 +1316,34 @@ UNION ALL
 SELECT 'o_orderpriority', _total - nn_op, nd_op FROM one
 ORDER BY column_name
 """
+
+ORACLES["label_centroids"] = """
+WITH exploded AS (
+    SELECT vec_id, label,
+           unnest(range(0, len(embedding))) AS dim,
+           CAST(embedding[CAST(unnest(range(0, len(embedding))) AS INTEGER) + 1]
+                AS DOUBLE) AS x
+    FROM embeddings
+),
+cells AS (
+    SELECT label, dim,
+           list(x ORDER BY vec_id) AS xs
+    FROM exploded GROUP BY label, dim
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       CAST(len(xs) AS BIGINT) AS n_vecs,
+       list_sum(xs) / len(xs) AS centroid
+FROM cells
+ORDER BY label, dim
+"""
+
+ORACLES["user_value_10min_sum"] = """
+SELECT event_id, user_id, value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR)
+            AS DOUBLE) AS sum_10min,
+       COUNT(*) OVER w AS n_10min
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

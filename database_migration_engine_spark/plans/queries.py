@@ -2038,3 +2038,64 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query("label_centroids")
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dim, value) —
+    the k-means E-step / class-prototype computation. posexplode to
+    (label, dim) cells; each cell's mean reduces SEQUENTIALLY in vec_id
+    order (sorted collect + HOF fold), because float inputs are not
+    decimal-exact — the decimal trick would hit Spark-HALF_UP vs
+    DuckDB-HALF_EVEN rounding. Sequential double addition in a fixed
+    order is bit-identical across engines (the cosine-kernel rule)."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "label", "dim", F.col("x").cast("double").alias("x"))
+    cells = exploded.groupBy("label", "dim").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "x"))).alias("xs")
+    )
+    return (
+        cells.select(
+            "label",
+            "dim",
+            F.size("xs").cast("long").alias("n_vecs"),
+            F.expr(
+                "aggregate(xs, CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.x)"
+                " / size(xs)"
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@query("user_value_10min_sum")
+def user_value_10min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the user's value sum over the
+    trailing 10 minutes (rangeBetween on epoch-µs — a RANGE frame sizes
+    by value distance, unlike the ROWS frame of user_value_moving_avg).
+    Frame sums stay decimal for engine-order independence."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return (
+        staged.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.sum(F.col("value").cast(_DEC)).over(w)
+            .cast("double")
+            .alias("sum_10min"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_10min"),
+        )
+        .orderBy("event_id")
+    )
