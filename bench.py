@@ -50,6 +50,14 @@ def main() -> None:
         except Exception:
             pass
 
+    # Two passes, keep the per-query MIN: the first execution of a plan
+    # shape pays JIT/codegen/page-cache costs that say nothing about
+    # steady-state throughput, and the shared container adds contention
+    # spikes. The second pass stops when the time budget runs out
+    # (slowest-first so the biggest one-shot distortions re-measure
+    # first).
+    bench_start = time.perf_counter()
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         try:
@@ -57,6 +65,17 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - report, don't die
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        if timings[name] < 0:
+            continue
+        if time.perf_counter() - bench_start > budget_s:
+            break
+        try:
+            timings[name] = min(
+                timings[name], round(run_query(QUERIES[name], spark, sf_dir), 4)
+            )
+        except Exception:  # pragma: no cover
+            pass
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
         json.dumps(
