@@ -2099,3 +2099,33 @@ def user_value_10min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query("approx_events_profile")
+def approx_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches as a registry query (rows-only: HLL++ and
+    KLL-style quantile sketches are engine-specific by construction;
+    pytest asserts the error bounds vs exact answers). These are THE
+    100 TB substitutes for exact distinct/quantiles: single-pass,
+    map-side-mergeable, bounded memory."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx(
+                "value", [0.5, 0.9, 0.99], 10_000
+            ).alias("value_quantiles"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_quantiles")[0].alias("p50"),
+            F.col("value_quantiles")[1].alias("p90"),
+            F.col("value_quantiles")[2].alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
