@@ -1347,3 +1347,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+ORACLES["weighted_sample"] = f"""
+WITH tagged AS (
+    SELECT lang, n_chars,
+           lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), 7, '0') AS h,
+           lpad(lower(to_hex(CAST(floor(
+               LEAST(n_chars, 500) / 500.0 * 16777216.0) AS BIGINT))),
+               7, '0') AS thr
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       {_davg('n_chars', 'avg_chars')}
+FROM tagged
+WHERE h < thr
+GROUP BY lang
+ORDER BY lang
+"""

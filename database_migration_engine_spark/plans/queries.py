@@ -2129,3 +2129,33 @@ def approx_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("weighted_sample")
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling: keep each doc with probability
+    min(n_chars, 500)/500 — longer docs kept preferentially. The md5
+    prefix supplies a reproducible per-doc uniform (6 hex digits =
+    1/16⁷ resolution); the threshold is the weight rendered in hex, so
+    the comparison stays pure string/int ops on both engines."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(500)) / F.lit(500.0)
+    thr_hex = F.lpad(
+        F.lower(F.hex(F.floor(weight * F.lit(16777216.0)).cast("long"))),
+        7,
+        "0",
+    )
+    h = F.lpad(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 7, "0"
+    )
+    return (
+        docs.filter(h < thr_hex)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            davg(F.col("n_chars"), "avg_chars"),
+        )
+        .orderBy("lang")
+    )
