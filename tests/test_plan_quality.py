@@ -106,3 +106,48 @@ def test_rich_idle_customers_stays_distributed(spark):
     no driver-side collect materializes it."""
     plan = _plan(spark, "rich_idle_customers")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB knob: with a selective dimension filter, Spark injects a
+    runtime bloom filter on the fact side of the shuffle join (fact rows
+    that cannot match are dropped at the scan). Size thresholds are
+    production-scaled, so this test lowers them to prove the mechanism
+    on fixture-sized data."""
+    from pyspark.sql import functions as F
+
+    from database_migration_engine_spark.io import read_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, SF_DIR, "lineitem")
+        orders = read_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
