@@ -1365,3 +1365,37 @@ WHERE h < thr
 GROUP BY lang
 ORDER BY lang
 """
+
+ORACLES["profit_by_nation_year"] = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_dsum(f"({_DISC_PRICE}) - CAST(p_retailprice AS DECIMAL(18,2))"
+              " * CAST(0.06 AS DECIMAL(4,2))"
+              " * CAST(l_quantity AS DECIMAL(18,2))", 'sum_profit')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["market_share_by_year"] = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_dsum(f"CASE WHEN n_name = 'NATION_5' THEN {_DISC_PRICE} ELSE 0 END",
+              'target_revenue')},
+       {_dsum(_DISC_PRICE, 'region_revenue')},
+       CAST(CAST(SUM(CAST(CASE WHEN n_name = 'NATION_5' THEN {_DISC_PRICE}
+                          ELSE 0 END AS {_DEC})) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST({_DISC_PRICE} AS {_DEC})) AS VARCHAR)
+                  AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 0
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""

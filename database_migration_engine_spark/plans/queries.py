@@ -2159,3 +2159,72 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("profit_by_nation_year")
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep join tree (TPC-H Q9 shape): lineitem⋈orders fact-fact shuffle
+    with part/supplier/nation broadcast dims, year extraction, and exact
+    decimal profit arithmetic (price·(1-disc) − cost·qty, all decimal —
+    no double product ever rounds)."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("a")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    profit = (
+        f"({DISC_PRICE})"
+        " - CAST(p_retailprice AS DECIMAL(18,2))"
+        " * CAST(0.06 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(18,2))"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(F.expr(profit), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query("market_share_by_year")
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional share-of-total per group (TPC-H Q8 shape): one
+    nation's revenue share inside its region per order year. Numerator
+    and denominator are exact decimal sums from the SAME aggregation
+    pass; the share divides once in double."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    target = F.when(F.col("n_name") == "NATION_5", F.expr(DISC_PRICE)).otherwise(
+        F.lit(0)
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_regionkey") == 0)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(target, "target_revenue"),
+            dsum(F.expr(DISC_PRICE), "region_revenue"),
+        )
+        .select(
+            "o_year",
+            "target_revenue",
+            "region_revenue",
+            F.expr("target_revenue / region_revenue").alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
