@@ -1399,3 +1399,13 @@ WHERE n_regionkey = 0
 GROUP BY year(o_orderdate)
 ORDER BY o_year
 """
+
+ORACLES["grouping_sets_orders"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""

@@ -2228,3 +2228,27 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query("grouping_sets_orders")
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-set form next to
+    revenue_rollup's ROLLUP and cube_status_priority's CUBE): per-status
+    and per-priority marginals in one pass, no cross products."""
+    ensure_deterministic(spark)
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                   AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
