@@ -37,23 +37,31 @@ def connected_components(
     nodes: DataFrame,
     node_col: str,
     max_iter: int = 25,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Label every node in ``nodes`` with the minimum node id reachable
     through ``edges`` (undirected). Isolated nodes label themselves.
 
     Returns a persisted DataFrame ``(node, label)``; deterministic for
     integer node ids regardless of partitioning (min is order-free).
+    Pass ``dedupe_edges=False`` when the pair list is already unique
+    (e.g. produced by a groupBy) — duplicate edges don't change the
+    min-propagation result, only its cost, and skipping the distinct
+    saves a full edge-list shuffle.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist()
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if dedupe_edges:
+        sym = sym.distinct()
+    sym = sym.persist()
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).persist()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # no up-front sum action: the first round's sum seeds the convergence
+    # check (labels are monotone non-increasing, so equal consecutive
+    # sums == fixpoint; one fewer Spark job per call)
+    prev_sum = None
     for _ in range(max_iter):
         propagated = sym.join(
             labels, sym["a"] == labels["node"]

@@ -1331,6 +1331,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = GR.connected_components(
         pairs, src="doc_a", dst="doc_b",
         nodes=pair_nodes, node_col="doc_id",
+        dedupe_edges=False,  # pairs come out of a groupBy — already unique
     )
     # anti-join against the materialized labels (NOT pair_nodes, whose
     # lineage would recompute the jaccard join after pairs.unpersist())
