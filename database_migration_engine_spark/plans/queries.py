@@ -2253,3 +2253,20 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderstatus, o_orderpriority
         """
     )
+
+
+@query("user_profiles_stream")
+def user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    running profiles held in GroupState across micro-batches. Rows-only:
+    the state accumulates in float (pandas pairwise sums), so values are
+    pipeline-deterministic but not oracle-hashable; pytest asserts
+    equality with the batch aggregate."""
+    from ..streaming import events as SE
+    from ..streaming.stateful import user_profiles
+
+    ensure_deterministic(spark)
+    stream = SE.read_events_stream(spark, sf_dir)
+    return SE.run_to_memory(
+        user_profiles(stream), output_mode="update"
+    ).orderBy("user_id")
