@@ -350,6 +350,7 @@ def ann_lsh_topk(
     num_bits: int = 8,
     dim: int = 64,
     num_tables: int = 2,
+    num_probes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -357,10 +358,38 @@ def ann_lsh_topk(
     `num_tables` independent hash tables (the standard recall lever —
     each extra table adds one more chance for near neighbors to collide);
     exact cosine and ranking happen only within buckets. Equi-joins on
-    bucket keys — the 100 TB-safe shape (no all-pairs scan)."""
-    q = _prepared(queries, id_col, vec_col, "q", dim).withColumn(
-        "bucket", _lsh_buckets("qvec", num_bits, dim, num_tables)
-    )
+    bucket keys — the 100 TB-safe shape (no all-pairs scan).
+
+    ``num_probes`` adds multi-probe on the QUERY side only: each query
+    also visits the buckets one sign-bit away (bucket XOR 2^b). Probing
+    buys recall without re-hashing or growing the corpus index — the
+    cheaper lever when extra tables would inflate index storage. The
+    probe fan-out stages AFTER the base-bucket explode so the expensive
+    hyperplane projection evaluates once per (query, table), not once
+    per probe (CollapseProject cannot merge through a Generate)."""
+    q0 = _prepared(queries, id_col, vec_col, "q", dim)
+    if num_probes <= 0:
+        q = q0.withColumn(
+            "bucket", _lsh_buckets("qvec", num_bits, dim, num_tables)
+        )
+    else:
+        per_table = q0.withColumn(
+            "base_bucket", _lsh_buckets("qvec", num_bits, dim, num_tables)
+        )
+        q = per_table.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("base_bucket"),
+                    *[
+                        F.col("base_bucket")
+                        .bitwiseXOR(F.lit(1 << b))
+                        .cast("long")
+                        for b in range(min(num_probes, num_bits))
+                    ],
+                )
+            ),
+        ).drop("base_bucket")
     c = _prepared(corpus, id_col, vec_col, "n", dim).withColumn(
         "bucket", _lsh_buckets("nvec", num_bits, dim, num_tables)
     )

@@ -1093,7 +1093,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 50)
-    return SIM.ann_lsh_topk(emb, queries_df, k=5, num_bits=8).orderBy(
+    return SIM.ann_lsh_topk(emb, queries_df, k=5, num_bits=8, num_probes=1).orderBy(
         "qid", "rnk"
     )
 

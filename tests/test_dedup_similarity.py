@@ -179,3 +179,30 @@ def test_rolling_hashes_detect_shared_chunks(spark):
         assert len([r for r in hashes if r.doc == doc_id]) == expected
     assert by_doc[1] & by_doc[2], "shared 32-byte chunk not detected"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_ann_lsh_multiprobe_no_worse_recall(spark):
+    """Multi-probe (bucket XOR one sign bit, query side only) must not
+    lose recall vs single-probe at the same table count, and typically
+    gains it — the cheap recall lever when more tables would inflate
+    the corpus index."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 30)
+    truth = {
+        (r.qid, r.nid)
+        for r in SIM.cosine_topk(emb, queries_df, k=5).collect()
+    }
+
+    def recall(num_probes: int) -> float:
+        got = {
+            (r.qid, r.nid)
+            for r in SIM.ann_lsh_topk(
+                emb, queries_df, k=5, num_bits=4, num_tables=1,
+                num_probes=num_probes,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    assert r2 > 0.3
