@@ -66,12 +66,17 @@ def connected_components(
         propagated = sym.join(
             labels, sym["a"] == labels["node"]
         ).select(F.col("b").alias("node"), F.col("label"))
+        # localCheckpoint, not persist: each round references the previous
+        # labels TWICE (union + join), so an uncheckpointed logical plan
+        # doubles per round — 2^r tree nodes OOMs the driver past ~12
+        # rounds. Checkpointing truncates lineage; the agg below is the
+        # eager materialization + convergence check in one job.
         new_labels = (
             labels.select("node", "label")
             .unionByName(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
@@ -80,4 +85,94 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
+    return labels
+
+
+def _neighborhood_min(sym: DataFrame) -> DataFrame:
+    """Per node: min over its closed neighborhood (itself + neighbors)."""
+    return sym.groupBy("a").agg(
+        F.least(F.min("b"), F.col("a")).alias("m")
+    )
+
+
+def _star_round(sym: DataFrame, large: bool) -> DataFrame:
+    """One large-star (attach strictly-greater neighbors to the
+    neighborhood min) or small-star (attach ≤ neighbors) pass over a
+    symmetric edge list; returns the new symmetric edge list."""
+    nb = sym.join(_neighborhood_min(sym), "a")
+    if large:
+        emitted = nb.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("x"), F.col("m").alias("y")
+        )
+    else:
+        emitted = nb.filter(F.col("b") <= F.col("a")).select(
+            F.col("b").alias("x"), F.col("m").alias("y")
+        ).unionByName(
+            _neighborhood_min(sym).select(
+                F.col("a").alias("x"), F.col("m").alias("y")
+            )
+        )
+    directed = emitted.filter(F.col("x") != F.col("y")).distinct()
+    return directed.select(
+        F.col("x").alias("a"), F.col("y").alias("b")
+    ).unionByName(
+        directed.select(F.col("y").alias("a"), F.col("x").alias("b"))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame,
+    node_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14): each round reshapes the edge list toward per-component
+    stars rooted at the min node, converging in O(log n) rounds
+    regardless of diameter — the scale path for long-chain graphs where
+    plain min-propagation (``connected_components``) needs O(diameter)
+    rounds. Same contract: returns persisted ``(node, label)`` over
+    ``nodes``, singletons labeling themselves.
+    """
+    # localCheckpoint (NOT persist): every star round references the
+    # previous edge list several times, so the logical plan would grow
+    # ~6× per round and OOM the driver by round ~10. Checkpointing
+    # truncates lineage each round; on a real cluster swap in reliable
+    # checkpoint(dir) for executor-failure tolerance.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        stepped = _star_round(sym, large=True).localCheckpoint(eager=True)
+        stepped = _star_round(stepped, large=False).localCheckpoint(eager=True)
+        sig = stepped.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: 2^63-scale hashes overflow a long under ANSI
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sym = stepped
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    roots = sym.groupBy("a").agg(F.min("b").alias("root")).filter(
+        F.col("root") < F.col("a")
+    )
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(roots, F.col("node") == roots["a"], "left")
+        .select(
+            "node", F.coalesce("root", F.col("node")).alias("label")
+        )
+        .persist()
+    )
+    labels.count()
     return labels

@@ -254,3 +254,54 @@ def test_connected_components_no_edges_all_singletons(spark):
         ).collect()
     }
     assert labels == {7: 7, 8: 8, 9: 9}
+
+
+def test_star_cc_matches_propagation_and_converges_on_long_path(spark):
+    """large-star/small-star must agree with min-propagation on a random
+    graph AND converge on a path graph whose diameter exceeds the
+    propagation round cap — the property that makes it the 100 TB path."""
+    import random
+
+    rng = random.Random(7)
+    edge_list = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(40)
+    ]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = _values_df(
+        spark,
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edge_list)
+        + ") AS e(a, b)",
+    )
+    nodes = _values_df(
+        spark,
+        "SELECT explode(sequence(0, 59)) AS node_id",
+    )
+    simple = {
+        r.node: r.label
+        for r in GR.connected_components(
+            edges, "a", "b", nodes, "node_id"
+        ).collect()
+    }
+    star = {
+        r.node: r.label
+        for r in GR.connected_components_star(
+            edges, "a", "b", nodes, "node_id"
+        ).collect()
+    }
+    assert star == simple
+
+    # path 0-1-2-...-63: diameter 63 > propagation's 25-round cap; the
+    # star algorithm must still fully converge (all nodes label 0)
+    path = _values_df(
+        spark,
+        "SELECT id AS a, id + 1 AS b FROM range(63)",
+    )
+    path_nodes = _values_df(spark, "SELECT explode(sequence(0, 63)) AS node_id")
+    star_path = {
+        r.node: r.label
+        for r in GR.connected_components_star(
+            path, "a", "b", path_nodes, "node_id"
+        ).collect()
+    }
+    assert star_path == {i: 0 for i in range(64)}
