@@ -1409,3 +1409,6 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 ORDER BY gid, o_orderstatus, o_orderpriority
 """
+
+# the star-algorithm twin must produce the identical clustering
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

@@ -2270,3 +2270,42 @@ def user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.run_to_memory(
         user_profiles(stream), output_mode="update"
     ).orderBy("user_id")
+
+
+@query("dedup_clusters_star")
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed by the alternating large-star/small-star
+    algorithm (O(log n) rounds at any graph diameter — the 100 TB CC
+    path). Same pair graph, same output, same oracle as the
+    min-propagation form: the two implementations must agree exactly."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=50).select(
+        "doc_a", "doc_b"
+    ).persist()
+    pair_nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = GR.connected_components_star(
+        pairs, src="doc_a", dst="doc_b",
+        nodes=pair_nodes, node_col="doc_id",
+    )
+    singletons = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left_anti")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    )
+    pairs.unpersist()
+    return (
+        labels.unionByName(singletons)
+        .select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .orderBy("doc_id")
+    )
