@@ -1412,3 +1412,41 @@ ORDER BY gid, o_orderstatus, o_orderpriority
 
 # the star-algorithm twin must produce the identical clustering
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+ORACLES["scd2_user_status"] = f"""
+SELECT user_id, event_type AS status,
+       strftime(ts, '{_TS_US}') AS effective_from,
+       COALESCE(strftime(lead(ts) OVER w, '{_TS_US}'),
+                '9999-12-31 00:00:00.000000') AS effective_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, effective_from
+"""
+
+ORACLES["cluster_representatives"] = f"""
+WITH RECURSIVE {_JACC_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jacc
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jacc
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS root FROM documents
+    UNION
+    SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+quality AS ({ORACLES["quality_score"]}),
+ranked AS (
+    SELECT c.cluster_id, q.doc_id, q.score,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.score DESC, q.doc_id ASC) AS rnk
+    FROM comp c JOIN quality q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, score AS rep_score
+FROM ranked WHERE rnk = 1
+ORDER BY cluster_id
+"""

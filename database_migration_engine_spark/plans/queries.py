@@ -2309,3 +2309,54 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("scd2_user_status")
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 reconstruction: each event opens a validity interval
+    for that user's 'current type', closed by the next event (open
+    intervals get the sentinel high date) — the temporal-table form a
+    migration/ETL engine builds from change streams."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            fmt_ts(F.col("ts"), "effective_from", micros=True),
+            F.coalesce(
+                F.date_format(
+                    F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ),
+                F.lit("9999-12-31 00:00:00.000000"),
+            ).alias("effective_to"),
+            (F.lead("ts").over(w).isNull()).alias("is_current"),
+        )
+        .orderBy("user_id", "effective_from")
+    )
+
+
+@query("cluster_representatives")
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: one representative per
+    near-dup cluster, chosen by quality score (ties to the lowest
+    doc_id) — clusters from connected components, quality from the
+    integer-ratio scorer, winner via one argmax window."""
+    ensure_deterministic(spark)
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = quality_score(spark, sf_dir).select("doc_id", "score")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("score").alias("rep_score"),
+        )
+        .orderBy("cluster_id")
+    )
