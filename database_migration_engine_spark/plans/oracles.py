@@ -1450,3 +1450,21 @@ SELECT cluster_id, doc_id AS rep_doc_id, score AS rep_score
 FROM ranked WHERE rnk = 1
 ORDER BY cluster_id
 """
+
+ORACLES["disjunctive_revenue"] = f"""
+WITH tagged AS (
+    SELECT CASE WHEN p_brand = 'Brand#1' AND p_size <= 10
+                     AND l_quantity <= 20
+                THEN 'brand1_small' ELSE 'brand2_big' END AS clause,
+           l_extendedprice, l_discount
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+           AND l_quantity > 20)
+)
+SELECT clause, COUNT(*) AS n_items,
+       {_dsum(_DISC_PRICE, 'revenue')}
+FROM tagged
+GROUP BY clause
+ORDER BY clause
+"""

@@ -2360,3 +2360,37 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query("disjunctive_revenue")
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicate (TPC-H Q19 shape): an OR of
+    conjunctive brand/size/quantity clauses across a join. Catalyst
+    distributes the common join key through the disjunction; per-branch
+    revenue is tagged so the oracle checks each clause's contribution."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(5, 25))
+        & (F.col("l_quantity") > 20)
+    )
+    return (
+        joined.filter(clause1 | clause2)
+        .withColumn(
+            "clause", F.when(clause1, "brand1_small").otherwise("brand2_big")
+        )
+        .groupBy("clause")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.expr(DISC_PRICE), "revenue"),
+        )
+        .orderBy("clause")
+    )
