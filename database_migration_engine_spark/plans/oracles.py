@@ -1468,3 +1468,32 @@ FROM tagged
 GROUP BY clause
 ORDER BY clause
 """
+
+ORACLES["monthly_revenue_growth"] = f"""
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+)
+SELECT month, n_orders, revenue,
+       revenue / lag(revenue) OVER (ORDER BY month) - 1.0 AS mom_growth
+FROM monthly
+ORDER BY month
+"""
+
+ORACLES["nation_pair_trade"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       COUNT(*) AS n_items,
+       {_dsum(_DISC_PRICE, 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name
+ORDER BY supp_nation, cust_nation
+"""

@@ -2394,3 +2394,62 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clause")
     )
+
+
+@query("monthly_revenue_growth")
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-style ratio-to-previous: monthly order revenue with
+    month-over-month growth (lag window over the aggregate; the growth
+    ratio divides two exact decimal sums in double — first month NULL)."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.select(
+            "month",
+            "n_orders",
+            "revenue",
+            (F.col("revenue") / F.lag("revenue").over(w) - 1.0).alias(
+                "mom_growth"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@query("nation_pair_trade")
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension self-aliasing (TPC-H Q7 shape): revenue between
+    (supplier nation, customer nation) pairs — the nation dim joins
+    twice under different aliases, both broadcast."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.expr(DISC_PRICE), "revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
