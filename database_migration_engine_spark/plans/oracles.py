@@ -1497,3 +1497,46 @@ WHERE n1.n_name < n2.n_name
 GROUP BY n1.n_name, n2.n_name
 ORDER BY supp_nation, cust_nation
 """
+
+ORACLES["null_semantics"] = f"""
+WITH {_MIG}
+SELECT version,
+       down_sql IS NULL AS no_down,
+       COALESCE(down_sql, '-- irreversible') AS down_or_marker,
+       NULLIF(name, 'create_users') AS name_nullified,
+       down_sql IS NOT DISTINCT FROM up_sql AS down_equals_up
+FROM migrations
+ORDER BY version
+"""
+
+ORACLES["selective_distinct"] = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT CASE WHEN o_totalprice > 150000
+                           THEN o_custkey END) AS big_spenders,
+       COUNT(DISTINCT o_custkey) AS all_customers
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+ORACLES["user_type_overlap"] = """
+WITH sets AS (
+    SELECT user_id,
+           list(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN event_type END)
+               FILTER (WHERE ts < TIMESTAMP '2024-01-16 00:00:00') AS h1,
+           list(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                              THEN event_type END)
+               FILTER (WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') AS h2
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(COALESCE(len(h1), 0) AS INTEGER) AS n_types_h1,
+       CAST(COALESCE(len(h2), 0) AS INTEGER) AS n_types_h2,
+       CAST(COALESCE(len(list_intersect(h1, h2)), 0) AS INTEGER) AS n_common,
+       CAST(COALESCE(len(list_distinct(list_concat(h1, h2))), 0) AS INTEGER)
+           AS n_all
+FROM sets
+ORDER BY user_id
+"""

@@ -2453,3 +2453,66 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation")
     )
+
+
+@query("null_semantics")
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling operator coverage over the migration corpus (the
+    one fixture with real NULLs — down_sql): null-safe equality (<=>),
+    NULLIF, COALESCE defaults, and null-aware counting."""
+    ensure_deterministic(spark)
+    mig = fixtures.migrations_df(spark)
+    return mig.select(
+        "version",
+        F.col("down_sql").isNull().alias("no_down"),
+        F.coalesce("down_sql", F.lit("-- irreversible")).alias("down_or_marker"),
+        F.nullif(F.col("name"), F.lit("create_users")).alias("name_nullified"),
+        F.col("down_sql").eqNullSafe(F.col("up_sql")).alias("down_equals_up"),
+    ).orderBy("version")
+
+
+@query("selective_distinct")
+def selective_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct aggregation: distinct big-spending customers
+    per order status — count(DISTINCT CASE WHEN ...) evaluates the
+    predicate before the distinct set forms (one pass)."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 150000, F.col("o_custkey"))
+            ).alias("big_spenders"),
+            F.countDistinct("o_custkey").alias("all_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("user_type_overlap")
+def user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra per group: event-type sets from each half of
+    the month, intersected/unioned — sizes only, so the comparison
+    stays scalar while exercising collect_set + array_intersect/union."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    first_half = F.collect_set(
+        F.when(F.col("ts") < mid, F.col("event_type"))
+    )
+    second_half = F.collect_set(
+        F.when(F.col("ts") >= mid, F.col("event_type"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.size(first_half).alias("n_types_h1"),
+            F.size(second_half).alias("n_types_h2"),
+            F.size(F.array_intersect(first_half, second_half)).alias(
+                "n_common"
+            ),
+            F.size(F.array_union(first_half, second_half)).alias("n_all"),
+        )
+        .orderBy("user_id")
+    )
