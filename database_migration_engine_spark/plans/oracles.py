@@ -1540,3 +1540,19 @@ SELECT user_id,
 FROM sets
 ORDER BY user_id
 """
+
+# salting must be invisible to results: the oracle is the PLAIN join
+ORACLES["skewed_join_salted"] = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {_dsum(_DISC_PRICE, 'revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["typo_distance"] = """
+SELECT n_nationkey, n_name,
+       CAST(levenshtein(lower(n_name), 'nation_1') AS INTEGER) AS edit_dist
+FROM nation
+ORDER BY n_nationkey
+"""

@@ -35,6 +35,7 @@ from ..operators import dedup as DD
 from ..operators import graph as GR
 from ..operators import joins as JN
 from ..operators import similarity as SIM
+from ..operators import skew as SK
 from ..session import ensure_deterministic
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2516,3 +2517,42 @@ def user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query("skewed_join_salted")
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join skew tool run through the correctness gate: a
+    lineitem⋈orders join executed via fact-side salting + dim
+    replication (operators/skew.py) must produce results identical to
+    the plain join the oracle computes — salting redistributes
+    partitions, never rows."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = SK.salted_join(li, orders, key="okey", salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.expr(DISC_PRICE), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("typo_distance")
+def typo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (the fuzzy-matching primitive of entity
+    resolution): levenshtein from every nation name to a reference
+    spelling — both engines implement the same integer DP."""
+    ensure_deterministic(spark)
+    nation = read_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        "n_name",
+        F.levenshtein(F.lower("n_name"), F.lit("nation_1")).alias("edit_dist"),
+    ).orderBy("n_nationkey")
