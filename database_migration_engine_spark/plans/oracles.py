@@ -1556,3 +1556,25 @@ SELECT n_nationkey, n_name,
 FROM nation
 ORDER BY n_nationkey
 """
+
+ORACLES["corpus_summary"] = f"""
+WITH quality AS ({ORACLES["quality_score"]}),
+staged AS (
+    SELECT d.source, d.lang,
+           md5(array_to_string({_TOKS}, ' ')) AS fp,
+           len({_TOKS}) AS n_tokens,
+           q.score
+    FROM documents d JOIN quality q USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT fp) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_ratio,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(score) AS min_quality,
+       MAX(score) AS max_quality
+FROM staged
+GROUP BY source
+ORDER BY source
+"""

@@ -2556,3 +2556,39 @@ def typo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.levenshtein(F.lower("n_name"), F.lit("nation_1")).alias("edit_dist"),
     ).orderBy("n_nationkey")
+
+
+@query("corpus_summary")
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-source corpus report combining volume,
+    exact-dup rate (content fingerprints), language spread, token
+    volume, and quality extrema — the summary a training pipeline
+    publishes with every corpus release. One aggregation pass; the dup
+    ratio divides two exact counts; quality extrema are comparisons
+    (min/max), not sums, so weighted-double scores stay hash-safe."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    q = TX.quality_components("text")
+    staged = docs.select(
+        "source",
+        "lang",
+        TX.fingerprint("text").alias("fp"),
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        q["score"].alias("score"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (
+                (F.count(F.lit(1)) - F.countDistinct("fp"))
+                / F.count(F.lit(1))
+            ).alias("dup_ratio"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.min("score").alias("min_quality"),
+            F.max("score").alias("max_quality"),
+        )
+        .orderBy("source")
+    )
