@@ -1578,3 +1578,26 @@ FROM staged
 GROUP BY source
 ORDER BY source
 """
+
+ORACLES["source_drift"] = """
+WITH counts AS (
+    SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+),
+totals AS (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+grid AS (
+    SELECT s.source, l.lang, COALESCE(c.c, 0) AS c, t.n
+    FROM (SELECT DISTINCT source FROM documents) s
+    CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+    LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+    JOIN totals t ON t.source = s.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(CAST(SUM(ABS(a.c * b.n - b.c * a.n)) AS BIGINT) AS DOUBLE)
+           / CAST(MAX(a.n) * MAX(b.n) AS DOUBLE) AS l1_distance
+FROM grid a
+JOIN grid b ON a.lang = b.lang AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""

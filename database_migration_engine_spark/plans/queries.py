@@ -2592,3 +2592,57 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("source_drift")
+def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus sources: pairwise L1 distance
+    between language distributions. Computed ENTIRELY in integers —
+    Σ|c1·n2 − c2·n1| over the lang grid, divided once by n1·n2 — so the
+    result is order-free without any decimal staging (float p_i sums
+    would accumulate in shuffle order). The drift monitor a continuously
+    ingested corpus runs between snapshots."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        docs.select("source").distinct()
+        .crossJoin(docs.select("lang").distinct())
+        .join(counts, ["source", "lang"], "left")
+        .select(
+            "source", "lang", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        .join(totals, "source")
+    )
+    g1 = grid.select(
+        F.col("source").alias("source_a"), "lang",
+        F.col("c").alias("c1"), F.col("n").alias("n1"),
+    )
+    g2 = grid.select(
+        F.col("source").alias("source_b"), "lang",
+        F.col("c").alias("c2"), F.col("n").alias("n2"),
+    )
+    return (
+        g1.join(g2, "lang")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("_num"),
+            F.max("n1").alias("_n1"),
+            F.max("n2").alias("_n2"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("_num").cast("double")
+                / (F.col("_n1") * F.col("_n2")).cast("double")
+            ).alias("l1_distance"),
+        )
+        .orderBy("source_a", "source_b")
+    )
