@@ -1601,3 +1601,19 @@ JOIN grid b ON a.lang = b.lang AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY source_a, source_b
 """
+
+ORACLES["embedding_norm_check"] = """
+WITH staged AS (
+    SELECT label,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> x * x))) AS nrm
+    FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_norm
+FROM staged
+GROUP BY label
+ORDER BY label
+"""

@@ -2646,3 +2646,31 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query("embedding_norm_check")
+def embedding_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector data-quality gate: per-label norm extrema and degenerate
+    counts. Norms reduce sequentially over dimensions (HOF fold == the
+    oracle's in-order list_sum), so the min/max comparisons see
+    bit-identical doubles on both engines."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    staged = emb.select("label", norm.alias("nrm"))
+    return (
+        staged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+        )
+        .orderBy("label")
+    )

@@ -151,3 +151,23 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_join_hints_are_respected(spark):
+    """Strategy hints override the optimizer's choice: a merge hint on a
+    broadcastable dimension must yield SortMergeJoin, and a broadcast
+    hint on the same join must yield BroadcastHashJoin."""
+    from pyspark.sql import functions as F
+
+    from database_migration_engine_spark.io import read_table
+
+    orders = read_table(spark, SF_DIR, "orders")
+    cust = read_table(spark, SF_DIR, "customer")
+    merged = orders.join(
+        cust.hint("merge"), orders["o_custkey"] == cust["c_custkey"]
+    ).groupBy("c_mktsegment").count()
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+    bcast = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).groupBy("c_mktsegment").count()
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
