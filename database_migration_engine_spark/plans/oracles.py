@@ -1617,3 +1617,37 @@ FROM staged
 GROUP BY label
 ORDER BY label
 """
+
+ORACLES["events_rate_limited"] = f"""
+WITH staged AS (
+    SELECT event_id, user_id, ts, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 300000000
+               ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT event_id, user_id, strftime(ts, '{_TS_US}') AS ts, event_type
+FROM staged WHERE rn = 1
+ORDER BY event_id
+"""
+
+ORACLES["orders_pareto"] = """
+WITH t AS (
+    SELECT SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS _t FROM orders
+),
+ranked AS (
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rnk,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE) AS cum
+    FROM orders
+)
+SELECT o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk,
+       cum / CAST(CAST(_t AS VARCHAR) AS DOUBLE) AS cum_share
+FROM ranked CROSS JOIN t
+WHERE rnk <= 100
+ORDER BY rnk
+"""

@@ -2674,3 +2674,62 @@ def embedding_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("events_rate_limited")
+def events_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion throttle: keep only each user's FIRST event per 5-minute
+    bucket (rank-1 per (user, bucket) — the dedup-throttle an event
+    collector applies before expensive downstream work)."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 300000000")
+    staged = ev.withColumn("bk", bucket).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "bk").orderBy("ts", "event_id")
+        ),
+    )
+    return (
+        staged.filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts(F.col("ts"), "ts", micros=True),
+            "event_type",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query("orders_pareto")
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration analysis: orders sorted by price descending
+    with cumulative revenue share — running DECIMAL sum over the global
+    sort divided by the exact total (how top-heavy is revenue?). Top 100
+    rows keep the output bounded."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = orders.agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("_t")
+    )
+    return (
+        orders.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number()
+            .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+            .alias("rnk"),
+            (
+                F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+                / F.col("_t").cast("double")
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rnk") <= 100)
+        .orderBy("rnk")
+    )
