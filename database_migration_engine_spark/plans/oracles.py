@@ -1651,3 +1651,22 @@ FROM ranked CROSS JOIN t
 WHERE rnk <= 100
 ORDER BY rnk
 """
+
+ORACLES["event_transitions"] = """
+WITH bigrams AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, next_type, COUNT(*) AS n
+    FROM bigrams WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM counts
+ORDER BY prev_type, next_type
+"""

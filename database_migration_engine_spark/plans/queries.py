@@ -2733,3 +2733,37 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 100)
         .orderBy("rnk")
     )
+
+
+@query("event_transitions")
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    bigrams per user stream (lag window), with row-normalized
+    probabilities — the Markov-chain estimate behind funnel and
+    next-action models. Probabilities are integer-count divisions."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = bigrams.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(row_total).cast("double")
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
