@@ -1,17 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+"""Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query is materialized via a count-collect (df.count() after the full
-plan; for limit/top-k plans, collect()) so the measured time covers scan →
+Output contract (driver-parseable — VERDICT.md r01 item 1):
+
+* stdout carries EXACTLY ONE compact JSON line:
+  ``{"metric": "total_query_time", "value": N, "unit": "sec",
+  "sf": 0.1, "n_queries": 105, "median_sec": M,
+  "queries": {<slowest 15>}, "detail_file": "BENCH_DETAIL.json"}``
+  The driver's capture buffer held ~2000 chars in round 1, so the full
+  105-entry per-query map (~4 KB) is written to ``BENCH_DETAIL.json``
+  instead of stdout, and only the slowest 15 ride inline.
+* Everything else — Spark/JVM banners, warmup noise, progress — goes to
+  stderr. The JVM writes to fd 1 directly, so fd 1 is redirected to fd 2
+  at the OS level for the whole run and restored only for the final line.
+* ``BENCH_HISTORY.md`` gets an appended per-run summary row so later
+  rounds can diff per-query regressions at a glance.
+
+Each query is materialized via ``df.collect()`` (every registered query
+returns an aggregate or bounded top-k), so the measured time covers scan →
 shuffle → result, not just plan construction. A warmup pass on sf0.001
 amortizes JVM/codegen startup out of the per-query numbers.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -20,25 +34,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from database_migration_engine_spark.plans import QUERIES
-from database_migration_engine_spark.session import build_session
-
+REPO = os.path.dirname(os.path.abspath(__file__))
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+INLINE_SLOWEST = 15
 
 
 def run_query(fn, spark, sf_dir: str) -> float:
     start = time.perf_counter()
     df = fn(spark, sf_dir)
-    # Force full execution; collect() is safe — every registered query
-    # returns either an aggregate or a top-k (bounded output).
     df.collect()
     return time.perf_counter() - start
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    match = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(match.group(1)) if match else None
+def bench(sf_dir: str) -> dict[str, float]:
+    from database_migration_engine_spark.plans import QUERIES
+    from database_migration_engine_spark.session import build_session
+
     spark = build_session(app_name="dbmig-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -50,12 +61,9 @@ def main() -> None:
         except Exception:
             pass
 
-    # Two passes, keep the per-query MIN: the first execution of a plan
-    # shape pays JIT/codegen/page-cache costs that say nothing about
-    # steady-state throughput, and the shared container adds contention
-    # spikes. The second pass stops when the time budget runs out
-    # (slowest-first so the biggest one-shot distortions re-measure
-    # first).
+    # Two passes, keep the per-query MIN: first execution pays one-shot
+    # JIT/page-cache costs; the second pass re-measures slowest-first and
+    # stops when the time budget runs out.
     bench_start = time.perf_counter()
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
@@ -72,23 +80,93 @@ def main() -> None:
             break
         try:
             timings[name] = min(
-                timings[name], round(run_query(QUERIES[name], spark, sf_dir), 4)
+                timings[name],
+                round(run_query(QUERIES[name], spark, sf_dir), 4),
             )
         except Exception:  # pragma: no cover
             pass
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
     spark.stop()
+    return timings
+
+
+def summarize(timings: dict[str, float], sf: float | None) -> dict:
+    ok = sorted(t for t in timings.values() if t >= 0)
+    total = round(sum(ok), 4)
+    median = round(ok[len(ok) // 2], 4) if ok else None
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:INLINE_SLOWEST]
+    )
+    return {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "median_sec": median,
+        "queries": {n: round(t, 2) for n, t in slowest.items()},
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+
+def append_history(summary: dict, timings: dict[str, float]) -> None:
+    path = os.path.join(REPO, "BENCH_HISTORY.md")
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    lines = []
+    if not os.path.exists(path):
+        lines.append("# Bench history\n")
+        lines.append(
+            "One row per `bench.py` run; per-query detail in "
+            "`BENCH_DETAIL.json` (overwritten each run).\n"
+        )
+    slow = ", ".join(f"{n} {t:.2f}s" for n, t in summary["queries"].items())
+    lines.append(
+        f"\n## {stamp} — sf={summary['sf']} total={summary['value']}s "
+        f"n={summary['n_queries']} median={summary['median_sec']}s\n"
+        f"Slowest: {slow}\n"
+    )
+    with open(path, "a") as f:
+        f.writelines(lines)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+
+    # OS-level stdout quarantine: the JVM and any stray library prints
+    # write to fd 1 directly, so Python-level sys.stdout games are not
+    # enough. Save fd 1, point it at stderr for the whole run, and restore
+    # it only to emit the single JSON result line.
+    saved_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(1), "w")
+    try:
+        timings = bench(sf_dir)
+    finally:
+        sys.stdout.flush()
+        os.dup2(saved_stdout, 1)
+        sys.stdout = os.fdopen(saved_stdout, "w")
+
+    summary = summarize(timings, sf)
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(
+            {**summary, "queries": timings},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    append_history(summary, timings)
+    line = json.dumps(summary, separators=(",", ":"))
+    # Belt and braces: the driver's round-1 capture held ~2000 chars.
+    assert len(line) < 1900, f"bench summary line too long: {len(line)}"
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
