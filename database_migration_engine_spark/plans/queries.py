@@ -1051,22 +1051,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_embedding")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4): the exact all-pairs
-    verify of embedding dedup, via the Arrow kernel (dimension-loop
-    accumulation → bit-exact vs the oracle, numpy throughput across
-    pairs). At larger corpora, gate behind ann_lsh_topk's bucketing."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), scale-gated per
+    VERDICT.md r01: candidates come from LSH sign-bucket equi-joins
+    (seeded hyperplanes, multi-probe), exact cosine runs only on candidate
+    pairs, and pytest asserts the pair set is identical to the all-pairs
+    kernel at every fixture SF. The all-pairs Arrow kernel survives as the
+    pytest-only recall baseline."""
     ensure_deterministic(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_pairs_arrow(emb, emb, threshold=0.4)
-    return (
-        pairs.filter(F.col("qid") < F.col("nid"))
-        .select(
-            F.col("qid").alias("id_a"),
-            F.col("nid").alias("id_b"),
-            "cos_sim",
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return SIM.lsh_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
 @query("similarity_ivf")

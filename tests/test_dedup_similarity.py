@@ -206,3 +206,44 @@ def test_ann_lsh_multiprobe_no_worse_recall(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0
     assert r2 > 0.3
+
+
+def test_lsh_near_dup_exact_recall_vs_all_pairs(spark):
+    """The scale-gated dedup_embedding path (LSH-bucketed candidates +
+    exact in-bucket cosine) must reproduce the all-pairs kernel's
+    threshold-pair set EXACTLY at fixture scale — ids and cosine values
+    bit-identical (VERDICT.md r01 item 2)."""
+    from database_migration_engine_spark.operators.similarity import (
+        cosine_pairs_arrow,
+        lsh_near_dup_pairs,
+    )
+
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        emb = read_table(spark, sf_dir, "embeddings")
+        truth = {
+            (r.qid, r.nid): r.cos_sim
+            for r in cosine_pairs_arrow(emb, emb, threshold=0.4).collect()
+            if r.qid < r.nid
+        }
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in lsh_near_dup_pairs(emb, threshold=0.4).collect()
+        }
+        assert set(got) == set(truth), (
+            f"{sf_dir}: LSH pair set != all-pairs set "
+            f"(missed {set(truth) - set(got)}, extra {set(got) - set(truth)})"
+        )
+        for k, v in truth.items():
+            assert got[k] == v, f"{sf_dir}: cos mismatch at {k}"
+
+
+def test_lsh_near_dup_plan_has_no_cartesian(spark):
+    """PLANS.md requirement from the round-1 verdict: the registered
+    dedup_embedding plan must be the bucketed equi-join, not the N×N."""
+    from database_migration_engine_spark.plans import QUERIES
+
+    plan = QUERIES["dedup_embedding"](
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
