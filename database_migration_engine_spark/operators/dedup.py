@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.portable_hash import hex_bit_sql, signed64_from_hex_sql
 from ..functions.text import shingles, tokens
 
 
@@ -135,14 +136,39 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     n: int = 3,
+    hash_fn: str = "murmur3",
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` columns h0..h{k-1}.
 
-    Each hash family member is Spark's Murmur3 ``hash(shingle, seed_i)``
-    (seeding by mixing in a literal — JVM-side, codegen-friendly); the
-    signature is one groupBy over the exploded shingles computing all mins
-    in a single pass (partial aggregation map-side, one shuffle on doc id).
+    ``hash_fn="murmur3"`` (default, fastest): each family member is
+    Spark's Murmur3 ``hash(shingle, seed_i)`` (seeding by mixing in a
+    literal — JVM-side, codegen-friendly). ``hash_fn="md5"``: family
+    member i is the signed-64 head of ``md5(i || ':' || md5(shingle))`` —
+    ~2-3× the hashing cost, but bit-reproducible by the DuckDB oracle
+    (functions/portable_hash.py). Either way the signature is one groupBy
+    over the exploded shingles computing all mins in a single pass
+    (partial aggregation map-side, one shuffle on doc id).
     """
+    if hash_fn == "md5":
+        sh = (
+            df.select(
+                F.col(id_col).alias("doc"), tokens(content_col).alias("toks")
+            )
+            .select("doc", F.explode(shingles("toks", n)).alias("shingle_str"))
+            .select("doc", F.md5("shingle_str").alias("shex"))
+        )
+        seeded = sh.select(
+            "doc",
+            *[
+                F.md5(F.concat_ws(":", F.lit(i), F.col("shex"))).alias(f"hx{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        aggs = [
+            F.min(F.expr(signed64_from_hex_sql(f"hx{i}"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return seeded.groupBy("doc").agg(*aggs)
     sh = _doc_shingles(df, content_col, id_col, n)
     aggs = [
         F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -158,6 +184,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    hash_fn: str = "murmur3",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -166,17 +193,49 @@ def minhash_lsh_pairs(
     candidate pair. Sub-quadratic: the only join is an equi-join on
     (band_id, band_hash) — the classic LSH bucketing that replaces the
     all-pairs comparison at 100 TB. Estimated similarity = fraction of
-    equal signature components.
+    equal signature components. ``hash_fn="md5"`` makes signatures AND
+    band hashes oracle-reproducible (see minhash_signatures).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, content_col, id_col, num_hashes, n)
+    sig = minhash_signatures(df, content_col, id_col, num_hashes, n, hash_fn)
+
+    if hash_fn == "md5":
+        # The band digest is materialized as its own column BEFORE the
+        # signed-64 nibble parse references it 16 times — inlining the
+        # md5 into the parse blows the generated code past Janino's
+        # method limit (observed codegen-compile failure → interpreted
+        # fallback). The decimal-string join keeps the band key an
+        # 8-byte long while staying reproducible as DuckDB's
+        # string_agg(... ORDER BY i).
+        sig = sig.select(
+            "*",
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias(f"bhx{b}")
+                for b in range(bands)
+            ],
+        )
+
+        def band_hash(b: int):
+            return F.expr(signed64_from_hex_sql(f"bhx{b}"))
+
+    else:
+
+        def band_hash(b: int):
+            return F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.hash(
-                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                ).alias("band_hash"),
+                band_hash(b).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -211,18 +270,45 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    xxhash64 per token; for each bit position, sum +1/-1 weighted by the
-    bit; fingerprint bit b = sign of the sum. One explode + one groupBy
-    with 64 conditional-sum aggregates — all JVM-side, single shuffle.
-    Near-duplicate docs differ in few bits (Hamming distance).
+    One 64-bit hash per token; for each bit position, sum +1/-1 weighted
+    by the bit; fingerprint bit b = sign of the sum. One explode + one
+    groupBy with 64 conditional-sum aggregates — all JVM-side, single
+    shuffle. Near-duplicate docs differ in few bits (Hamming distance).
+
+    ``hash_fn="xxhash64"`` (default) is the fast engine-local path;
+    ``hash_fn="md5"`` derives the token hash from the md5 hex digest so
+    the DuckDB oracle reproduces fingerprints bit-for-bit — each bit
+    probe reads a single nibble of the materialized digest
+    (functions/portable_hash.hex_bit_sql).
     """
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(content_col)).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    )
+    if hash_fn == "md5":
+        tok = tok.withColumn("thx", F.md5("tok"))
+        bit_sums = [
+            F.sum(
+                F.when(F.expr(hex_bit_sql("thx", b)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+        sums = tok.groupBy("doc").agg(*bit_sums)
+        fingerprint = None
+        for b in range(64):
+            bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            shifted = F.shiftleft(bit, b)
+            fingerprint = shifted if fingerprint is None else fingerprint + shifted
+        return sums.select("doc", fingerprint.alias("simhash"))
+    tok = tok.withColumn("th", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)

@@ -1670,3 +1670,90 @@ SELECT prev_type, next_type, n,
 FROM counts
 ORDER BY prev_type, next_type
 """
+
+
+# --- md5-portable LSH fingerprints (r02: VERDICT item 3) --------------------
+# These rebuild the full Spark pipelines — token/shingle hashing, seeded
+# minhash family, band hashes, candidate join — from the SAME md5-derived
+# signed-64 values (functions/portable_hash.py emits dialect-neutral SQL),
+# promoting both queries from rows-only to full hash-match checks.
+
+from ..functions.portable_hash import hex_bit_sql as _hex_bit  # noqa: E402
+from ..functions.portable_hash import (  # noqa: E402
+    signed64_from_hex_sql as _s64,
+)
+
+_SIMHASH_BITS = ",\n       ".join(
+    f"SUM(CASE WHEN {_hex_bit('thx', b)} = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(64)
+)
+# bit 63 lands on INT64_MIN directly; bits 0..62 sum to < 2^63 first, so
+# strict left-to-right addition never leaves the signed-64 range.
+_SIMHASH_FP = (
+    " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)
+    )
+    + " + (CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+)
+
+ORACLES["simhash_fingerprint"] = f"""
+WITH tk AS (
+    SELECT doc_id, unnest({TX.sql_tokens("text")}) AS tok FROM documents
+),
+th AS (SELECT doc_id, md5(tok) AS thx FROM tk),
+bits AS (
+    SELECT doc_id,
+       {_SIMHASH_BITS}
+    FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
+FROM bits ORDER BY doc_id
+"""
+
+ORACLES["dedup_near_minhash"] = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+toks AS (SELECT doc_id AS doc, {TX.sql_tokens("text")} AS t FROM corpus),
+sh AS (
+    SELECT doc, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [] END) AS shingle
+    FROM toks
+),
+shx AS (SELECT doc, md5(shingle) AS shex FROM sh),
+seeded AS (
+    SELECT doc, i, md5(CAST(i AS VARCHAR) || ':' || shex) AS hx
+    FROM shx CROSS JOIN range(32) r(i)
+),
+sigs AS (
+    SELECT doc, i, MIN({_s64('hx')}) AS h
+    FROM seeded GROUP BY doc, i
+),
+bandraw AS (
+    SELECT doc, CAST(i // 4 AS INTEGER) AS band_id,
+           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bhx
+    FROM sigs GROUP BY doc, i // 4
+),
+bands AS (
+    SELECT doc, band_id, {_s64('bhx')} AS band_hash FROM bandraw
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc < b.doc
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS DOUBLE) / 32
+           AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc = c.doc_a
+JOIN sigs sb ON sb.doc = c.doc_b AND sb.i = sa.i
+GROUP BY c.doc_a, c.doc_b
+ORDER BY doc_a, doc_b
+"""

@@ -960,8 +960,10 @@ def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_near_minhash")
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (rows-only check: the banded Murmur3
-    signatures are not expressible in the oracle). To guarantee known
+    """MinHash-LSH candidate pairs, oracle-certified since r02: the
+    md5-derived hash family (functions/portable_hash.py) makes signatures
+    AND band hashes reproducible in DuckDB, so the full banded pipeline
+    hash-matches instead of the r01 rows-only check. To guarantee known
     near-dups exist at any scale factor, the corpus is unioned with a
     mirrored copy (doc_id + 1e6): every original must collide with its
     mirror, so output size ≥ corpus size; pytest asserts recall on the
@@ -969,19 +971,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     mirrored = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
-    return DD.minhash_lsh_pairs(docs.unionByName(mirrored)).orderBy(
-        "doc_a", "doc_b"
-    )
+    return DD.minhash_lsh_pairs(
+        docs.unionByName(mirrored), hash_fn="md5"
+    ).orderBy("doc_a", "doc_b")
 
 
 @query("simhash_fingerprint")
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: xxhash64 differs from any
-    oracle-side hash). Self-consistency is pytest-asserted (identical docs
-    → identical fingerprints, Hamming 0)."""
+    """64-bit SimHash per document, oracle-certified since r02 via the
+    md5-derived token hash (functions/portable_hash.py) — the DuckDB
+    oracle rebuilds every fingerprint bit-for-bit. Identical-doc /
+    Hamming-distance behavior remains pytest-asserted."""
     ensure_deterministic(spark)
     docs = read_table(spark, sf_dir, "documents")
-    return DD.simhash64(docs).select(
+    return DD.simhash64(docs, hash_fn="md5").select(
         F.col("doc").alias("doc_id"), "simhash"
     ).orderBy("doc_id")
 

@@ -247,3 +247,30 @@ def test_lsh_near_dup_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_portable_hash_three_way_parity(spark, duck):
+    """functions/portable_hash SQL must evaluate identically in Spark,
+    DuckDB, and pure-Python hashlib — it is the foundation of the r02
+    oracle promotion for simhash_fingerprint / dedup_near_minhash."""
+    import hashlib
+
+    from database_migration_engine_spark.functions.portable_hash import (
+        hex_bit_sql,
+        signed64_from_hex_sql,
+    )
+
+    samples = ["hello", "world", "", "a", "x:y", "0:deadbeef", "ümlaut"]
+    for s in samples:
+        lit = "'" + s.replace("'", "''") + "'"
+        expr = signed64_from_hex_sql(f"md5({lit})")
+        spark_v = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        duck_v = duck.execute(f"SELECT {expr}").fetchone()[0]
+        raw = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+        py_v = raw - (1 << 64) if raw >= (1 << 63) else raw
+        assert spark_v == duck_v == py_v, s
+        for b in (0, 3, 17, 31, 32, 62, 63):
+            bexpr = hex_bit_sql(f"md5({lit})", b)
+            sb = spark.sql(f"SELECT {bexpr} AS v").collect()[0].v
+            db = duck.execute(f"SELECT {bexpr}").fetchone()[0]
+            assert sb == db == ((raw >> b) & 1), (s, b)
