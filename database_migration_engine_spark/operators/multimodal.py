@@ -3,17 +3,26 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct; decode/feature-extraction runs as Arrow-batched ``mapInPandas``
 so bytes move columnar and the Python stage sees whole batches, never
-rows. The actual media decoding is STUBBED (the image/audio libraries are
-not in this container): ``mode="fake"`` produces deterministic
-hash-derived features with the real batch shape, ``mode="real"`` raises
-NotImplementedError at the exact seam where PIL/librosa/ffmpeg calls
-would go. Everything Spark-side — schema, partitioning, UDF signature,
-batch iteration — is real and tested.
+rows.
+
+Decode modes (r02, VERDICT item 7): ``mode="real"`` genuinely parses
+PNG headers (IHDR width/height via ``struct``) and WAV headers (stdlib
+``wave``) — no PIL/librosa needed; payloads in any OTHER format still
+raise NotImplementedError at the exact seam where full media libraries
+would go (pixel decode, spectrograms, video frames remain out of reach
+in this container). ``mode="fake"`` produces deterministic hash-derived
+features with the real batch shape for format-agnostic plumbing tests.
+Everything Spark-side — schema, partitioning, UDF signature, batch
+iteration — is real and tested in both modes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterable
 
 import pandas as pd
@@ -82,13 +91,128 @@ def synth_assets(spark: SparkSession, n: int = 200) -> DataFrame:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, gray: int = 128) -> bytes:
+    """Minimal valid grayscale PNG from pure stdlib (struct + zlib):
+    signature, IHDR, one zlib-compressed IDAT of flat pixels, IEND."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([gray]) * width for _ in range(height))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(n_frames: int, framerate: int = 8000, amplitude: int = 64) -> bytes:
+    """Minimal valid 8-bit mono WAV via the stdlib ``wave`` writer."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(bytes((128 + (i * amplitude) % 64) for i in range(n_frames)))
+    return buf.getvalue()
+
+
+def parse_png_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR chunk — the first chunk after the
+    8-byte signature per the PNG spec, so a fixed-offset read."""
+    if data[:8] != PNG_MAGIC or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    return struct.unpack(">II", data[16:24])
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, framerate, n_channels, sampwidth) via stdlib wave."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return (w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth())
+
+
+def _decode_real(b: bytes) -> tuple[int, int]:
+    """Header-level decode for the formats stdlib can parse. Returns the
+    (width, height) feature pair; for audio the temporal dimensions map
+    in as (framerate, n_frames). Anything else is genuinely undecodable
+    here — that seam stays explicit."""
+    b = bytes(b)
+    if b[:8] == PNG_MAGIC:
+        w, h = parse_png_header(b)
+        return int(w), int(h)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        n_frames, framerate, _, _ = parse_wav_header(b)
+        return int(framerate), int(n_frames)
+    raise NotImplementedError(
+        "only PNG and WAV headers are parseable without media libraries;"
+        " full pixel/sample decode (JPEG, MP3, video) needs PIL/ffmpeg —"
+        " use mode='fake' for format-agnostic plumbing"
+    )
+
+
+def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic REAL media assets: even ids get a PNG whose
+    dimensions derive from the id, odd ids an 8-bit mono WAV. Payload
+    construction needs Python byte-assembly, so it runs as an
+    Arrow-batched mapInPandas over ``spark.range`` — the same distributed
+    generation shape a backfill job would use (no driver-side loop)."""
+    ensure_worker_imports(spark)
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    payload = make_png(16 + i % 48, 16 + (i // 2) % 32)
+                    modality, mime = "image", "image/png"
+                else:
+                    payload = make_wav(50 + i % 200, framerate=8000 + 100 * (i % 5))
+                    modality, mime = "audio", "audio/wav"
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "modality": modality,
+                        "payload": payload,
+                        "meta": {
+                            "mime": mime,
+                            "n_bytes": len(payload),
+                            "source_uri": f"synthetic://real/{i}",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(build, schema=ASSET_SCHEMA)
+
+
 def _decode_batch(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
     if mode == "real":
-        # Real decoding seam: PIL.Image.open(io.BytesIO(payload)) /
-        # librosa.load / ffmpeg frame extraction would go here.
-        raise NotImplementedError(
-            "media decoding libraries are not available in this environment;"
-            " use mode='fake' for the deterministic stub"
+        dims = pdf["payload"].map(_decode_real)
+        return pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "payload_sha": pdf["payload"].map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                ),
+                "width": dims.map(lambda d: d[0]).astype("int32"),
+                "height": dims.map(lambda d: d[1]).astype("int32"),
+                "mean_byte": pdf["payload"].map(
+                    lambda b: sum(bytes(b)) / len(bytes(b))
+                ),
+            }
         )
     out = {
         "asset_id": pdf["asset_id"],
