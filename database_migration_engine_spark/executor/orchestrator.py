@@ -45,6 +45,12 @@ class MigrationError(Exception):
     pass
 
 
+class LedgerFencedError(MigrationError):
+    """Another writer rotated the ledger's fencing token since this
+    writer observed it — the swap is refused (E12 cross-process gap,
+    VERDICT r01 item 6)."""
+
+
 class ChecksumMismatchError(MigrationError):
     pass
 
@@ -130,11 +136,22 @@ class JdbcRunner(SQLRunner):
         url: str,
         lock_timeout_ms: int = 5000,
         statement_timeout_ms: int = 30000,
+        session_init: list[str] | None = None,
     ):
         self._jvm = spark._jvm
         self.url = url
         self.lock_timeout_ms = lock_timeout_ms
         self.statement_timeout_ms = statement_timeout_ms
+        # Per-transaction safety statements. The default is the reference's
+        # PostgreSQL pair (internal/executor/safety.go:14-36); other
+        # dialects (e.g. the embedded Derby target the live tests use)
+        # pass their own list — Derby rejects PG's SET syntax.
+        if session_init is None:
+            session_init = [
+                f"SET lock_timeout = '{lock_timeout_ms}ms'",
+                f"SET statement_timeout = '{statement_timeout_ms}ms'",
+            ]
+        self.session_init = session_init
 
     def run(self, sql: str, in_tx: bool) -> None:
         conn = self._jvm.java.sql.DriverManager.getConnection(self.url)
@@ -142,10 +159,8 @@ class JdbcRunner(SQLRunner):
             stmt = conn.createStatement()
             if in_tx:
                 conn.setAutoCommit(False)
-                stmt.execute(f"SET lock_timeout = '{self.lock_timeout_ms}ms'")
-                stmt.execute(
-                    f"SET statement_timeout = '{self.statement_timeout_ms}ms'"
-                )
+                for init_sql in self.session_init:
+                    stmt.execute(init_sql)
                 try:
                     stmt.execute(sql)
                     conn.commit()

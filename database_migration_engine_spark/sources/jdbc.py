@@ -85,14 +85,17 @@ def write_table(
     )
 
 
-def ping(spark: SparkSession, url: str) -> bool:
+def ping(spark: SparkSession, url: str, probe: str = "SELECT 1") -> bool:
     """Connection verify — the pool-ping analogue
-    (reference internal/database/connection.go:23-33)."""
+    (reference internal/database/connection.go:23-33). ``probe`` is the
+    dialect's cheapest no-table query: the default suits PostgreSQL/MySQL;
+    Derby needs ``SELECT 1 AS ping FROM SYSIBM.SYSDUMMY1`` (aliased: Spark re-selects the probe column by name), Oracle ``... FROM
+    DUAL``."""
     try:
         (
             spark.read.format("jdbc")
             .option("url", url)
-            .option("query", "SELECT 1")
+            .option("query", probe)
             .load()
             .collect()
         )
