@@ -426,6 +426,20 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
         return feats
 
     m = re.match(
+        rf"CREATE\s+(?:GLOBAL\s+|LOCAL\s+)?(?:TEMPORARY\s+|TEMP\s+|UNLOGGED\s+)?"
+        rf"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>{_QNAME})",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        # CreateStmt parity (reference parser_test.go:24-31): no rule
+        # fires on it, but the typed feature matters for statement audits
+        feats.stmt_type = "create_table"
+        feats.table = normalize_name(m.group("table"))
+        feats.tables = [feats.table]
+        return feats
+
+    m = re.match(
         r"DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<names>.+?)"
         r"(?:\s+(?:CASCADE|RESTRICT))?$",
         s,

@@ -182,12 +182,69 @@ class ParquetLedger:
 
     Writes go to a fresh directory then atomically swap into place —
     the plain-parquet stand-in for the reference's INSERT … ON CONFLICT
-    atomicity (internal/tracker/tracker.go:96-113). Single-writer contract.
-    """
+    atomicity (internal/tracker/tracker.go:96-113).
+
+    Cross-process mutual exclusion uses a FENCING TOKEN (r02, closing the
+    E12 gap vs the reference's pg advisory lock,
+    internal/database/advisory_lock.go:12-65, without new infrastructure):
+    a writer observes the on-disk token via ``acquire_fence()``; every
+    swap re-checks the token and REFUSES (LedgerFencedError) when another
+    writer rotated it in between, then rotates it as part of its own
+    swap. The file lock still serializes same-host writers cheaply; the
+    token catches writers the lock can't see (other hosts on shared
+    storage, lock-file deletion). Refusal-not-blocking matches advisory
+    ``pg_try_advisory_lock`` semantics."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._held_token: str | None = None
+
+    # --- fencing token ------------------------------------------------------
+
+    @property
+    def _token_path(self) -> str:
+        return self.path + ".token"
+
+    def _read_token(self) -> str | None:
+        try:
+            with open(self._token_path) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def _rotate_token(self) -> str:
+        token = uuid.uuid4().hex
+        tmp = self._token_path + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            f.write(token)
+        os.replace(tmp, self._token_path)
+        return token
+
+    def acquire_fence(self) -> str:
+        """Observe (creating if absent) the current fencing token. Must be
+        called after taking whatever lock the host offers and before the
+        first ledger read a write decision is based on."""
+        token = self._read_token()
+        if token is None:
+            token = self._rotate_token()
+        self._held_token = token
+        return token
+
+    def release_fence(self) -> None:
+        self._held_token = None
+
+    def _check_fence(self) -> None:
+        if self._held_token is None:
+            return  # unfenced mode: single-writer contract as before
+        current = self._read_token()
+        if current != self._held_token:
+            raise LedgerFencedError(
+                f"ledger {self.path}: fencing token moved"
+                f" (held {self._held_token[:8]}…, on disk"
+                f" {(current or '<missing>')[:8]}…) — another writer holds"
+                " the ledger; refusing to swap"
+            )
 
     def ensure(self) -> None:
         """CREATE TABLE IF NOT EXISTS (reference internal/tracker/tracker.go:42-49)."""
@@ -278,11 +335,16 @@ class ParquetLedger:
         tmp = os.path.join(
             tempfile.mkdtemp(dir=parent), f"ledger-{uuid.uuid4().hex}"
         )
+        # write the replacement BEFORE the fence check so the vulnerable
+        # window is only the rename pair, then refuse if the token moved
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self._check_fence()
         old = self.path + f".old-{uuid.uuid4().hex}"
         if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(tmp, self.path)
+        if self._held_token is not None:
+            self._held_token = self._rotate_token()
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
@@ -355,6 +417,7 @@ class Executor:
         # mutual exclusion before touching the ledger (E12; lock → ensure →
         # loop order mirrors reference internal/executor/executor.go:120-138)
         with AdvisoryFileLock(self.ledger.path):
+            self.ledger.acquire_fence()
             self.ledger.ensure()
             for mig in self.from_df(migrations):
                 self._apply_one(mig, dry_run)
@@ -411,6 +474,7 @@ class Executor:
         if steps <= 0:
             return self.events
         with AdvisoryFileLock(self.ledger.path):  # withRollbackLock (E12)
+            self.ledger.acquire_fence()
             self.ledger.ensure()
             targets = [
                 r.version
@@ -431,6 +495,7 @@ class Executor:
         reference internal/executor/executor.go:162-177,
         rollback_helpers.go:24-51)."""
         with AdvisoryFileLock(self.ledger.path):  # withRollbackLock (E12)
+            self.ledger.acquire_fence()
             self.ledger.ensure()
             applied = [r.version for r in self.ledger.applied().collect()]
             if target not in applied:

@@ -201,3 +201,82 @@ def test_ledger_ensure_idempotent(spark, ledger):
     ledger.ensure()
     ledger.ensure()
     assert ledger.df().count() == 0
+
+
+# --- fencing token (r02: E12 cross-process gap) ----------------------------
+
+
+def test_fencing_token_two_writer_race_refused(spark, tmp_path):
+    """Two writers on the same ledger path (simulating two hosts where the
+    file lock can't exclude): the writer whose token observation went
+    stale must be REFUSED at swap time, advisory-lock style."""
+    from database_migration_engine_spark.executor.orchestrator import (
+        LedgerFencedError,
+        ParquetLedger,
+    )
+
+    path = str(tmp_path / "ledger")
+    a = ParquetLedger(spark, path)
+    b = ParquetLedger(spark, path)
+
+    a.acquire_fence()
+    a.ensure()
+    b.acquire_fence()
+
+    # A writes first: rotates the token B is still holding
+    a.record_applied("001", "001_a.up.sql", "c" * 64, 5)
+    with pytest.raises(LedgerFencedError):
+        b.record_applied("002", "002_b.up.sql", "d" * 64, 5)
+
+    # B's write must not have corrupted the ledger
+    assert {r.version for r in a.applied().collect()} == {"001"}
+
+    # B re-observes the fence and can proceed
+    b.acquire_fence()
+    b.record_applied("002", "002_b.up.sql", "d" * 64, 5)
+    assert {r.version for r in a.applied().collect()} == {"001", "002"}
+
+
+def test_fencing_unfenced_ledger_still_single_writer(spark, tmp_path):
+    """Without acquire_fence() the ledger behaves exactly as before
+    (single-writer contract, no token checks) — backwards compatible."""
+    from database_migration_engine_spark.executor.orchestrator import (
+        ParquetLedger,
+    )
+
+    led = ParquetLedger(spark, str(tmp_path / "ledger"))
+    led.ensure()
+    led.record_applied("001", "f.up.sql", "e" * 64, 1)
+    assert {r.version for r in led.applied().collect()} == {"001"}
+
+
+def test_executor_apply_acquires_fence(spark, tmp_path, runner):
+    """The apply path itself must fence: a competing writer sneaking in
+    between migrations forces the executor's next ledger write to refuse
+    rather than clobber."""
+    from database_migration_engine_spark.executor.orchestrator import (
+        Executor,
+        LedgerFencedError,
+        ParquetLedger,
+    )
+
+    path = str(tmp_path / "ledger")
+    executor = Executor(
+        ledger=ParquetLedger(spark, path), runner=runner
+    )
+    executor.apply(_safe_migrations(spark).filter(F.col("version") == "001"))
+
+    intruder = ParquetLedger(spark, path)
+    intruder.acquire_fence()
+
+    class RotatingRunner(CollectingRunner):
+        """Simulates the cross-host race: the intruder writes while the
+        executor is mid-apply (after its fence observation)."""
+
+        def run(self, sql, in_tx):
+            intruder.record_applied("999", "999_x.up.sql", "f" * 64, 1)
+            super().run(sql, in_tx)
+
+    executor.runner = RotatingRunner()
+    with pytest.raises(LedgerFencedError):
+        executor.apply(_safe_migrations(spark))
