@@ -60,3 +60,22 @@ def hex_bit_sql(hex_col: str, bit: int) -> str:
     if shift == 0:
         return f"({nib} % 2)"
     return f"(CAST(floor({nib} / {2 ** shift}) AS BIGINT) % 2)"
+
+
+def md5_uniform(key: str) -> float:
+    """Deterministic uniform value in [-1, 1) derived from md5(key) —
+    computed in pure Python and baked into SQL as a plain decimal
+    literal, which both Spark and DuckDB parse to the identical double
+    (correctly-rounded shortest repr). Used for stored-model-free LSH
+    hyperplanes that the oracle can reproduce."""
+    import hashlib
+
+    v = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:16], 16)
+    return (v % 1_000_000) / 500_000.0 - 1.0
+
+
+def lsh_component(table: int, bit: int, dim: int) -> float:
+    """Canonical hyperplane component for the oracle-reproducible LSH
+    path — shared by the Spark query and the DuckDB oracle so both bake
+    the same literal."""
+    return md5_uniform(f"{table}:{bit}:{dim}")

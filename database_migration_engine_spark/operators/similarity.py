@@ -443,17 +443,32 @@ def ivf_topk(
     )
 
 
-def _lsh_bucket(vec_col: str, num_bits: int, dim: int, table: int = 0):
-    """Deterministic random-hyperplane bucket key: hyperplane component
-    (bit, dim) is a pseudo-random value in [-1, 1) derived from
-    hash(table, bit, dim); the key packs the sign bits of the projections.
-    """
+def _lsh_bucket(
+    vec_col: str,
+    num_bits: int,
+    dim: int,
+    table: int = 0,
+    components=None,
+):
+    """Deterministic random-hyperplane bucket key: the key packs the sign
+    bits of the hyperplane projections. Hyperplane component (bit, dim)
+    defaults to a pseudo-random value in [-1, 1) derived from Spark's
+    hash(table, bit, dim) (fast, engine-local); pass ``components``
+    (a callable ``(table, bit, dim) -> float``, e.g.
+    portable_hash.md5_uniform over "t:b:d") to bake explicit literals
+    instead — identical in any engine, so the DuckDB oracle can rebuild
+    the exact same buckets."""
     bit_exprs = []
     for b in range(num_bits):
-        comps = ", ".join(
-            f"(CAST(hash({table}, {b}, {d}) % 1000000 AS DOUBLE) / 1000000.0)"
-            for d in range(dim)
-        )
+        if components is not None:
+            comps = ", ".join(
+                repr(components(table, b, d)) + "D" for d in range(dim)
+            )
+        else:
+            comps = ", ".join(
+                f"(CAST(hash({table}, {b}, {d}) % 1000000 AS DOUBLE) / 1000000.0)"
+                for d in range(dim)
+            )
         proj = (
             f"aggregate(zip_with({vec_col}, array({comps}),"
             f" (x, h) -> x * h), 0D, (acc, x) -> acc + x)"
@@ -462,13 +477,15 @@ def _lsh_bucket(vec_col: str, num_bits: int, dim: int, table: int = 0):
     return F.expr(" + ".join(bit_exprs)).cast("long")
 
 
-def _lsh_buckets(vec_col: str, num_bits: int, dim: int, num_tables: int):
+def _lsh_buckets(
+    vec_col: str, num_bits: int, dim: int, num_tables: int, components=None
+):
     """One bucket key per hash table, table id mixed into the key so
     buckets from different tables never collide."""
     return F.explode(
         F.array(
             *[
-                _lsh_bucket(vec_col, num_bits, dim, table=t)
+                _lsh_bucket(vec_col, num_bits, dim, table=t, components=components)
                 + F.lit(t << num_bits).cast("long")
                 for t in range(num_tables)
             ]
@@ -486,6 +503,7 @@ def ann_lsh_topk(
     num_probes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    components=None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY of
     `num_tables` independent hash tables (the standard recall lever —
@@ -503,11 +521,12 @@ def ann_lsh_topk(
     q0 = _prepared(queries, id_col, vec_col, "q", dim)
     if num_probes <= 0:
         q = q0.withColumn(
-            "bucket", _lsh_buckets("qvec", num_bits, dim, num_tables)
+            "bucket", _lsh_buckets("qvec", num_bits, dim, num_tables, components)
         )
     else:
         per_table = q0.withColumn(
-            "base_bucket", _lsh_buckets("qvec", num_bits, dim, num_tables)
+            "base_bucket",
+            _lsh_buckets("qvec", num_bits, dim, num_tables, components),
         )
         q = per_table.withColumn(
             "bucket",
@@ -524,7 +543,7 @@ def ann_lsh_topk(
             ),
         ).drop("base_bucket")
     c = _prepared(corpus, id_col, vec_col, "n", dim).withColumn(
-        "bucket", _lsh_buckets("nvec", num_bits, dim, num_tables)
+        "bucket", _lsh_buckets("nvec", num_bits, dim, num_tables, components)
     )
     pairs = (
         c.join(F.broadcast(q), "bucket")

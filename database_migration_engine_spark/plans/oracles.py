@@ -1757,3 +1757,123 @@ JOIN sigs sb ON sb.doc = c.doc_b AND sb.i = sa.i
 GROUP BY c.doc_a, c.doc_b
 ORDER BY doc_a, doc_b
 """
+
+
+# --- IVF top-k (r02): fully oracle-expressible -----------------------------
+# Centroids are the table's own first 16 vectors; assignment, probing, and
+# scoring are all sequential-fold cosine math (list_dot_product) that is
+# bit-identical to the Arrow kernel's dimension-loop accumulation.
+
+ORACLES["similarity_ivf"] = """
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM p WHERE vec_id < 16
+),
+corpus_assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT p.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
+                            DESC, c.cell_id ASC) AS rn
+        FROM p CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+query_assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT p.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
+                            DESC, c.cell_id ASC) AS rn
+        FROM p CROSS JOIN cent c WHERE p.vec_id < 50
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS qid, a.vec_id AS nid
+    FROM query_assign q JOIN corpus_assign a USING (cell_id)
+    WHERE a.vec_id != q.vec_id
+),
+scored AS (
+    SELECT c.qid, c.nid,
+           list_dot_product(pq.v, pn.v) / (pq.nrm * pn.nrm) AS cos_sim
+    FROM cand c
+    JOIN p pq ON pq.vec_id = c.qid
+    JOIN p pn ON pn.vec_id = c.nid
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT qid, nid, cos_sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
+# --- ANN LSH top-k (r02): md5-literal hyperplanes --------------------------
+# The hyperplane components are pure-Python md5-derived literals
+# (portable_hash.lsh_component) — the SAME floats the Spark expression
+# bakes in — so bucket keys, one-bit query probes, and in-bucket ranking
+# are all reproducible here. XOR with 1 is written as arithmetic
+# (+1/-1 on the low bit) to stay dialect-neutral.
+
+from ..functions.portable_hash import lsh_component as _lshc  # noqa: E402
+
+_ANN_BITS, _ANN_TABLES, _ANN_DIM = 8, 2, 64
+
+
+def _ann_bucket_sql(table: int) -> str:
+    bit_terms = []
+    for b in range(_ANN_BITS):
+        comps = ", ".join(repr(_lshc(table, b, d)) for d in range(_ANN_DIM))
+        proj = f"list_dot_product(v, [{comps}])"
+        bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return f"({' + '.join(bit_terms)} + {table << _ANN_BITS})"
+
+
+ORACLES["similarity_ann_lsh"] = f"""
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+ckeys AS (
+    SELECT vec_id, {_ann_bucket_sql(0)} AS bucket FROM p
+    UNION ALL
+    SELECT vec_id, {_ann_bucket_sql(1)} AS bucket FROM p
+),
+qbase AS (
+    SELECT vec_id, bucket FROM ckeys WHERE vec_id < 50
+),
+qkeys AS (
+    SELECT vec_id, bucket FROM qbase
+    UNION ALL
+    SELECT vec_id,
+           bucket + CASE WHEN bucket % 2 = 0 THEN 1 ELSE -1 END AS bucket
+    FROM qbase
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+    FROM qkeys q JOIN ckeys c USING (bucket)
+    WHERE c.vec_id != q.vec_id
+),
+scored AS (
+    SELECT c.qid, c.nid,
+           list_dot_product(pq.v, pn.v) / (pq.nrm * pn.nrm) AS cos_sim
+    FROM cand c
+    JOIN p pq ON pq.vec_id = c.qid
+    JOIN p pn ON pn.vec_id = c.nid
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT qid, nid, cos_sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 5 ORDER BY qid, rnk
+"""

@@ -1084,15 +1084,20 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ann_lsh")
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN top-5 (rows-only: deterministic
-    hash-derived hyperplanes are engine-specific). Recall vs brute force
-    is pytest-asserted."""
+    """Random-hyperplane LSH ANN top-5, oracle-certified since r02: the
+    hyperplane components are md5-derived literals
+    (portable_hash.lsh_component) baked identically into the Spark
+    expression and the DuckDB oracle, so bucketing, probing, and in-bucket
+    ranking all hash-match. Recall vs brute force stays pytest-asserted."""
+    from ..functions.portable_hash import lsh_component
+
     ensure_deterministic(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 50)
-    return SIM.ann_lsh_topk(emb, queries_df, k=5, num_bits=8, num_probes=1).orderBy(
-        "qid", "rnk"
-    )
+    return SIM.ann_lsh_topk(
+        emb, queries_df, k=5, num_bits=8, num_probes=1,
+        components=lsh_component,
+    ).orderBy("qid", "rnk")
 
 
 # ---------------------------------------------------------------------------
