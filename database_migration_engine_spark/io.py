@@ -26,17 +26,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown fixture table {name!r}; one of {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_unit(path) == "ns":
         # ts is parquet timestamp[ns]: read the raw int64 nanos and truncate
         # to microseconds with integer division (`div`, not `/` — ns since
         # 2024 exceeds double's 2^53 integer range), matching DuckDB's
-        # ns→us truncation.
+        # ns→us truncation. The driver has shipped both ns and us fixtures
+        # across rounds, so the unit is sniffed per file — assuming ns on a
+        # us file silently shifts every timestamp to 1970 (r02 regression).
         return (
             spark.read.schema(EVENTS_RAW)
             .parquet(path)
             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+
+
+def events_ts_unit(path: str) -> str:
+    """Physical unit of the events table's ts column ('ns' or 'us'),
+    sniffed from parquet footer metadata (cheap: footer only, no data)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_schema(path).field("ts").type.unit
+    except Exception:
+        return "us"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -85,10 +85,11 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.ts is stored as parquet timestamp[ns], which Spark cannot read as
-# TimestampType; it is read as raw nanos (int64) and converted to a
-# microsecond timestamp in io.read_table (integer division, matching
-# DuckDB's ns→us truncation).
+# events.ts fixtures have shipped as both parquet timestamp[ns] and
+# timestamp[us] across driver rounds. io.read_table sniffs the footer:
+# ns files are read with this raw int64 schema and converted via integer
+# division (matching DuckDB's ns→us truncation); us files use the plain
+# EVENTS schema below.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -20,23 +20,33 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW
+from ..schemas import EVENTS, EVENTS_RAW
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events parquet (same ns→µs conversion
-    as io.read_table)."""
+    """File-source stream over the events parquet (same ts-unit sniffing
+    as io.read_table: ns fixtures read as raw int64 + integer division,
+    us fixtures read natively — a streaming schema is static, so the
+    unit is resolved once at plan-build time from the footer)."""
+    import os
+
+    from ..io import events_ts_unit
+
+    is_ns = (
+        events_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns"
+    )
     reader = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(EVENTS_RAW if is_ns else EVENTS)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    out = reader.parquet(sf_dir)
+    if is_ns:
+        out = out.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return out
 
 
 def tumbling_counts(
