@@ -269,6 +269,85 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    hash_fn: str = "murmur3",
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an already-indexed
+    corpus — the production shape of continuous ingestion dedup: the
+    index side's banded signatures are computed once (in practice stored
+    as the dedup index) and the join is new-bands ⋈ index-bands only.
+    Never index×index, so per-batch cost scales with the batch, not the
+    corpus. Output: (new_doc, index_doc, est_jaccard).
+
+    Extends the reference's whole-corpus identity checksum
+    (internal/migration/migration.go:19-23) to the streaming-ingest case;
+    same banded-LSH machinery as minhash_lsh_pairs."""
+    rows = num_hashes // bands
+    sig_new = minhash_signatures(new_docs, content_col, id_col, num_hashes, n, hash_fn)
+    sig_idx = minhash_signatures(index_docs, content_col, id_col, num_hashes, n, hash_fn)
+
+    def banded(sig: DataFrame) -> DataFrame:
+        if hash_fn == "md5":
+            sig = sig.select(
+                "*",
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    ).alias(f"bhx{b}")
+                    for b in range(bands)
+                ],
+            )
+            key = lambda b: F.expr(signed64_from_hex_sql(f"bhx{b}"))
+        else:
+            key = lambda b: F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+        structs = F.array(
+            *[
+                F.struct(F.lit(b).alias("band_id"), key(b).alias("band_hash"))
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            "doc",
+            *[F.col(f"h{i}") for i in range(num_hashes)],
+            F.explode(structs).alias("band"),
+        ).select(
+            "doc", "band.band_id", "band.band_hash",
+            *[f"h{i}" for i in range(num_hashes)],
+        )
+
+    left = banded(sig_new).alias("a")
+    right = banded(sig_idx).alias("b")
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .select(
+            F.col("a.doc").alias("new_doc"),
+            F.col("b.doc").alias("index_doc"),
+            *[
+                (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"eq{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .dropDuplicates(["new_doc", "index_doc"])
+    )
+    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(num_hashes)
+    return candidates.select(
+        "new_doc", "index_doc", est.cast("double").alias("est_jaccard")
+    )
+
+
 def simhash64(
     df: DataFrame,
     content_col: str = "text",

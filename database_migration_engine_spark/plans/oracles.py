@@ -1877,3 +1877,60 @@ SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
     FROM scored
 ) WHERE rnk <= 5 ORDER BY qid, rnk
 """
+
+
+ORACLES["dedup_incremental"] = f"""
+WITH new_docs AS (
+    SELECT doc_id AS doc, text FROM documents WHERE doc_id >= 400
+),
+index_docs AS (
+    SELECT doc_id AS doc, text FROM documents WHERE doc_id < 400
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc, text FROM documents WHERE doc_id >= 400
+),
+corpus AS (
+    SELECT 'n' AS side, doc, text FROM new_docs
+    UNION ALL
+    SELECT 'i' AS side, doc, text FROM index_docs
+),
+toks AS (SELECT side, doc, {TX.sql_tokens("text")} AS t FROM corpus),
+sh AS (
+    SELECT side, doc, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [] END) AS shingle
+    FROM toks
+),
+shx AS (SELECT side, doc, md5(shingle) AS shex FROM sh),
+seeded AS (
+    SELECT side, doc, i, md5(CAST(i AS VARCHAR) || ':' || shex) AS hx
+    FROM shx CROSS JOIN range(32) r(i)
+),
+sigs AS (
+    SELECT side, doc, i, MIN({_s64('hx')}) AS h
+    FROM seeded GROUP BY side, doc, i
+),
+bandraw AS (
+    SELECT side, doc, CAST(i // 4 AS INTEGER) AS band_id,
+           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bhx
+    FROM sigs GROUP BY side, doc, i // 4
+),
+bands AS (
+    SELECT side, doc, band_id, {_s64('bhx')} AS band_hash FROM bandraw
+),
+cand AS (
+    SELECT DISTINCT a.doc AS new_doc, b.doc AS index_doc
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.side = 'n' AND b.side = 'i'
+)
+SELECT c.new_doc, c.index_doc,
+       CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS DOUBLE) / 32
+           AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.side = 'n' AND sa.doc = c.new_doc
+JOIN sigs sb ON sb.side = 'i' AND sb.doc = c.index_doc AND sb.i = sa.i
+GROUP BY c.new_doc, c.index_doc
+ORDER BY new_doc, index_doc
+"""

@@ -976,6 +976,26 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@query("dedup_incremental")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: the newest documents (doc_id >= 400)
+    checked against the already-indexed corpus (doc_id < 400, plus a
+    mirror of the new batch at +1e6 so every new doc has a guaranteed
+    index hit at any scale factor). The banded join touches only
+    new-bands x index-bands — per-batch cost scales with the batch, not
+    the corpus. md5-portable hashes, so the full pipeline hash-matches
+    the oracle."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 400)
+    index = docs.filter(F.col("doc_id") < 400).unionByName(
+        new.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    return DD.minhash_lsh_pairs_incremental(new, index, hash_fn="md5").orderBy(
+        "new_doc", "index_doc"
+    )
+
+
 @query("simhash_fingerprint")
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, oracle-certified since r02 via the

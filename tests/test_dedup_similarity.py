@@ -274,3 +274,28 @@ def test_portable_hash_three_way_parity(spark, duck):
             sb = spark.sql(f"SELECT {bexpr} AS v").collect()[0].v
             db = duck.execute(f"SELECT {bexpr}").fetchone()[0]
             assert sb == db == ((raw >> b) & 1), (s, b)
+
+
+def test_incremental_dedup_finds_all_mirrors(spark):
+    """Every new doc must collide with its exact mirror in the index
+    (identical text → identical signatures → all bands collide), and no
+    index×index pair may appear."""
+    from database_migration_engine_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    new = docs.filter("doc_id >= 450")
+    index = docs.filter("doc_id < 450").unionByName(
+        new.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    pairs = minhash_lsh_pairs_incremental(new, index).collect()
+    mirror_pairs = {
+        (r.new_doc, r.index_doc): r.est_jaccard
+        for r in pairs
+        if r.index_doc == r.new_doc + 1_000_000
+    }
+    new_ids = {r.doc_id for r in new.collect()}
+    assert set(k[0] for k in mirror_pairs) == new_ids
+    assert all(v == 1.0 for v in mirror_pairs.values())
+    assert all(r.new_doc < 1_000_000 for r in pairs)

@@ -91,3 +91,56 @@ def test_partitioned_write_layout_and_pruning(spark, tmpdir):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert one.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_events_ts_unit_sniffing(spark, tmp_path):
+    """r02 regression: the driver has shipped events.ts as both
+    timestamp[ns] and timestamp[us] across rounds. Assuming ns on a us
+    file silently shifts every timestamp to 1970; the reader must sniff
+    the footer and produce identical instants either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_migration_engine_spark.io import events_ts_unit, read_table
+
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    instants_us = [1704067200_000000, 1706659199_999999]  # 2024-01 range
+
+    for unit, scale in (("us", 1), ("ns", 1000)):
+        d = tmp_path / unit
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(base["event_id"], pa.int64()),
+                "ts": pa.array(
+                    [v * scale for v in instants_us], pa.timestamp(unit)
+                ),
+                "user_id": pa.array(base["user_id"], pa.int64()),
+                "event_type": pa.array(base["event_type"]),
+                "value": pa.array(base["value"], pa.float64()),
+                "props": pa.array(base["props"]),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        assert events_ts_unit(str(d / "events.parquet")) == unit
+        rows = {
+            r.event_id: r.ts
+            for r in read_table(spark, str(d), "events").collect()
+        }
+        got_exact = [
+            rows[i].replace(tzinfo=None) for i in (1, 2)
+        ]
+        import datetime
+
+        want = [
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=v)
+            for v in instants_us
+        ]
+        assert got_exact == want, (unit, got_exact, want)
