@@ -1731,12 +1731,12 @@ seeded AS (
     FROM shx CROSS JOIN range(32) r(i)
 ),
 sigs AS (
-    SELECT doc, i, MIN({_s64('hx')}) AS h
+    SELECT doc, i, MIN(substr(hx, 1, 16)) AS h
     FROM seeded GROUP BY doc, i
 ),
 bandraw AS (
     SELECT doc, CAST(i // 4 AS INTEGER) AS band_id,
-           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bhx
+           md5(string_agg(h, ',' ORDER BY i)) AS bhx
     FROM sigs GROUP BY doc, i // 4
 ),
 bands AS (
@@ -1908,12 +1908,12 @@ seeded AS (
     FROM shx CROSS JOIN range(32) r(i)
 ),
 sigs AS (
-    SELECT side, doc, i, MIN({_s64('hx')}) AS h
+    SELECT side, doc, i, MIN(substr(hx, 1, 16)) AS h
     FROM seeded GROUP BY side, doc, i
 ),
 bandraw AS (
     SELECT side, doc, CAST(i // 4 AS INTEGER) AS band_id,
-           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bhx
+           md5(string_agg(h, ',' ORDER BY i)) AS bhx
     FROM sigs GROUP BY side, doc, i // 4
 ),
 bands AS (
