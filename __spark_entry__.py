@@ -34,6 +34,9 @@ _RECHECK_FIRST = [
     "dedup_embedding",
     "dedup_near_minhash",
     "simhash_fingerprint",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "dedup_incremental",
 ]
 _CHECKED_R01 = [
     "revenue_agg", "topk_orders", "region_rollup", "window_rank",
