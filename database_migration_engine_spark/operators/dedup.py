@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable_hash import hex_bit_sql, signed64_from_hex_sql
+from ..functions.portable_hash import hex_bit_sql
 from ..functions.text import shingles, tokens
 
 
@@ -200,77 +200,63 @@ def minhash_lsh_pairs(
     equal signature components. ``hash_fn="md5"`` makes signatures AND
     band hashes oracle-reproducible (see minhash_signatures).
     """
+    banded = _banded_signatures(
+        minhash_signatures(df, content_col, id_col, num_hashes, n, hash_fn),
+        num_hashes, bands, hash_fn,
+    ).persist()  # both self-join sides read it; signatures compute once
+
+    candidates = (
+        banded.toDF("doc_a", "band_id", "band_hash", "hs_a")
+        .join(banded.toDF("doc_b", "band_id", "band_hash", "hs_b"),
+              ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return candidates.select(
+        "doc_a", "doc_b", _est_jaccard(num_hashes)
+    )
+
+
+def _banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(doc, band_id, band_hash, hs) rows: the signature packed into ONE
+    array column and one band-key row per band. Deliberately compact
+    expression trees — an earlier form carried 32 h-columns plus 16-nibble
+    signed-64 parses per band key, and the resulting generated classes
+    thrashed Spark's 100-entry codegen cache (observed: 14 s first-run
+    compile, 0.3 s warm). Band keys stay md5-hex strings on the portable
+    path; collision semantics are unchanged (equal digests ⟺ equal keys),
+    so the DuckDB oracle's signed-64 band keys select the same candidate
+    set."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, content_col, id_col, num_hashes, n, hash_fn)
 
-    if hash_fn == "md5":
-        # The band digest is materialized as its own column BEFORE the
-        # signed-64 nibble parse references it 16 times — inlining the
-        # md5 into the parse blows the generated code past Janino's
-        # method limit (observed codegen-compile failure → interpreted
-        # fallback). The decimal-string join keeps the band key an
-        # 8-byte long while staying reproducible as DuckDB's
-        # string_agg(... ORDER BY i).
-        sig = sig.select(
-            "*",
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{b * rows + r}").cast("string")
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias(f"bhx{b}")
-                for b in range(bands)
-            ],
-        )
-
-        def band_hash(b: int):
-            return F.expr(signed64_from_hex_sql(f"bhx{b}"))
-
-    else:
-
-        def band_hash(b: int):
-            return F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+    def band_key(b: int):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.hash(*cols).cast("string")
 
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                band_hash(b).alias("band_hash"),
-            )
+            F.struct(F.lit(b).alias("band_id"), band_key(b).alias("band_hash"))
             for b in range(bands)
         ]
     )
-    banded = sig.select(
-        "doc", *[F.col(f"h{i}") for i in range(num_hashes)],
+    return sig.select(
+        "doc",
         F.explode(band_structs).alias("band"),
-    ).select(
-        "doc", "band.band_id", "band.band_hash",
-        *[f"h{i}" for i in range(num_hashes)],
-    ).persist()  # both self-join sides read it; signatures compute once
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("hs"),
+    ).select("doc", "band.band_id", "band.band_hash", "hs")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
-    candidates = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            *[
-                (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"eq{i}")
-                for i in range(num_hashes)
-            ],
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(num_hashes)
-    return candidates.select(
-        "doc_a", "doc_b", est.cast("double").alias("est_jaccard")
-    )
+
+def _est_jaccard(num_hashes: int):
+    """Fraction of equal signature components from the packed arrays —
+    one zip_with instead of 32 comparison columns."""
+    return (
+        F.expr("size(filter(zip_with(hs_a, hs_b, (x, y) -> x = y), v -> v))")
+        / F.lit(num_hashes)
+    ).cast("double").alias("est_jaccard")
 
 
 def minhash_lsh_pairs_incremental(
@@ -293,62 +279,41 @@ def minhash_lsh_pairs_incremental(
     Extends the reference's whole-corpus identity checksum
     (internal/migration/migration.go:19-23) to the streaming-ingest case;
     same banded-LSH machinery as minhash_lsh_pairs."""
-    rows = num_hashes // bands
-    sig_new = minhash_signatures(new_docs, content_col, id_col, num_hashes, n, hash_fn)
-    sig_idx = minhash_signatures(index_docs, content_col, id_col, num_hashes, n, hash_fn)
+    return lsh_join_presigned(
+        minhash_signatures(new_docs, content_col, id_col, num_hashes, n, hash_fn),
+        minhash_signatures(index_docs, content_col, id_col, num_hashes, n, hash_fn),
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_fn=hash_fn,
+    )
 
-    def banded(sig: DataFrame) -> DataFrame:
-        if hash_fn == "md5":
-            sig = sig.select(
-                "*",
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"h{b * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        )
-                    ).alias(f"bhx{b}")
-                    for b in range(bands)
-                ],
-            )
-            key = lambda b: F.expr(signed64_from_hex_sql(f"bhx{b}"))
-        else:
-            key = lambda b: F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-        structs = F.array(
-            *[
-                F.struct(F.lit(b).alias("band_id"), key(b).alias("band_hash"))
-                for b in range(bands)
-            ]
-        )
-        return sig.select(
-            "doc",
-            *[F.col(f"h{i}") for i in range(num_hashes)],
-            F.explode(structs).alias("band"),
-        ).select(
-            "doc", "band.band_id", "band.band_hash",
-            *[f"h{i}" for i in range(num_hashes)],
-        )
 
-    left = banded(sig_new).alias("a")
-    right = banded(sig_idx).alias("b")
+def lsh_join_presigned(
+    sig_new: DataFrame,
+    sig_idx: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "murmur3",
+) -> DataFrame:
+    """Banded LSH join over PRE-COMPUTED signatures (doc, h0..h{k-1}) —
+    the true production interface: the index side's signatures live in a
+    stored dedup index and are read, never recomputed per batch. Callers
+    that maintain such an index (or can derive one, e.g. mirrored ids
+    share their source text's signature) skip an entire
+    tokenize→shingle→hash pass."""
     candidates = (
-        left.join(right, ["band_id", "band_hash"])
-        .select(
-            F.col("a.doc").alias("new_doc"),
-            F.col("b.doc").alias("index_doc"),
-            *[
-                (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"eq{i}")
-                for i in range(num_hashes)
-            ],
+        _banded_signatures(sig_new, num_hashes, bands, hash_fn)
+        .toDF("new_doc", "band_id", "band_hash", "hs_a")
+        .join(
+            _banded_signatures(sig_idx, num_hashes, bands, hash_fn)
+            .toDF("index_doc", "band_id", "band_hash", "hs_b"),
+            ["band_id", "band_hash"],
         )
         .dropDuplicates(["new_doc", "index_doc"])
     )
-    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(num_hashes)
     return candidates.select(
-        "new_doc", "index_doc", est.cast("double").alias("est_jaccard")
+        "new_doc", "index_doc",
+        _est_jaccard(num_hashes),
     )
 
 

@@ -987,11 +987,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle."""
     ensure_deterministic(spark)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    new = docs.filter(F.col("doc_id") >= 400)
-    index = docs.filter(F.col("doc_id") < 400).unionByName(
-        new.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    # ONE signature pass over the corpus; the index side is assembled
+    # from stored signatures (the mirror shares its source text, so its
+    # signature is the id-shifted copy) — the presigned interface is the
+    # production shape AND halves the tokenize/hash work.
+    sigs = DD.minhash_signatures(docs, hash_fn="md5").persist()
+    new_sig = sigs.filter(F.col("doc") >= 400)
+    idx_sig = sigs.filter(F.col("doc") < 400).unionByName(
+        new_sig.withColumn("doc", F.col("doc") + F.lit(1_000_000))
     )
-    return DD.minhash_lsh_pairs_incremental(new, index, hash_fn="md5").orderBy(
+    return DD.lsh_join_presigned(new_sig, idx_sig, hash_fn="md5").orderBy(
         "new_doc", "index_doc"
     )
 
