@@ -1934,3 +1934,54 @@ JOIN sigs sb ON sb.side = 'i' AND sb.doc = c.index_doc AND sb.i = sa.i
 GROUP BY c.new_doc, c.index_doc
 ORDER BY new_doc, index_doc
 """
+
+
+ORACLES["similarity_incremental"] = f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+newv AS (SELECT vec_id, v, nrm FROM base WHERE vec_id >= 400),
+p AS (
+    SELECT vec_id, v, nrm FROM base WHERE vec_id < 400
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, v, nrm FROM newv
+),
+ckeys AS (
+    SELECT vec_id, {_ann_bucket_sql(0)} AS bucket FROM p
+    UNION ALL
+    SELECT vec_id, {_ann_bucket_sql(1)} AS bucket FROM p
+),
+qbase AS (
+    SELECT vec_id, {_ann_bucket_sql(0)} AS bucket FROM newv
+    UNION ALL
+    SELECT vec_id, {_ann_bucket_sql(1)} AS bucket FROM newv
+),
+qkeys AS (
+    SELECT vec_id, bucket FROM qbase
+    UNION ALL
+    SELECT vec_id,
+           bucket + CASE WHEN bucket % 2 = 0 THEN 1 ELSE -1 END AS bucket
+    FROM qbase
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+    FROM qkeys q JOIN ckeys c USING (bucket)
+    WHERE c.vec_id != q.vec_id
+),
+scored AS (
+    SELECT c.qid, c.nid,
+           list_dot_product(pq.v, pn.v) / (pq.nrm * pn.nrm) AS cos_sim
+    FROM cand c
+    JOIN newv pq ON pq.vec_id = c.qid
+    JOIN p pn ON pn.vec_id = c.nid
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT qid, nid, cos_sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 5 ORDER BY qid, rnk
+"""

@@ -1125,6 +1125,29 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+@query("similarity_incremental")
+def similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion similarity: the newest vectors (vec_id >= 400)
+    retrieve their top-5 neighbors from the already-indexed corpus
+    (vec_id < 400, plus a mirror of the new batch at +1e6 so every new
+    vector has a guaranteed exact hit). Same LSH sign-bucket machinery as
+    similarity_ann_lsh with md5-literal hyperplanes, so the full pipeline
+    hash-matches the oracle. The batch-vs-index shape means per-batch
+    cost scales with the batch, not the corpus — the ANN twin of
+    dedup_incremental."""
+    from ..functions.portable_hash import lsh_component
+
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") >= 400)
+    index = emb.filter(F.col("vec_id") < 400).unionByName(
+        new.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    return SIM.ann_lsh_topk(
+        index, new, k=5, num_bits=8, num_probes=1, components=lsh_component
+    ).orderBy("qid", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins, distribution statistics, graph clustering (round 2).
 # ---------------------------------------------------------------------------

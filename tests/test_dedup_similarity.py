@@ -299,3 +299,16 @@ def test_incremental_dedup_finds_all_mirrors(spark):
     assert set(k[0] for k in mirror_pairs) == new_ids
     assert all(v == 1.0 for v in mirror_pairs.values())
     assert all(r.new_doc < 1_000_000 for r in pairs)
+
+
+def test_similarity_incremental_top1_is_mirror(spark):
+    """Each new vector's rank-1 neighbor in the index must be its exact
+    mirror (identical vector → maximal cosine)."""
+    from database_migration_engine_spark.plans import QUERIES
+
+    rows = QUERIES["similarity_incremental"](spark, SF_DIR).collect()
+    top1 = {r.qid: r for r in rows if r.rnk == 1}
+    assert top1, "no results"
+    for qid, r in top1.items():
+        assert r.nid == qid + 1_000_000, (qid, r.nid)
+        assert r.cos_sim > 0.999999
