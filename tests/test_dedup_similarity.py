@@ -312,3 +312,30 @@ def test_similarity_incremental_top1_is_mirror(spark):
     for qid, r in top1.items():
         assert r.nid == qid + 1_000_000, (qid, r.nid)
         assert r.cos_sim > 0.999999
+
+
+def test_portable_hash_property_random_strings(duck):
+    """Property check (hypothesis): for arbitrary text, the dialect-
+    neutral signed-64 parse equals Python's int(md5[:16], 16) reinterpret
+    — DuckDB evaluates the same SQL Spark would, so one engine suffices
+    for the property sweep (the three-way test pins Spark on samples)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from database_migration_engine_spark.functions.portable_hash import (
+        signed64_from_hex_sql,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def check(s):
+        lit = "'" + s.replace("'", "''") + "'"
+        duck_v = duck.execute(
+            f"SELECT {signed64_from_hex_sql(f'md5({lit})')}"
+        ).fetchone()[0]
+        raw = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+        assert duck_v == (raw - (1 << 64) if raw >= (1 << 63) else raw)
+
+    check()
