@@ -213,3 +213,39 @@ def test_dataframe_write_read_ping_roundtrip(spark, derby_url):
     derby_probe = "SELECT 1 AS ping FROM SYSIBM.SYSDUMMY1"
     assert J.ping(spark, derby_url, probe=derby_probe) is True
     assert J.ping(spark, "jdbc:derby:/nonexistent/nope", probe=derby_probe) is False
+
+
+def test_cli_apply_status_against_live_derby(spark, tmp_path, capsys):
+    """The CLI product surface end-to-end against a real JDBC endpoint:
+    apply a migrations dir to embedded Derby via --database-url semantics
+    (Config.database_url), then verify the schema object exists and
+    status reports the applied version."""
+    import argparse
+
+    from database_migration_engine_spark import cli
+    from database_migration_engine_spark import config as cfg
+
+    d = tmp_path / "migs"
+    d.mkdir()
+    (d / "V001_create_widgets.up.sql").write_text(
+        "CREATE TABLE widgets (id INT PRIMARY KEY)"
+    )
+    (d / "V001_create_widgets.down.sql").write_text("DROP TABLE widgets")
+
+    url = f"jdbc:derby:{tmp_path}/clidb;create=true"
+    conf = cfg.Config(
+        migrations_dir=str(d),
+        ledger_path=str(tmp_path / "ledger"),
+        database_url=url,
+    )
+    rc = cli.cmd_apply(
+        spark, conf,
+        argparse.Namespace(dry_run=False, force=False, echo=False),
+    )
+    assert rc == 0
+    assert _table_exists(spark, url, "widgets")
+
+    rc = cli.cmd_status(spark, conf, argparse.Namespace())
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "001" in out
