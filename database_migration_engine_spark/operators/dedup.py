@@ -340,10 +340,29 @@ def simhash64(
         F.col(id_col).alias("doc"), F.explode(tokens(content_col)).alias("tok")
     )
     if hash_fn == "md5":
-        tok = tok.withColumn("thx", F.md5("tok"))
+        # nibbles materialize ONCE per token (16 substr/instr), then each
+        # bit probe is 3 integer ops — the per-bit hex_bit_sql form
+        # re-parsed its nibble inside all 64 aggregates (4× the parsing
+        # and much larger generated code; see the codegen-cache note in
+        # SCALE.md)
+        tok = tok.withColumn("thx", F.md5("tok")).select(
+            "doc",
+            *[
+                F.expr(
+                    f"instr('0123456789abcdef', substr(thx, {c}, 1)) - 1"
+                ).alias(f"nib{c}")
+                for c in range(1, 17)
+            ],
+        )
         bit_sums = [
             F.sum(
-                F.when(F.expr(hex_bit_sql("thx", b)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.expr(
+                        f"(nib{16 - b // 4} div {2 ** (b % 4)}) % 2"
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(64)
         ]
