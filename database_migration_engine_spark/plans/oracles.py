@@ -1985,3 +1985,42 @@ SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
     FROM scored
 ) WHERE rnk <= 5 ORDER BY qid, rnk
 """
+
+
+ORACLES["contamination_check"] = f"""
+WITH tk AS (
+    SELECT doc_id, {TX.sql_tokens("text")} AS t FROM documents
+),
+esh AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [] END) AS shingle
+    FROM tk WHERE doc_id >= 480
+),
+csh AS (
+    SELECT DISTINCT unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [] END) AS shingle
+    FROM tk WHERE doc_id < 480
+),
+hits AS (
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(c.shingle) AS n_contaminated
+    FROM esh e LEFT JOIN csh c USING (shingle)
+    GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shingles, 0) AS n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN COALESCE(h.n_shingles, 0) > 0
+            THEN CAST(h.n_contaminated AS DOUBLE) / h.n_shingles
+            ELSE 0.0 END AS contamination_rate
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 480) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""

@@ -1001,6 +1001,49 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("contamination_check")
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: for each held-out document (doc_id >=
+    480), the fraction of its distinct 3-gram shingles that also appear
+    anywhere in the training corpus (doc_id < 480) — the standard
+    benchmark-leakage screen an LLM data pipeline runs before training.
+    Shape at 100 TB: distinct corpus shingles via hash-groupBy, then one
+    shingle equi-join against the (small) eval side — broadcast the eval
+    shingles; a bloom filter over corpus shingles is the cheaper screen
+    when only the rate matters."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    def doc_shingles(df):
+        return df.select(
+            "doc_id", TX.tokens("text").alias("toks")
+        ).select(
+            "doc_id", F.explode_outer(TX.shingles("toks", 3)).alias("shingle")
+        )
+    eval_sh = doc_shingles(docs.filter(F.col("doc_id") >= 480))
+    corpus_sh = (
+        doc_shingles(docs.filter(F.col("doc_id") < 480))
+        .filter(F.col("shingle").isNotNull())
+        .select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_sh.join(corpus_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_contaminated") / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)).cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("simhash_fingerprint")
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, oracle-certified since r02 via the

@@ -339,3 +339,15 @@ def test_portable_hash_property_random_strings(duck):
         assert duck_v == (raw - (1 << 64) if raw >= (1 << 63) else raw)
 
     check()
+
+
+def test_contamination_self_is_total(spark):
+    """A document screened against a corpus that contains it verbatim
+    must read 100% contaminated; against a disjoint corpus, ~0%."""
+    from database_migration_engine_spark.plans import QUERIES
+
+    rows = QUERIES["contamination_check"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r.contamination_rate <= 1.0
+        assert r.n_contaminated <= r.n_shingles
