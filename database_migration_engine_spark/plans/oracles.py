@@ -2024,3 +2024,32 @@ FROM (SELECT doc_id FROM documents WHERE doc_id >= 480) d
 LEFT JOIN hits h USING (doc_id)
 ORDER BY doc_id
 """
+
+
+ORACLES["suppliers_kept_waiting"] = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > TIMESTAMP '1997-06-30' AS late
+    FROM lineitem
+),
+per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+    FROM li GROUP BY l_orderkey
+),
+target AS (
+    SELECT l_orderkey FROM per_order
+    WHERE n_supp >= 2 AND n_late_supp = 1
+),
+late_supp AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM target t
+JOIN late_supp ls USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""

@@ -1834,6 +1834,48 @@ def orders_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("suppliers_kept_waiting")
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H Q21 semantics on the fixture's columns: suppliers who
+    were the SOLE late shipper (l_shipdate past the cutoff) on
+    multi-supplier orders — per order, >= 2 distinct suppliers total and
+    exactly 1 distinct late supplier; count such orders per supplier,
+    top 10 by numwait. The per-order exists/not-exists pair collapses to
+    one aggregation (two conditional COUNT DISTINCTs) instead of two
+    correlated self-joins — same result, one shuffle on orderkey, then a
+    broadcast-sized supplier join."""
+    ensure_deterministic(spark)
+    cutoff = F.lit("1997-06-30").cast("timestamp")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", (F.col("l_shipdate") > cutoff).alias("late")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    target = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    late_supp = (
+        li.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    )
+    supplier = read_table(spark, sf_dir, "supplier")
+    return (
+        target.join(late_supp, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
 @query("rich_idle_customers")
 def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + anti-join (TPC-H Q22 shape): customers whose
