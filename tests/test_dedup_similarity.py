@@ -328,8 +328,17 @@ def test_portable_hash_property_random_strings(duck):
         signed64_from_hex_sql,
     )
 
+    # NUL cannot ride inside a SQL string literal (the parser stops at
+    # the C-string terminator) — a harness limitation only: production
+    # md5 runs over column values, which carry NULs fine.
     @settings(max_examples=60, deadline=None)
-    @given(st.text(min_size=0, max_size=40))
+    @given(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x00"),
+            min_size=0,
+            max_size=40,
+        )
+    )
     def check(s):
         lit = "'" + s.replace("'", "''") + "'"
         duck_v = duck.execute(
