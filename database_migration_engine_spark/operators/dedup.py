@@ -226,9 +226,10 @@ def _banded_signatures(
     signed-64 parses per band key, and the resulting generated classes
     thrashed Spark's 100-entry codegen cache (observed: 14 s first-run
     compile, 0.3 s warm). Band keys stay md5-hex strings on the portable
-    path; collision semantics are unchanged (equal digests ⟺ equal keys),
-    so the DuckDB oracle's signed-64 band keys select the same candidate
-    set."""
+    path; the DuckDB oracle joins on the same full hex digests, so both
+    engines select identical candidate sets by construction (r03: the
+    oracle previously parsed a signed-64 prefix of the digest, which was
+    equivalent only up to 64-bit prefix collisions — ADVICE r02)."""
     rows = num_hashes // bands
 
     def band_key(b: int):

@@ -243,7 +243,9 @@ def lsh_signature_keys(
             )
             keys = sig + table_tag
             variants = [keys]
-            for p in range(num_probes):
+            # clamp: a probe index >= num_bits would flip table-tag bits
+            # and alias buckets across tables (ADVICE r02)
+            for p in range(min(num_probes, num_bits)):
                 variants.append(keys ^ (1 << p))
             allk = np.concatenate(variants, axis=1)
             out = {
@@ -269,6 +271,7 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    components=None,
 ) -> DataFrame:
     """Embedding near-dup pairs through LSH bucketing: every vector lands
     in its sign-bucket (plus ``num_probes`` one-bit-away probe buckets)
@@ -295,13 +298,33 @@ def lsh_near_dup_pairs(
 
     Reference anchor: reference has no ANN operator; this serves the
     LLM-pipeline dedup mandate (embedding-cosine near-dup at scale).
+
+    With ``components`` (a callable ``(table, bit, dim) -> float``, e.g.
+    ``portable_hash.lsh_component``) the hyperplanes are md5-derived
+    literals instead of numpy-seeded normals, so a SQL oracle can rebuild
+    the exact same buckets, probes, and candidate set — the correctness
+    gate becomes structural equality instead of recall-dependent
+    (ADVICE r02). Exact recall vs the all-pairs kernel is re-verified for
+    this hyperplane family too (tests/test_dedup_similarity.py).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rng = np.random.default_rng(seed)
-    hyperplanes = rng.standard_normal((num_tables, num_bits, dim))
+    if components is not None:
+        hyperplanes = np.array(
+            [
+                [
+                    [components(t, b, d) for d in range(dim)]
+                    for b in range(num_bits)
+                ]
+                for t in range(num_tables)
+            ],
+            dtype=np.float64,
+        )
+    else:
+        rng = np.random.default_rng(seed)
+        hyperplanes = rng.standard_normal((num_tables, num_bits, dim))
 
     # both sides of every potential pair materialize in the same bucket
     # row-set: base keys always, probe keys too (probing both sides can

@@ -665,19 +665,9 @@ FROM catalog c LEFT JOIN counts n ON c.rule = n.rule
 ORDER BY c.rule
 """
 
-ORACLES["dedup_embedding"] = """
-WITH p AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                 CAST(embedding AS DOUBLE[]))) AS nrm
-    FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
-FROM p a JOIN p b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
-ORDER BY id_a, id_b
-"""
+# ORACLES["dedup_embedding"] is defined in the LSH section below (r03):
+# it rebuilds the query's md5-literal sign buckets instead of scanning
+# all pairs, so the candidate set is structurally identical (ADVICE r02).
 
 # Streaming session_window twin: the batch gap-sessionizer definition
 # without the per-user sequence number (undefined in the streaming form).
@@ -1679,9 +1669,6 @@ ORDER BY prev_type, next_type
 # promoting both queries from rows-only to full hash-match checks.
 
 from ..functions.portable_hash import hex_bit_sql as _hex_bit  # noqa: E402
-from ..functions.portable_hash import (  # noqa: E402
-    signed64_from_hex_sql as _s64,
-)
 
 _SIMHASH_BITS = ",\n       ".join(
     f"SUM(CASE WHEN {_hex_bit('thx', b)} = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1740,7 +1727,7 @@ bandraw AS (
     FROM sigs GROUP BY doc, i // 4
 ),
 bands AS (
-    SELECT doc, band_id, {_s64('bhx')} AS band_hash FROM bandraw
+    SELECT doc, band_id, bhx AS band_hash FROM bandraw
 ),
 cand AS (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
@@ -1879,6 +1866,67 @@ SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+# --- dedup_embedding (r03): structurally identical LSH gate ---------------
+# The query's hyperplanes are md5-derived literals (lsh_component), so the
+# oracle rebuilds the SAME sign buckets (6 bits × 24 tables), applies the
+# SAME 4 one-bit probes to every vector (both sides probe), equi-joins on
+# bucket key, and scores candidates with sequential-fold cosine. No recall
+# assumption anywhere — query and oracle enumerate the same candidate set
+# by construction (ADVICE r02 medium).
+
+_EMB_BITS, _EMB_TABLES, _EMB_PROBES, _EMB_DIM = 6, 24, 4, 64
+
+
+def _emb_bucket_sql(table: int) -> str:
+    bit_terms = []
+    for b in range(_EMB_BITS):
+        comps = ", ".join(repr(_lshc(table, b, d)) for d in range(_EMB_DIM))
+        proj = f"list_dot_product(v, [{comps}])"
+        bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return f"({' + '.join(bit_terms)} + {table << _EMB_BITS})"
+
+
+def _emb_probe_arm(p: int) -> str:
+    """Flip bit p of the bucket key with dialect-neutral arithmetic."""
+    w = 1 << p
+    return (
+        "SELECT vec_id, bucket + CASE WHEN (bucket // {w}) % 2 = 0 "
+        "THEN {w} ELSE -{w} END AS bucket FROM base_keys".format(w=w)
+    )
+
+
+ORACLES["dedup_embedding"] = f"""
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+base_keys AS (
+    {" UNION ALL ".join(
+        f"SELECT vec_id, {_emb_bucket_sql(t)} AS bucket FROM p"
+        for t in range(_EMB_TABLES)
+    )}
+),
+all_keys AS (
+    SELECT vec_id, bucket FROM base_keys
+    {"".join(" UNION ALL " + _emb_probe_arm(pr) for pr in range(_EMB_PROBES))}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM all_keys a JOIN all_keys b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       list_dot_product(pa.v, pb.v) / (pa.nrm * pb.nrm) AS cos_sim
+FROM cand c
+JOIN p pa ON pa.vec_id = c.id_a
+JOIN p pb ON pb.vec_id = c.id_b
+WHERE list_dot_product(pa.v, pb.v) / (pa.nrm * pb.nrm) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 ORACLES["dedup_incremental"] = f"""
 WITH new_docs AS (
     SELECT doc_id AS doc, text FROM documents WHERE doc_id >= 400
@@ -1917,7 +1965,7 @@ bandraw AS (
     FROM sigs GROUP BY side, doc, i // 4
 ),
 bands AS (
-    SELECT side, doc, band_id, {_s64('bhx')} AS band_hash FROM bandraw
+    SELECT side, doc, band_id, bhx AS band_hash FROM bandraw
 ),
 cand AS (
     SELECT DISTINCT a.doc AS new_doc, b.doc AS index_doc

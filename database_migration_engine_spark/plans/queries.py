@@ -1124,13 +1124,19 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), scale-gated per
     VERDICT.md r01: candidates come from LSH sign-bucket equi-joins
-    (seeded hyperplanes, multi-probe), exact cosine runs only on candidate
-    pairs, and pytest asserts the pair set is identical to the all-pairs
-    kernel at every fixture SF. The all-pairs Arrow kernel survives as the
-    pytest-only recall baseline."""
+    (multi-probe), exact cosine runs only on candidate pairs. Since r03
+    the hyperplanes are md5-derived literals (portable_hash.lsh_component)
+    so the DuckDB oracle rebuilds the identical buckets and candidate set
+    — query and oracle are structurally identical, not recall-dependent
+    (ADVICE r02). Exact recall vs the all-pairs kernel remains
+    pytest-asserted at every fixture SF."""
+    from ..functions.portable_hash import lsh_component
+
     ensure_deterministic(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    return SIM.lsh_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return SIM.lsh_near_dup_pairs(
+        emb, threshold=0.4, components=lsh_component
+    ).orderBy("id_a", "id_b")
 
 
 @query("similarity_ivf")
