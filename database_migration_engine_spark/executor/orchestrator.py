@@ -20,12 +20,14 @@ inside one with lock_timeout/statement_timeout set
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import tempfile
 import time
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -221,6 +223,33 @@ class ParquetLedger:
         os.replace(tmp, self._token_path)
         return token
 
+    @contextmanager
+    def _fence_critical_section(self):
+        """Serialize check-fence → rename-swap → rotate-token across
+        writers with a blocking flock on a DEDICATED lock file that is
+        never replaced (flock follows the inode, so locking the token
+        file itself would race with its own os.replace rotation). This
+        closes the read-compare-then-rename window ADVICE r02 flagged:
+        two writers can no longer both pass _check_fence() before either
+        rotates. On filesystems without flock (some NFS mounts) this
+        degrades to the unserialized path — the fence then still detects
+        the common lost-lock case, with the original residual window."""
+        lock_path = self._token_path + ".lock"
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        except OSError:
+            yield
+            return
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except OSError:
+                yield
+                return
+            yield
+        finally:
+            os.close(fd)  # releases the flock if held
+
     def acquire_fence(self) -> str:
         """Observe (creating if absent) the current fencing token. Must be
         called after taking whatever lock the host offers and before the
@@ -335,16 +364,17 @@ class ParquetLedger:
         tmp = os.path.join(
             tempfile.mkdtemp(dir=parent), f"ledger-{uuid.uuid4().hex}"
         )
-        # write the replacement BEFORE the fence check so the vulnerable
-        # window is only the rename pair, then refuse if the token moved
+        # write the replacement BEFORE entering the critical section so
+        # the serialized region is only check-fence → rename → rotate
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self._check_fence()
         old = self.path + f".old-{uuid.uuid4().hex}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if self._held_token is not None:
-            self._held_token = self._rotate_token()
+        with self._fence_critical_section():
+            self._check_fence()
+            if os.path.exists(self.path):
+                os.rename(self.path, old)
+            os.rename(tmp, self.path)
+            if self._held_token is not None:
+                self._held_token = self._rotate_token()
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)

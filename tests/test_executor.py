@@ -237,6 +237,93 @@ def test_fencing_token_two_writer_race_refused(spark, tmp_path):
     assert {r.version for r in a.applied().collect()} == {"001", "002"}
 
 
+def test_fence_critical_section_mutual_exclusion(spark, tmp_path):
+    """check-fence → rename → rotate runs under a flock on a dedicated
+    lock file (r03): two writers can no longer both pass _check_fence()
+    before either rotates the token. Proven here by contending the
+    critical section from two threads (flock is per open-file-description,
+    so same-process threads contend exactly like two hosts on shared
+    storage)."""
+    import threading
+
+    from database_migration_engine_spark.executor.orchestrator import (
+        ParquetLedger,
+    )
+
+    led = ParquetLedger(spark, str(tmp_path / "ledger"))
+    order: list[str] = []
+    a_entered = threading.Event()
+    release_a = threading.Event()
+
+    def hold_a():
+        with led._fence_critical_section():
+            a_entered.set()
+            release_a.wait(10)
+            order.append("a")
+
+    def try_b():
+        assert a_entered.wait(10)
+        with led._fence_critical_section():
+            order.append("b")
+
+    ta = threading.Thread(target=hold_a, daemon=True)
+    tb = threading.Thread(target=try_b, daemon=True)
+    ta.start()
+    tb.start()
+    assert a_entered.wait(10)
+    tb.join(timeout=0.5)
+    assert tb.is_alive() and order == []  # b is blocked behind a
+    release_a.set()
+    ta.join(10)
+    tb.join(10)
+    assert order == ["a", "b"]
+
+
+def test_fence_swap_serialized_behind_held_section(spark, tmp_path):
+    """A full ledger swap initiated while another writer holds the
+    critical section completes only after the holder releases — the
+    fence check itself is inside the serialized region, not before it."""
+    import threading
+
+    from database_migration_engine_spark.executor.orchestrator import (
+        ParquetLedger,
+    )
+
+    path = str(tmp_path / "ledger")
+    led = ParquetLedger(spark, path)
+    led.acquire_fence()
+    led.ensure()
+
+    holder = ParquetLedger(spark, path)
+    held = threading.Event()
+    release = threading.Event()
+    done = threading.Event()
+
+    def hold():
+        with holder._fence_critical_section():
+            held.set()
+            release.wait(20)
+
+    t = threading.Thread(target=hold, daemon=True)
+    t.start()
+    assert held.wait(10)
+
+    def write():
+        led.record_applied("001", "001_a.up.sql", "a" * 64, 1)
+        done.set()
+
+    w = threading.Thread(target=write, daemon=True)
+    w.start()
+    # give the writer ample time to finish the parquet write and reach
+    # the critical section; it must still be blocked there
+    w.join(timeout=8)
+    assert not done.is_set()
+    release.set()
+    w.join(20)
+    assert done.is_set()
+    assert {r.version for r in led.applied().collect()} == {"001"}
+
+
 def test_fencing_unfenced_ledger_still_single_writer(spark, tmp_path):
     """Without acquire_fence() the ledger behaves exactly as before
     (single-writer contract, no token checks) — backwards compatible."""
