@@ -30,6 +30,7 @@ from .executor.orchestrator import (
     JdbcRunner,
     MigrationError,
     ParquetLedger,
+    PsqlRunner,
 )
 from .session import build_session
 from .sources.migrations import load_from_dir
@@ -87,20 +88,29 @@ def _load_cfg(args: argparse.Namespace) -> cfg.Config:
 
 def _executor(spark, conf: cfg.Config, echo: bool) -> Executor:
     if conf.database_url:
-        # PG is the product target (reference parity); embedded Derby is
-        # the in-process test endpoint and rejects PG's SET *_timeout
-        # syntax, so its session-init list is empty (E7 timeouts are a
-        # PG-dialect safety feature).
-        session_init = (
-            [] if conf.database_url.startswith("jdbc:derby:") else None
-        )
-        runner = JdbcRunner(
-            spark,
-            conf.database_url,
-            lock_timeout_ms=conf.lock_timeout_ms,
-            statement_timeout_ms=conf.statement_timeout_ms,
-            session_init=session_init,
-        )
+        if conf.database_url.startswith(("postgresql://", "postgres://")):
+            # native PG URI → psql client runner (no JDBC jar needed);
+            # psql accepts the URI verbatim as its conninfo argument
+            runner = PsqlRunner(
+                [conf.database_url],
+                lock_timeout_ms=conf.lock_timeout_ms,
+                statement_timeout_ms=conf.statement_timeout_ms,
+            )
+        else:
+            # JDBC URL. PG is the product target (reference parity);
+            # embedded Derby is the in-process test endpoint and rejects
+            # PG's SET *_timeout syntax, so its session-init list is
+            # empty (E7 timeouts are a PG-dialect safety feature).
+            session_init = (
+                [] if conf.database_url.startswith("jdbc:derby:") else None
+            )
+            runner = JdbcRunner(
+                spark,
+                conf.database_url,
+                lock_timeout_ms=conf.lock_timeout_ms,
+                statement_timeout_ms=conf.statement_timeout_ms,
+                session_init=session_init,
+            )
         print(f"database: {cfg.redact_url(conf.database_url)}")
     elif echo:
         runner = CollectingRunner()

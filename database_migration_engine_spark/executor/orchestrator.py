@@ -126,6 +126,20 @@ class CollectingRunner(SQLRunner):
         self.calls.append((sql, in_tx))
 
 
+def pg_session_init(
+    lock_timeout_ms: int = 5000, statement_timeout_ms: int = 30000
+) -> list[str]:
+    """The reference's PostgreSQL safety pair, verbatim
+    (internal/executor/safety.go:14-36, defaults config.go:14-15). The
+    single source of the PG dialect strings — both live runners
+    (JdbcRunner, PsqlRunner) and the dialect-matrix tests build from
+    here, so a drift in either string fails a test."""
+    return [
+        f"SET lock_timeout = '{lock_timeout_ms}ms'",
+        f"SET statement_timeout = '{statement_timeout_ms}ms'",
+    ]
+
+
 class JdbcRunner(SQLRunner):
     """Live-database runner over the JVM DriverManager (requires the JDBC
     driver jar on the Spark classpath). Transactional path sets the
@@ -149,10 +163,7 @@ class JdbcRunner(SQLRunner):
         # dialects (e.g. the embedded Derby target the live tests use)
         # pass their own list — Derby rejects PG's SET syntax.
         if session_init is None:
-            session_init = [
-                f"SET lock_timeout = '{lock_timeout_ms}ms'",
-                f"SET statement_timeout = '{statement_timeout_ms}ms'",
-            ]
+            session_init = pg_session_init(lock_timeout_ms, statement_timeout_ms)
         self.session_init = session_init
 
     def run(self, sql: str, in_tx: bool) -> None:
@@ -174,6 +185,71 @@ class JdbcRunner(SQLRunner):
                 stmt.execute(sql)
         finally:
             conn.close()
+
+
+class PsqlRunner(SQLRunner):
+    """Live PostgreSQL runner over the ``psql`` client binary — the
+    JDBC-free path to a real PG server (the sandbox ships PostgreSQL 15
+    but no JDBC driver jar). Semantics mirror JdbcRunner exactly:
+
+    * ``in_tx=True`` → one psql invocation running
+      ``BEGIN; <pg_session_init…>; <sql>; COMMIT;`` with ON_ERROR_STOP,
+      so the reference's safety timeouts (internal/executor/safety.go:
+      14-36) are set inside the transaction and any failure aborts the
+      open transaction (the server rolls back on disconnect) —
+      the same commit/rollback contract as JdbcRunner's autoCommit=False
+      path (internal/executor/executor.go tx wrapper).
+    * ``in_tx=False`` → the bare statement in autocommit mode, which is
+      what ``CREATE INDEX CONCURRENTLY`` requires
+      (internal/executor/concurrent.go:15-40).
+
+    ``conn_args`` is the psql argument list (e.g. ``["-h", sockdir,
+    "-U", "postgres", "-d", "mydb"]``)."""
+
+    def __init__(
+        self,
+        conn_args: list[str],
+        lock_timeout_ms: int = 5000,
+        statement_timeout_ms: int = 30000,
+        session_init: list[str] | None = None,
+    ):
+        self.conn_args = list(conn_args)
+        self.lock_timeout_ms = lock_timeout_ms
+        self.statement_timeout_ms = statement_timeout_ms
+        if session_init is None:
+            session_init = pg_session_init(lock_timeout_ms, statement_timeout_ms)
+        self.session_init = session_init
+
+    def _psql(self, script: str) -> None:
+        import subprocess
+
+        proc = subprocess.run(
+            ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1", *self.conn_args,
+             "-f", "-"],
+            input=script.encode("utf-8"),
+            capture_output=True,
+        )
+        if proc.returncode != 0:
+            raise MigrationError(
+                proc.stderr.decode("utf-8", "replace").strip()
+                or f"psql exited {proc.returncode}"
+            )
+
+    @staticmethod
+    def _terminated(sql: str) -> str:
+        s = sql.rstrip()
+        return s if s.endswith(";") else s + ";"
+
+    def run(self, sql: str, in_tx: bool) -> None:
+        if in_tx:
+            script = "\n".join(
+                ["BEGIN;"]
+                + [self._terminated(s) for s in self.session_init]
+                + [self._terminated(sql), "COMMIT;"]
+            )
+        else:
+            script = self._terminated(sql)
+        self._psql(script)
 
 
 # --- parquet ledger ---------------------------------------------------------

@@ -237,6 +237,48 @@ def test_fencing_token_two_writer_race_refused(spark, tmp_path):
     assert {r.version for r in a.applied().collect()} == {"001", "002"}
 
 
+def test_pg_dialect_strings_are_pinned():
+    """The exact session-init strings the reference sends
+    (internal/executor/safety.go:14-36, defaults config.go:14-15). Any
+    drift fails here, live server or not — the string seam both live
+    runners (JdbcRunner, PsqlRunner) build from."""
+    from database_migration_engine_spark.executor.orchestrator import (
+        pg_session_init,
+    )
+
+    assert pg_session_init(5000, 30000) == [
+        "SET lock_timeout = '5000ms'",
+        "SET statement_timeout = '30000ms'",
+    ]
+    assert pg_session_init(1234, 9876) == [
+        "SET lock_timeout = '1234ms'",
+        "SET statement_timeout = '9876ms'",
+    ]
+
+
+def test_psql_runner_script_shapes():
+    """PsqlRunner's tx routing: in_tx wraps BEGIN/session-init/COMMIT,
+    outside-tx sends the bare autocommit statement (CONCURRENTLY path,
+    reference internal/executor/concurrent.go:15-40)."""
+    from database_migration_engine_spark.executor.orchestrator import (
+        PsqlRunner,
+    )
+
+    r = PsqlRunner(["-d", "x"], lock_timeout_ms=100, statement_timeout_ms=200)
+    scripts: list[str] = []
+    r._psql = scripts.append  # type: ignore[method-assign]
+    r.run("CREATE TABLE t (id INT)", in_tx=True)
+    r.run("CREATE INDEX CONCURRENTLY i ON t (id)", in_tx=False)
+    assert scripts[0] == (
+        "BEGIN;\n"
+        "SET lock_timeout = '100ms';\n"
+        "SET statement_timeout = '200ms';\n"
+        "CREATE TABLE t (id INT);\n"
+        "COMMIT;"
+    )
+    assert scripts[1] == "CREATE INDEX CONCURRENTLY i ON t (id);"
+
+
 def test_fence_critical_section_mutual_exclusion(spark, tmp_path):
     """check-fence → rename → rotate runs under a flock on a dedicated
     lock file (r03): two writers can no longer both pass _check_fence()
