@@ -134,6 +134,116 @@ def quality_components(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+# --- Gopher-style quality filter rules (r03) -------------------------------
+# The standard public pre-training quality heuristics (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", table A1; also used by RefinedWeb
+# and Dolma): word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+# stop-word presence. All pure integer-ratio arithmetic — bit-identical
+# in any engine, no Python in the hot path.
+
+QF_MIN_WORDS, QF_MAX_WORDS = 50, 100_000
+QF_MIN_MWL, QF_MAX_MWL = 3.0, 10.0
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MAX_BULLET_FRAC = 0.9
+QF_MAX_ELLIPSIS_FRAC = 0.3
+QF_MIN_ALPHA_FRAC = 0.8
+QF_MIN_STOP_HITS = 2
+
+_SYMBOL_RE = r"#|\.\.\.|…"          # hash or ellipsis (Gopher's symbol set)
+_BULLET_RE = r"^[-*•]"              # line starts with a bullet marker
+# Patterns embedded in SQL string literals need their backslashes doubled:
+# Spark's (non-ANSI) string parser strips unrecognized escapes, so '\s+'
+# would reach the regex engine as 's+'.
+_ELLIPSIS_END_RE_SQL = r"(\\.\\.\\.|…)$"   # line ends with an ellipsis
+_WS_RE_SQL = r"\\s+"
+
+
+def quality_flag_components(text_col: str = "text") -> dict[str, Column]:
+    """Per-document quality-filter features and pass/fail flags (0/1
+    ints for engine portability). ``passes`` is the conjunction of all
+    rules. Whitespace words (not the letter-only token stream) per the
+    published rules."""
+    words = F.expr(
+        f"filter(split({text_col}, '{_WS_RE_SQL}'), w -> w != '')"
+    )
+    lines = F.expr(f"split({text_col}, '\\n')")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.expr(
+        f"aggregate(filter(split({text_col}, '{_WS_RE_SQL}'), w -> w != ''),"
+        f" 0L, (acc, w) -> acc + length(w))"
+    )
+    mean_word_len = F.when(
+        n_words > 0, word_chars / n_words
+    ).otherwise(F.lit(0.0))
+    symbol_cnt = F.regexp_count(F.col(text_col), F.lit(_SYMBOL_RE))
+    symbol_ratio = F.when(
+        n_words > 0, symbol_cnt / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_cnt = F.expr(
+        f"size(filter(split({text_col}, '\\n'),"
+        f" l -> ltrim(l) RLIKE '{_BULLET_RE}'))"
+    )
+    bullet_frac = F.when(
+        n_lines > 0, bullet_cnt / n_lines
+    ).otherwise(F.lit(0.0))
+    ellipsis_cnt = F.expr(
+        f"size(filter(split({text_col}, '\\n'),"
+        f" l -> rtrim(l) RLIKE '{_ELLIPSIS_END_RE_SQL}'))"
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0, ellipsis_cnt / n_lines
+    ).otherwise(F.lit(0.0))
+    alpha_cnt = F.expr(
+        f"size(filter(filter(split({text_col}, '{_WS_RE_SQL}'), w -> w != ''),"
+        f" w -> w RLIKE '[A-Za-z]'))"
+    )
+    alpha_frac = F.when(
+        n_words > 0, alpha_cnt / n_words
+    ).otherwise(F.lit(0.0))
+    stops = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_hits = F.expr(
+        f"size(filter(filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'),"
+        f" t -> t != ''), t -> t IN ({stops})))"
+    )
+
+    def _flag(cond: Column) -> Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+    f_words = _flag(
+        (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
+    )
+    f_mwl = _flag(
+        (mean_word_len >= QF_MIN_MWL) & (mean_word_len <= QF_MAX_MWL)
+    )
+    f_symbol = _flag(symbol_ratio <= QF_MAX_SYMBOL_RATIO)
+    f_bullet = _flag(bullet_frac <= QF_MAX_BULLET_FRAC)
+    f_ellipsis = _flag(ellipsis_frac <= QF_MAX_ELLIPSIS_FRAC)
+    f_alpha = _flag(alpha_frac >= QF_MIN_ALPHA_FRAC)
+    f_stop = _flag(stop_hits >= QF_MIN_STOP_HITS)
+    passes = (
+        f_words * f_mwl * f_symbol * f_bullet * f_ellipsis * f_alpha * f_stop
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "f_word_count": f_words,
+        "f_mean_word_len": f_mwl,
+        "f_symbol_ratio": f_symbol,
+        "f_bullet_lines": f_bullet,
+        "f_ellipsis_lines": f_ellipsis,
+        "f_alpha_words": f_alpha,
+        "f_stopwords": f_stop,
+        "passes": passes,
+    }
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Whitespace-normalized content fingerprint: md5 over the token
     stream. Same digest as the oracle's md5(array_to_string(tokens, ' '))."""

@@ -438,6 +438,79 @@ SELECT doc_id,
 FROM t
 """
 
+ORACLES["quality_flags"] = f"""
+WITH staged AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(text, '\\s+'), w -> w != '')
+               AS words,
+           string_split(text, chr(10)) AS lines,
+           len(list_filter({_TOKS}, t -> t IN ({_EN_STOPS}))) AS stop_hits,
+           len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbol_cnt
+    FROM documents
+),
+m AS (
+    SELECT doc_id, source, stop_hits, symbol_cnt,
+           len(words) AS n_words,
+           len(lines) AS n_lines,
+           CASE WHEN len(words) > 0
+                THEN list_sum(list_transform(words, w -> len(w)))
+                ELSE 0 END AS word_chars,
+           len(list_filter(lines,
+               l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_cnt,
+           len(list_filter(lines,
+               l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+               AS ellipsis_cnt,
+           len(list_filter(words,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_cnt
+    FROM staged
+),
+flags AS (
+    SELECT source,
+        CASE WHEN n_words >= {TX.QF_MIN_WORDS}
+              AND n_words <= {TX.QF_MAX_WORDS} THEN 1 ELSE 0 END
+            AS f_word_count,
+        CASE WHEN (CASE WHEN n_words > 0
+                        THEN CAST(word_chars AS DOUBLE) / n_words
+                        ELSE 0.0 END) >= {TX.QF_MIN_MWL}
+              AND (CASE WHEN n_words > 0
+                        THEN CAST(word_chars AS DOUBLE) / n_words
+                        ELSE 0.0 END) <= {TX.QF_MAX_MWL} THEN 1 ELSE 0 END
+            AS f_mean_word_len,
+        CASE WHEN (CASE WHEN n_words > 0
+                        THEN CAST(symbol_cnt AS DOUBLE) / n_words
+                        ELSE 0.0 END) <= {TX.QF_MAX_SYMBOL_RATIO}
+             THEN 1 ELSE 0 END AS f_symbol_ratio,
+        CASE WHEN (CASE WHEN n_lines > 0
+                        THEN CAST(bullet_cnt AS DOUBLE) / n_lines
+                        ELSE 0.0 END) <= {TX.QF_MAX_BULLET_FRAC}
+             THEN 1 ELSE 0 END AS f_bullet_lines,
+        CASE WHEN (CASE WHEN n_lines > 0
+                        THEN CAST(ellipsis_cnt AS DOUBLE) / n_lines
+                        ELSE 0.0 END) <= {TX.QF_MAX_ELLIPSIS_FRAC}
+             THEN 1 ELSE 0 END AS f_ellipsis_lines,
+        CASE WHEN (CASE WHEN n_words > 0
+                        THEN CAST(alpha_cnt AS DOUBLE) / n_words
+                        ELSE 0.0 END) >= {TX.QF_MIN_ALPHA_FRAC}
+             THEN 1 ELSE 0 END AS f_alpha_words,
+        CASE WHEN stop_hits >= {TX.QF_MIN_STOP_HITS} THEN 1 ELSE 0 END
+            AS f_stopwords
+    FROM m
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f_word_count * f_mean_word_len * f_symbol_ratio
+                * f_bullet_lines * f_ellipsis_lines * f_alpha_words
+                * f_stopwords) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - f_word_count) AS BIGINT) AS rej_word_count,
+       CAST(SUM(1 - f_mean_word_len) AS BIGINT) AS rej_mean_word_len,
+       CAST(SUM(1 - f_symbol_ratio) AS BIGINT) AS rej_symbol_ratio,
+       CAST(SUM(1 - f_bullet_lines) AS BIGINT) AS rej_bullet_lines,
+       CAST(SUM(1 - f_ellipsis_lines) AS BIGINT) AS rej_ellipsis_lines,
+       CAST(SUM(1 - f_alpha_words) AS BIGINT) AS rej_alpha_words,
+       CAST(SUM(1 - f_stopwords) AS BIGINT) AS rej_stopwords
+FROM flags GROUP BY source ORDER BY source
+"""
+
 _HITS = {
     lang: TX.sql_stopword_hits("toks", lang) for lang in TX.LANG_PRIORITY
 }

@@ -861,6 +861,103 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("quality_flags")
+def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style pre-training quality filter (r03): word-count and
+    mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word presence — the
+    published rule set (Rae et al. 2021 table A1) as pure integer-ratio
+    column arithmetic, rolled up per source with the per-rule reject
+    counts a pipeline operator actually monitors.
+
+    The word and line arrays are staged once (codegen does not reliably
+    CSE a regexp split), then every rule is a filter/size over the staged
+    arrays — no Python, no shuffle before the final source rollup."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    stops = ",".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"filter(split(text, '\\s+'), w -> w != '')").alias("words"),
+        F.expr(r"split(text, '\n')").alias("lines"),
+        F.expr(
+            f"size(filter(filter(split(lower(text), '{TX.TOKEN_SPLIT_RE}'),"
+            f" t -> t != ''), t -> t IN ({stops})))"
+        ).alias("stop_hits"),
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.|…")).alias("symbol_cnt"),
+    ).select(
+        "doc_id",
+        "source",
+        "stop_hits",
+        "symbol_cnt",
+        F.size("words").alias("n_words"),
+        F.size("lines").alias("n_lines"),
+        F.expr("aggregate(words, 0L, (acc, w) -> acc + length(w))").alias(
+            "word_chars"
+        ),
+        F.expr(
+            "size(filter(lines, l -> ltrim(l) RLIKE '^[-*•]'))"
+        ).alias("bullet_cnt"),
+        F.expr(
+            r"size(filter(lines, l -> rtrim(l) RLIKE '(\\.\\.\\.|…)$'))"
+        ).alias("ellipsis_cnt"),
+        F.expr(
+            "size(filter(words, w -> w RLIKE '[A-Za-z]'))"
+        ).alias("alpha_cnt"),
+    )
+    nz = F.col("n_words") > 0
+    mwl = F.when(nz, F.col("word_chars") / F.col("n_words")).otherwise(F.lit(0.0))
+    sym = F.when(nz, F.col("symbol_cnt") / F.col("n_words")).otherwise(F.lit(0.0))
+    bul = F.when(
+        F.col("n_lines") > 0, F.col("bullet_cnt") / F.col("n_lines")
+    ).otherwise(F.lit(0.0))
+    ell = F.when(
+        F.col("n_lines") > 0, F.col("ellipsis_cnt") / F.col("n_lines")
+    ).otherwise(F.lit(0.0))
+    alp = F.when(nz, F.col("alpha_cnt") / F.col("n_words")).otherwise(F.lit(0.0))
+
+    def flag(cond):
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+    flags = staged.select(
+        "doc_id",
+        "source",
+        flag(
+            (F.col("n_words") >= TX.QF_MIN_WORDS)
+            & (F.col("n_words") <= TX.QF_MAX_WORDS)
+        ).alias("f_word_count"),
+        flag((mwl >= TX.QF_MIN_MWL) & (mwl <= TX.QF_MAX_MWL)).alias(
+            "f_mean_word_len"
+        ),
+        flag(sym <= TX.QF_MAX_SYMBOL_RATIO).alias("f_symbol_ratio"),
+        flag(bul <= TX.QF_MAX_BULLET_FRAC).alias("f_bullet_lines"),
+        flag(ell <= TX.QF_MAX_ELLIPSIS_FRAC).alias("f_ellipsis_lines"),
+        flag(alp >= TX.QF_MIN_ALPHA_FRAC).alias("f_alpha_words"),
+        flag(F.col("stop_hits") >= TX.QF_MIN_STOP_HITS).alias("f_stopwords"),
+    )
+    rule_cols = [
+        "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords",
+    ]
+    passes = F.lit(1)
+    for c in rule_cols:
+        passes = passes * F.col(c)
+    return (
+        flags.withColumn("passes", passes)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passes").alias("n_pass"),
+            *[
+                F.sum(F.lit(1) - F.col(c)).alias(c.replace("f_", "rej_"))
+                for c in rule_cols
+            ],
+        )
+        .orderBy("source")
+    )
+
+
 @query("lang_id_confusion")
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID vs the labeled lang (confusion counts).
