@@ -5,12 +5,13 @@ struct; decode/feature-extraction runs as Arrow-batched ``mapInPandas``
 so bytes move columnar and the Python stage sees whole batches, never
 rows.
 
-Decode modes (r02, VERDICT item 7): ``mode="real"`` genuinely parses
-PNG headers (IHDR width/height via ``struct``) and WAV headers (stdlib
-``wave``) — no PIL/librosa needed; payloads in any OTHER format still
-raise NotImplementedError at the exact seam where full media libraries
-would go (pixel decode, spectrograms, video frames remain out of reach
-in this container). ``mode="fake"`` produces deterministic hash-derived
+Decode modes (r02 VERDICT item 7; JPEG added r03): ``mode="real"``
+genuinely parses PNG headers (IHDR width/height via ``struct``), JPEG
+headers (SOFn segment walk — baseline and progressive), and WAV headers
+(stdlib ``wave``) — no PIL/librosa needed; payloads in any OTHER format
+still raise NotImplementedError at the exact seam where full media
+libraries would go (pixel decode, spectrograms, video frames remain out
+of reach in this container). ``mode="fake"`` produces deterministic hash-derived
 features with the real batch shape for format-agnostic plumbing tests.
 Everything Spark-side — schema, partitioning, UDF signature, batch
 iteration — is real and tested in both modes.
@@ -127,6 +128,70 @@ def make_wav(n_frames: int, framerate: int = 8000, amplitude: int = 64) -> bytes
     return buf.getvalue()
 
 
+JPEG_SOI = b"\xff\xd8"
+# SOF0-SOF15 minus the non-frame C4 (DHT), C8 (JPG extension), CC (DAC)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def make_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG from pure stdlib struct packing:
+    SOI, JFIF APP0, one quant table, SOF0 (baseline) or SOF2
+    (progressive) carrying the dimensions, one huffman table, SOS with a
+    token entropy segment, EOI. Header-parseable by any segment scanner;
+    pixel content is not meaningful (matching the header-level decode
+    scope of this module)."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([16] * 64))
+    sof_marker = 0xC2 if progressive else 0xC0
+    sof = seg(
+        sof_marker,
+        struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
+    )
+    # one DC huffman table: a single 1-bit code mapping to value 0
+    dht = seg(0xC4, b"\x00" + b"\x01" + b"\x00" * 15 + b"\x00")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return JPEG_SOI + app0 + dqt + sof + dht + sos + b"\x00" + b"\xff\xd9"
+
+
+def parse_jpeg_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOFn frame header, found by the
+    standard JPEG segment walk (skip each marker segment by its declared
+    length until a start-of-frame marker). Handles fill bytes (padding
+    0xFF runs) and standalone markers (RST, TEM)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG")
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        j = i + 1
+        while j < n and data[j] == 0xFF:  # fill bytes
+            j += 1
+        if j >= n:
+            break
+        marker = data[j]
+        if marker in _JPEG_SOF_MARKERS:
+            # segment: len(2) precision(1) height(2) width(2) ...
+            height, width = struct.unpack(">HH", data[j + 4 : j + 8])
+            return int(width), int(height)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone markers (TEM, RSTn, EOI before any SOF)
+            if marker == 0xD9:
+                break
+            i = j + 1
+            continue
+        if marker == 0xDA:
+            break  # entropy-coded data begins; no SOF seen
+        seglen = struct.unpack(">H", data[j + 1 : j + 3])[0]
+        i = j + 1 + seglen
+    raise ValueError("no SOF marker found")
+
+
 def parse_png_header(data: bytes) -> tuple[int, int]:
     """(width, height) from the IHDR chunk — the first chunk after the
     8-byte signature per the PNG spec, so a fixed-offset read."""
@@ -150,20 +215,24 @@ def _decode_real(b: bytes) -> tuple[int, int]:
     if b[:8] == PNG_MAGIC:
         w, h = parse_png_header(b)
         return int(w), int(h)
+    if b[:2] == JPEG_SOI:
+        w, h = parse_jpeg_header(b)
+        return int(w), int(h)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         n_frames, framerate, _, _ = parse_wav_header(b)
         return int(framerate), int(n_frames)
     raise NotImplementedError(
-        "only PNG and WAV headers are parseable without media libraries;"
-        " full pixel/sample decode (JPEG, MP3, video) needs PIL/ffmpeg —"
-        " use mode='fake' for format-agnostic plumbing"
+        "only PNG, JPEG and WAV headers are parseable without media"
+        " libraries; full pixel/sample decode (MP3, video, pixel data)"
+        " needs PIL/ffmpeg — use mode='fake' for format-agnostic plumbing"
     )
 
 
 def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
-    """Deterministic REAL media assets: even ids get a PNG whose
-    dimensions derive from the id, odd ids an 8-bit mono WAV. Payload
-    construction needs Python byte-assembly, so it runs as an
+    """Deterministic REAL media assets cycling the three dominant
+    formats: id % 3 == 0 → PNG, 1 → WAV, 2 → JPEG (alternating baseline
+    SOF0 / progressive SOF2), all dimensions derived from the id.
+    Payload construction needs Python byte-assembly, so it runs as an
     Arrow-batched mapInPandas over ``spark.range`` — the same distributed
     generation shape a backfill job would use (no driver-side loop)."""
     ensure_worker_imports(spark)
@@ -173,12 +242,18 @@ def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 2 == 0:
-                    payload = make_png(16 + i % 48, 16 + (i // 2) % 32)
+                if i % 3 == 0:
+                    payload = make_png(16 + i % 48, 16 + (i // 3) % 32)
                     modality, mime = "image", "image/png"
-                else:
+                elif i % 3 == 1:
                     payload = make_wav(50 + i % 200, framerate=8000 + 100 * (i % 5))
                     modality, mime = "audio", "audio/wav"
+                else:
+                    payload = make_jpeg(
+                        32 + i % 64, 24 + (i // 3) % 40,
+                        progressive=(i // 3) % 2 == 1,
+                    )
+                    modality, mime = "image", "image/jpeg"
                 rows.append(
                     {
                         "asset_id": i,
