@@ -45,7 +45,7 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--database-url")
     p.add_argument("--ledger-path")
     p.add_argument("--pg-version", type=int, dest="target_pg_version")
-    p.add_argument("--format", choices=["text", "json"])
+    p.add_argument("--format", choices=["text", "json", "github-actions"])
     sub = p.add_subparsers(dest="command", required=True)
 
     an = sub.add_parser("analyze", help="danger-analyze a migrations dir")
@@ -131,13 +131,51 @@ def _executor(spark, conf: cfg.Config, echo: bool) -> Executor:
     )
 
 
+def _gha_escape(s: str, *, property_value: bool = False) -> str:
+    """GitHub Actions workflow-command escaping: %, CR, LF always;
+    property values additionally escape ':' and ','."""
+    s = s.replace("%", "%25").replace("\r", "%0D").replace("\n", "%0A")
+    if property_value:
+        s = s.replace(":", "%3A").replace(",", "%2C")
+    return s
+
+
+def _print_github_actions(rows, file_by_version: dict[str, str]) -> None:
+    """One workflow-command annotation per finding
+    (``::error file=...,title=...::message``), the format the reference
+    CLI declares for CI use (reference internal/cli/analyze.go:24).
+    HIGH/CRITICAL → error, MEDIUM → warning, lower → notice."""
+    for r in rows:
+        level = (
+            "error" if r.severity >= 3
+            else "warning" if r.severity == 2
+            else "notice"
+        )
+        props = []
+        fp = file_by_version.get(r.version)
+        if fp:
+            props.append(f"file={_gha_escape(fp, property_value=True)}")
+        props.append(
+            "title="
+            + _gha_escape(f"{r.rule} ({r.severity_name})", property_value=True)
+        )
+        msg = _gha_escape(f"{r.message}. Suggestion: {r.suggestion}")
+        print(f"::{level} {','.join(props)}::{msg}")
+
+
 def cmd_analyze(spark, conf: cfg.Config, args) -> int:
     migs = load_from_dir(spark, conf.migrations_dir)
     findings = analyze(migs, pg_version=conf.target_pg_version)
     rollup = severity_rollup(migs, findings=findings).collect()
-    rows = findings.collect()
+    rows = findings.orderBy("version", "stmt_index").collect()
     if conf.format == "json":
         print(json.dumps([r.asDict() for r in rows], default=str, indent=2))
+    elif conf.format == "github-actions":
+        file_by_version = {
+            m.version: m.file_path
+            for m in migs.select("version", "file_path").collect()
+        }
+        _print_github_actions(rows, file_by_version)
     else:
         for r in rows:
             print(f"V{r.version} [{r.severity_name}] {r.rule} on {r.table}:"

@@ -36,7 +36,7 @@ class Config:
     lock_timeout_ms: int = 5_000
     statement_timeout_ms: int = 30_000
     target_pg_version: int = 14
-    format: str = "text"  # text | json
+    format: str = "text"  # text | json | github-actions
     ledger_path: str = "schema_migrations"
 
     _INT_FIELDS = ("lock_timeout_ms", "statement_timeout_ms", "target_pg_version")

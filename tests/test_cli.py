@@ -59,6 +59,44 @@ def test_analyze_json_format(spark, migdir, tmp_path, capsys):
     assert payload[0]["version"] == "002"
 
 
+def test_analyze_github_actions_format(spark, migdir, tmp_path, capsys):
+    """--format github-actions emits one workflow-command annotation per
+    finding (reference internal/cli/analyze.go:24 declares the format):
+    ::error for HIGH/CRITICAL, file= pointing at the offending .up.sql,
+    escaped message text."""
+    conf = _conf(migdir, tmp_path, format="github-actions")
+    rc = cli.cmd_analyze(spark, conf, _args(fail_on_high=False))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # one finding in the fixture
+    line = out[0]
+    assert line.startswith("::error ")
+    assert "file=" in line and "V002_dangerous_index.up.sql" in line
+    assert "title=create-index-not-concurrent (HIGH)" in line
+    assert "::CREATE INDEX" in line and "Suggestion" in line
+
+
+def test_analyze_github_actions_severity_levels_and_escaping(
+    spark, tmp_path, capsys
+):
+    """MEDIUM findings map to ::warning, and commas/colons in property
+    values are %-escaped per the workflow-command spec."""
+    d = tmp_path / "migs2"
+    d.mkdir()
+    (d / "V001_rename, odd.up.sql").write_text(
+        "ALTER TABLE users RENAME COLUMN a TO b;"
+    )
+    (d / "V001_rename, odd.down.sql").write_text(
+        "ALTER TABLE users RENAME COLUMN b TO a;"
+    )
+    conf = _conf(d, tmp_path, format="github-actions")
+    assert cli.cmd_analyze(spark, conf, _args(fail_on_high=False)) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    assert out[0].startswith("::warning ")  # rename is MEDIUM severity
+    assert "%2C" in out[0]  # the comma in the filename is escaped
+
+
 def test_apply_gate_blocks_then_force(spark, migdir, tmp_path, capsys):
     conf = _conf(migdir, tmp_path)
     blocked = cli.cmd_apply(
