@@ -26,8 +26,33 @@ memory holds exactly one label set.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _shuffle_width(spark, n: int | None):
+    """Temporarily narrow spark.sql.shuffle.partitions for the iterative
+    rounds. The propagation subgraph is usually tiny relative to the
+    corpus (pair-participating nodes only), and each round is a full
+    shuffle — at the session's corpus-sized width most tasks are empty
+    and per-task latency dominates. AQE would coalesce these in pure-SQL
+    plans, but the per-round localCheckpoint boundary (required to stop
+    lineage growth) materializes through the RDD path where AQE's
+    coalescing does not apply, so the width is set explicitly. Callers
+    size it to the expected component-graph size, not the corpus."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def connected_components(
@@ -38,6 +63,7 @@ def connected_components(
     node_col: str,
     max_iter: int = 25,
     dedupe_edges: bool = True,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Label every node in ``nodes`` with the minimum node id reachable
     through ``edges`` (undirected). Isolated nodes label themselves.
@@ -47,45 +73,51 @@ def connected_components(
     Pass ``dedupe_edges=False`` when the pair list is already unique
     (e.g. produced by a groupBy) — duplicate edges don't change the
     min-propagation result, only its cost, and skipping the distinct
-    saves a full edge-list shuffle.
+    saves a full edge-list shuffle. ``shuffle_partitions`` narrows the
+    per-round shuffle width to the component-graph's size (see
+    ``_shuffle_width``).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    if dedupe_edges:
-        sym = sym.distinct()
-    sym = sym.persist()
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).persist()
-    # no up-front sum action: the first round's sum seeds the convergence
-    # check (labels are monotone non-increasing, so equal consecutive
-    # sums == fixpoint; one fewer Spark job per call)
-    prev_sum = None
-    for _ in range(max_iter):
-        propagated = sym.join(
-            labels, sym["a"] == labels["node"]
-        ).select(F.col("b").alias("node"), F.col("label"))
-        # localCheckpoint, not persist: each round references the previous
-        # labels TWICE (union + join), so an uncheckpointed logical plan
-        # doubles per round — 2^r tree nodes OOMs the driver past ~12
-        # rounds. Checkpointing truncates lineage; the agg below is the
-        # eager materialization + convergence check in one job.
-        new_labels = (
-            labels.select("node", "label")
-            .unionByName(propagated)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+    with _shuffle_width(edges.sparkSession, shuffle_partitions):
+        sym = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sym.unpersist()
-    return labels
+        if dedupe_edges:
+            sym = sym.distinct()
+        sym = sym.persist()
+        labels = nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+        ).persist()
+        # no up-front sum action: the first round's sum seeds the
+        # convergence check (labels are monotone non-increasing, so equal
+        # consecutive sums == fixpoint; one fewer Spark job per call)
+        prev_sum = None
+        for _ in range(max_iter):
+            propagated = sym.join(
+                labels, sym["a"] == labels["node"]
+            ).select(F.col("b").alias("node"), F.col("label"))
+            # localCheckpoint, not persist: each round references the
+            # previous labels TWICE (union + join), so an uncheckpointed
+            # logical plan doubles per round — 2^r tree nodes OOMs the
+            # driver past ~12 rounds. Checkpointing truncates lineage;
+            # the agg below is the eager materialization + convergence
+            # check in one job.
+            new_labels = (
+                labels.select("node", "label")
+                .unionByName(propagated)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        sym.unpersist()
+        return labels
 
 
 def _neighborhood_min(sym: DataFrame) -> DataFrame:
@@ -127,6 +159,7 @@ def connected_components_star(
     nodes: DataFrame,
     node_col: str,
     max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -137,42 +170,43 @@ def connected_components_star(
     rounds. Same contract: returns persisted ``(node, label)`` over
     ``nodes``, singletons labeling themselves.
     """
-    # localCheckpoint (NOT persist): every star round references the
-    # previous edge list several times, so the logical plan would grow
-    # ~6× per round and OOM the driver by round ~10. Checkpointing
-    # truncates lineage each round; on a real cluster swap in reliable
-    # checkpoint(dir) for executor-failure tolerance.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    prev_sig = None
-    for _ in range(max_iter):
-        stepped = _star_round(sym, large=True).localCheckpoint(eager=True)
-        stepped = _star_round(stepped, large=False).localCheckpoint(eager=True)
-        sig = stepped.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: 2^63-scale hashes overflow a long under ANSI
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        sym = stepped
-        cur_sig = (sig["n"], sig["h"])
-        if cur_sig == prev_sig:
-            break
-        prev_sig = cur_sig
-    roots = sym.groupBy("a").agg(F.min("b").alias("root")).filter(
-        F.col("root") < F.col("a")
-    )
-    labels = (
-        nodes.select(F.col(node_col).alias("node"))
-        .join(roots, F.col("node") == roots["a"], "left")
-        .select(
-            "node", F.coalesce("root", F.col("node")).alias("label")
+    with _shuffle_width(edges.sparkSession, shuffle_partitions):
+        # localCheckpoint (NOT persist): every star round references the
+        # previous edge list several times, so the logical plan would grow
+        # ~6× per round and OOM the driver by round ~10. Checkpointing
+        # truncates lineage each round; on a real cluster swap in reliable
+        # checkpoint(dir) for executor-failure tolerance.
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .persist()
-    )
-    labels.count()
-    return labels
+        prev_sig = None
+        for _ in range(max_iter):
+            stepped = _star_round(sym, large=True).localCheckpoint(eager=True)
+            stepped = _star_round(stepped, large=False).localCheckpoint(eager=True)
+            sig = stepped.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: 2^63-scale hashes overflow a long under ANSI
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            ).first()
+            sym = stepped
+            cur_sig = (sig["n"], sig["h"])
+            if cur_sig == prev_sig:
+                break
+            prev_sig = cur_sig
+        roots = sym.groupBy("a").agg(F.min("b").alias("root")).filter(
+            F.col("root") < F.col("a")
+        )
+        labels = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(roots, F.col("node") == roots["a"], "left")
+            .select(
+                "node", F.coalesce("root", F.col("node")).alias("label")
+            )
+            .persist()
+        )
+        labels.count()
+        return labels
