@@ -1646,14 +1646,25 @@ def events_hopping_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_copair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_copair_60s: stream-stream
     self-join under a time-range condition with watermarked state expiry
-    (append mode). Shares the batch range-join oracle."""
+    (append mode). Shares the batch range-join oracle.
+
+    The join keeps TWO keyed state stores whose instance count equals
+    the shuffle partition count — a per-micro-batch fixed cost (store
+    open/commit per partition) that dwarfs the data volume here and that
+    AQE never coalesces (state partitioning is pinned at query start).
+    The query therefore runs at a narrow, state-sized shuffle width
+    (r03, VERDICT item 8); on a real cluster this is the standard
+    state-store sizing decision, made from key cardinality."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
-    stream = SE.read_events_stream(spark, sf_dir)
-    return SE.run_to_memory(
-        SE.interval_join_pairs(stream), output_mode="append"
-    )
+    # width sweep at sf0.1: 32→9.7s, 16→4.6s, 8→3.7s, 4→3.8s
+    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(spark, sf_dir)
+        return SE.run_to_memory(
+            SE.interval_join_pairs(stream), output_mode="append"
+        )
 
 
 # ---------------------------------------------------------------------------

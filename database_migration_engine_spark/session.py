@@ -105,3 +105,35 @@ def ensure_deterministic(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def shuffle_width(spark: SparkSession, n: int | None):
+    """Context manager temporarily narrowing spark.sql.shuffle.partitions
+    for a region whose data volume is far below the session's
+    corpus-sized default. Two legitimate uses in this engine:
+
+    * iterative graph rounds (operators/graph.py) — the per-round
+      localCheckpoint boundary defeats AQE's partition coalescing;
+    * stateful streaming queries — the number of state-store instances
+      (and per-micro-batch store commits) EQUALS the shuffle partition
+      count, a fixed cost AQE never touches (state store partitioning is
+      pinned at query start).
+
+    On a real cluster callers size ``n`` to the stateful operator's
+    actual key cardinality and executor count, not the scan width."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        if n is None:
+            yield
+            return
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _cm()
