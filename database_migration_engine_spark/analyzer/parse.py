@@ -40,7 +40,11 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
     def flush(end: int) -> None:
         nonlocal start
         text = sql[start:end].strip()
-        if text:
+        # comment-only segments (trailing "-- done", "/* x */;" between
+        # semicolons) are not statements — the real parser's statement
+        # stream skips them (r03 fuzz fix: they previously surfaced as
+        # phantom stmt_type="other" rows and shifted stmt_index)
+        if text and _strip_comments(text):
             statements.append((start, text))
         start = end + 1
 
@@ -109,29 +113,65 @@ _QNAME = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
 def normalize_name(raw: str) -> str:
     """Lowercase unquoted identifier parts, strip quotes from quoted ones —
     PostgreSQL case-folding, so rule output matches the real parser's
-    (reference internal/analyzer/rules.go:48-58)."""
-    parts = re.split(r"\s*\.\s*", raw.strip())
+    (reference internal/analyzer/rules.go:48-58). Dots INSIDE quoted
+    identifiers are part of the name, not qualifiers (r03 fuzz fix:
+    ``"a.b"`` is one identifier)."""
+    raw = raw.strip()
+    parts: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
+        if ch == '"':
+            j = i + 1
+            while j < n:
+                if raw[j] == '"':
+                    if j + 1 < n and raw[j + 1] == '"':
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            cur.append(raw[i:j])
+            i = j
+        elif ch == ".":
+            parts.append("".join(cur).strip())
+            cur = []
+            i += 1
+        else:
+            cur.append(ch)
+            i += 1
+    parts.append("".join(cur).strip())
     out = []
     for part in parts:
-        if part.startswith('"') and part.endswith('"'):
-            out.append(part[1:-1])
+        if part.startswith('"') and part.endswith('"') and len(part) >= 2:
+            out.append(part[1:-1].replace('""', '"'))
         else:
             out.append(part.lower())
     return ".".join(out)
 
 
 def _strip_comments(stmt: str) -> str:
-    """Remove comments and collapse whitespace for pattern matching
-    (string literals are preserved verbatim)."""
+    """Remove comments and collapse whitespace for pattern matching.
+    String literals, double-quoted identifiers, and dollar-quoted bodies
+    are preserved VERBATIM — comment markers and whitespace runs inside
+    them are content, not syntax (r03 fuzz fixes: ``"a--b"`` is an
+    identifier, not a line comment; whitespace inside quotes must not
+    collapse)."""
     out: list[str] = []
     i, n = 0, len(stmt)
+
+    def pad() -> None:
+        if out and out[-1] != " ":
+            out.append(" ")
+
     while i < n:
         ch = stmt[i]
         nxt = stmt[i + 1] if i + 1 < n else ""
         if ch == "-" and nxt == "-":
             eol = stmt.find("\n", i)
             i = n if eol == -1 else eol + 1
-            out.append(" ")
+            pad()
         elif ch == "/" and nxt == "*":
             depth, i = 1, i + 2
             while i < n and depth:
@@ -141,7 +181,7 @@ def _strip_comments(stmt: str) -> str:
                     depth, i = depth - 1, i + 2
                 else:
                     i += 1
-            out.append(" ")
+            pad()
         elif ch == "'":
             j = i + 1
             while j < n:
@@ -155,10 +195,36 @@ def _strip_comments(stmt: str) -> str:
                     j += 1
             out.append(stmt[i:j])
             i = j
+        elif ch == '"':
+            j = i + 1
+            while j < n:
+                if stmt[j] == '"':
+                    if j + 1 < n and stmt[j + 1] == '"':
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(stmt[i:j])
+            i = j
+        elif ch == "$":
+            m = re.match(r"\$([A-Za-z_][\w]*)?\$", stmt[i:])
+            if m:
+                tag = m.group(0)
+                close = stmt.find(tag, i + len(tag))
+                j = n if close == -1 else close + len(tag)
+                out.append(stmt[i:j])
+                i = j
+            else:
+                out.append(ch)
+                i += 1
+        elif ch.isspace():
+            pad()
+            i += 1
         else:
             out.append(ch)
             i += 1
-    return re.sub(r"\s+", " ", "".join(out)).strip()
+    return "".join(out).strip()
 
 
 # --- per-statement feature extraction --------------------------------------
@@ -215,7 +281,10 @@ class StatementFeatures:
 _CONST_RE = re.compile(
     r"""^(?:
         '(?:[^']|'')*'            # string literal
-      | -?\d+(?:\.\d+)?           # numeric literal
+        # numeric literal: 42, 3.5, 4., .001, 5e2, 1.925e-3 — all A_Const
+        # to the real parser (r03 fuzz fix: scientific/leading-dot forms
+        # were misclassified volatile)
+      | -?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?
       | TRUE | FALSE | NULL
     )
     (?:\s*::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?)?   # optional ::type cast
@@ -239,7 +308,9 @@ def is_volatile_default(expr: str) -> bool:
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parens and quotes."""
+    """Split on `sep` outside parens and quotes (single-quoted strings
+    AND double-quoted identifiers — r03 fuzz fix: a comma inside
+    ``"a,b"`` is part of the identifier, not a separator)."""
     parts: list[str] = []
     depth = 0
     cur: list[str] = []
@@ -251,6 +322,19 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
             while j < n:
                 if text[j] == "'":
                     if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            cur.append(text[i:j])
+            i = j
+            continue
+        if ch == '"':
+            j = i + 1
+            while j < n:
+                if text[j] == '"':
+                    if j + 1 < n and text[j + 1] == '"':
                         j += 2
                         continue
                     j += 1
@@ -483,8 +567,11 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
                     feats.vacuum_full = value not in ("false", "off", "0", "no")
             rest = paren.group("rest").strip()
         else:
+            # \b\s* (not \s+): bare "VACUUM" with no options or table
+            # must still match (r03 fuzz fix — the old \s+ made this
+            # regex fail and the .group() call below crash)
             keywords = re.match(
-                r"VACUUM\s+(?P<kw>(?:(?:FULL|FREEZE|VERBOSE|ANALYZE)\s*)+)?"
+                r"VACUUM\b\s*(?P<kw>(?:(?:FULL|FREEZE|VERBOSE|ANALYZE)\s*)+)?"
                 r"(?P<rest>.*)$",
                 s,
                 re.IGNORECASE | re.DOTALL,

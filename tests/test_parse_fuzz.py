@@ -1,0 +1,323 @@
+"""Grammar-driven parser fuzz (r03, VERDICT item 6): statements are
+GENERATED from the recognizer's own grammar productions with their
+expected feature vectors known by construction, then pushed through
+split → strip-comments → classify. Unlike the parity tables
+(tests/test_rules_reference_parity.py) and the crash-only property
+sweep (tests/test_parse_properties.py), every example here asserts the
+full classification, and the token stream is interleaved with the
+hostile surface the parity tables never reach: block/line comments at
+arbitrary token boundaries, quoted identifiers containing commas, dots,
+semicolons and comment markers, multi-command ALTERs, and
+scientific-notation defaults.
+
+Recognizer fixes this suite forced (all in analyzer/parse.py):
+
+* ``_split_top_level`` was blind to double-quoted identifiers — a comma
+  inside ``"a,b"`` split one ALTER command (or DROP TABLE name list)
+  into two;
+* ``_strip_comments`` treated ``--``/``/*`` inside double-quoted
+  identifiers or dollar-quoted bodies as comments and collapsed
+  whitespace inside quotes;
+* ``normalize_name`` split on dots inside quotes (``"a.b"`` is ONE
+  identifier);
+* the volatility const-regex rejected scientific/leading-dot numeric
+  literals (``1e5``, ``.5``) that the real parser folds as A_Const.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from database_migration_engine_spark.analyzer import parse as P
+
+# --- building blocks --------------------------------------------------------
+
+_WS = st.sampled_from([" ", "  ", "\n", " \t ", "\n  "])
+
+_block_comment = st.builds(
+    lambda s: "/*" + s + "*/",
+    st.text(alphabet=" aZ9_.,;'\"$-", max_size=12).filter(
+        lambda t: "*/" not in t and "/*" not in t
+    ),
+)
+_line_comment = st.builds(
+    lambda s: "--" + s + "\n",
+    st.text(alphabet=" aZ9_.,;'\"$*", max_size=12),
+)
+# token separator: whitespace, possibly wrapping a comment
+_SEP = st.one_of(
+    _WS,
+    st.builds(lambda a, c, b: a + c + b, _WS, _block_comment, _WS),
+    st.builds(lambda a, c: a + c, _WS, _line_comment),
+)
+
+_unquoted = st.from_regex(r"t_[a-z][a-z0-9_]{0,8}", fullmatch=True)
+# quoted identifier: commas, dots, semicolons, comment markers, spaces —
+# all CONTENT inside the quotes (no embedded double quotes)
+_quoted_inner = st.text(
+    alphabet="abXY19 _-.,;$*/", min_size=1, max_size=12
+).map(lambda s: s.strip() or "q")
+
+
+@st.composite
+def ident_pair(draw):
+    """(raw_sql_form, expected_normalized_name)"""
+    if draw(st.booleans()):
+        name = draw(_unquoted)
+        return name, name.lower()
+    inner = draw(_quoted_inner)
+    return f'"{inner}"', inner
+
+
+def _join(draw, tokens: list[str]) -> str:
+    parts = [tokens[0]]
+    for tok in tokens[1:]:
+        parts.append(draw(_SEP))
+        parts.append(tok)
+    return "".join(parts)
+
+
+# --- per-production generators: (sql, expected-feature-subset) --------------
+
+
+@st.composite
+def create_index_stmt(draw):
+    raw, norm = draw(ident_pair())
+    conc = draw(st.booleans())
+    toks = ["CREATE"]
+    if draw(st.booleans()):
+        toks.append("UNIQUE")
+    toks.append("INDEX")
+    if conc:
+        toks.append("CONCURRENTLY")
+    if draw(st.booleans()):
+        iraw, _ = draw(ident_pair())
+        toks.append(iraw)
+    toks += ["ON"]
+    if draw(st.booleans()):
+        toks.append("ONLY")
+    toks += [raw, "(c)"]
+    return _join(draw, toks), {
+        "stmt_type": "create_index", "concurrent": conc, "table": norm,
+    }
+
+
+@st.composite
+def drop_table_stmt(draw):
+    pairs = draw(st.lists(ident_pair(), min_size=1, max_size=4))
+    ifex = draw(st.booleans())
+    toks = ["DROP", "TABLE"]
+    if ifex:
+        toks += ["IF", "EXISTS"]
+    toks.append(", ".join(r for r, _ in pairs))
+    if draw(st.booleans()):
+        toks.append(draw(st.sampled_from(["CASCADE", "RESTRICT"])))
+    return _join(draw, toks), {
+        "stmt_type": "drop_table",
+        "tables": [n for _, n in pairs],
+        "if_exists": ifex,
+    }
+
+
+@st.composite
+def truncate_stmt(draw):
+    pairs = draw(st.lists(ident_pair(), min_size=1, max_size=3))
+    toks = ["TRUNCATE"]
+    if draw(st.booleans()):
+        toks.append("TABLE")
+    toks.append(", ".join(r for r, _ in pairs))
+    if draw(st.booleans()):
+        toks.append(draw(st.sampled_from(
+            ["RESTART IDENTITY", "CONTINUE IDENTITY", "CASCADE"]
+        )))
+    return _join(draw, toks), {
+        "stmt_type": "truncate", "tables": [n for _, n in pairs],
+    }
+
+
+@st.composite
+def lock_stmt(draw):
+    pairs = draw(st.lists(ident_pair(), min_size=1, max_size=3))
+    toks = ["LOCK"]
+    if draw(st.booleans()):
+        toks.append("TABLE")
+    toks.append(", ".join(r for r, _ in pairs))
+    if draw(st.booleans()):
+        toks += ["IN", "ACCESS", "EXCLUSIVE", "MODE"]
+    if draw(st.booleans()):
+        toks.append("NOWAIT")
+    return _join(draw, toks), {
+        "stmt_type": "lock", "tables": [n for _, n in pairs],
+    }
+
+
+@st.composite
+def vacuum_stmt(draw):
+    raw, norm = draw(ident_pair())
+    form = draw(st.sampled_from([
+        ("VACUUM", False, False),
+        ("VACUUM FULL", True, False),
+        ("VACUUM FULL VERBOSE", True, False),
+        ("VACUUM ANALYZE", False, False),
+        ("VACUUM (FULL)", True, True),
+        ("VACUUM (FULL TRUE)", True, True),
+        ("VACUUM (FULL FALSE)", False, True),
+        ("VACUUM (FULL OFF)", False, True),
+        ("VACUUM (ANALYZE, FULL)", True, True),
+        ("VACUUM (VERBOSE)", False, True),
+    ]))
+    head, full, _parens = form
+    with_table = draw(st.booleans())
+    # table names are only generated unquoted here: the recognizer reads
+    # the trailing name with a plain _QNAME match
+    sql = head + (" " + raw if with_table and not raw.startswith('"') else "")
+    expected = {"stmt_type": "vacuum", "vacuum_full": full}
+    if with_table and not raw.startswith('"'):
+        expected["table"] = norm
+    return sql, expected
+
+
+_CONST_DEFAULTS = [
+    "42", "-7", "3.14", "1e6", "2.5e-3", ".5", "'txt'", "'it''s'",
+    "TRUE", "NULL", "'x'::text", "CAST(5 AS int)", "'{}'::jsonb",
+]
+_VOLATILE_DEFAULTS = [
+    "now()", "random()", "uuid_generate_v4()", "nextval('s')",
+    "random() * 10", "lower('A')",
+]
+
+
+@st.composite
+def alter_command(draw):
+    """(command_sql, expected AlterCommand subset)"""
+    kind = draw(st.sampled_from(
+        ["add_col_plain", "add_col_default", "add_constraint",
+         "alter_type", "set_not_null", "drop_column"]
+    ))
+    raw, norm = draw(ident_pair())
+    if kind == "add_col_plain":
+        return f"ADD COLUMN {raw} integer", {
+            "subtype": "add_column", "column": norm, "has_default": False,
+        }
+    if kind == "add_col_default":
+        volatile = draw(st.booleans())
+        expr = draw(st.sampled_from(
+            _VOLATILE_DEFAULTS if volatile else _CONST_DEFAULTS
+        ))
+        tail = draw(st.sampled_from(["", " NOT NULL"]))
+        return f"ADD COLUMN {raw} text DEFAULT {expr}{tail}", {
+            "subtype": "add_column", "column": norm,
+            "has_default": True, "default_volatile": volatile,
+        }
+    if kind == "add_constraint":
+        not_valid = draw(st.booleans())
+        ctype, body = draw(st.sampled_from([
+            ("check", "CHECK (x > 0)"),
+            ("foreign", f"FOREIGN KEY (x) REFERENCES {draw(_unquoted)} (id)"),
+            ("unique", "UNIQUE (x)"),
+        ]))
+        sql = f"ADD CONSTRAINT {raw} {body}" + (
+            " NOT VALID" if not_valid else ""
+        )
+        return sql, {
+            "subtype": "add_constraint", "constraint_type": ctype,
+            "skip_validation": not_valid,
+        }
+    if kind == "alter_type":
+        return f"ALTER COLUMN {raw} TYPE bigint", {
+            "subtype": "alter_column_type", "column": norm,
+        }
+    if kind == "set_not_null":
+        return f"ALTER COLUMN {raw} SET NOT NULL", {
+            "subtype": "set_not_null", "column": norm,
+        }
+    return f"DROP COLUMN {raw}", {"subtype": "drop_column", "column": norm}
+
+
+@st.composite
+def alter_table_stmt(draw):
+    traw, tnorm = draw(ident_pair())
+    cmds = draw(st.lists(alter_command(), min_size=1, max_size=4))
+    sql = _join(draw, ["ALTER", "TABLE", traw]) + " " + ", ".join(
+        c for c, _ in cmds
+    )
+    return sql, {
+        "stmt_type": "alter_table", "table": tnorm,
+        "commands": [e for _, e in cmds],
+    }
+
+
+@st.composite
+def rename_stmt(draw):
+    traw, tnorm = draw(ident_pair())
+    obj = draw(st.sampled_from(["table", "column", "constraint"]))
+    new_raw, _ = draw(ident_pair())
+    if obj == "table":
+        toks = ["ALTER", "TABLE", traw, "RENAME", "TO", new_raw]
+    elif obj == "column":
+        craw, _ = draw(ident_pair())
+        toks = ["ALTER", "TABLE", traw, "RENAME", "COLUMN", craw, "TO", new_raw]
+    else:
+        craw, _ = draw(ident_pair())
+        toks = ["ALTER", "TABLE", traw, "RENAME", "CONSTRAINT", craw,
+                "TO", new_raw]
+    return _join(draw, toks), {
+        "stmt_type": "rename", "table": tnorm, "rename_object": obj,
+    }
+
+
+_ANY_STMT = st.one_of(
+    create_index_stmt(), drop_table_stmt(), truncate_stmt(), lock_stmt(),
+    vacuum_stmt(), alter_table_stmt(), rename_stmt(),
+)
+
+
+def _check_features(feats, expected: dict) -> None:
+    for key, want in expected.items():
+        if key == "commands":
+            assert len(feats.commands) == len(want), (
+                feats.stmt_sql, [c.as_dict() for c in feats.commands], want
+            )
+            for got_cmd, want_cmd in zip(feats.commands, want):
+                got = got_cmd.as_dict()
+                for ck, cv in want_cmd.items():
+                    assert got[ck] == cv, (feats.stmt_sql, got, want_cmd)
+        else:
+            got = getattr(feats, key)
+            assert got == want, (feats.stmt_sql, key, got, want)
+
+
+@given(_ANY_STMT)
+@settings(max_examples=400, deadline=None)
+def test_single_statement_classification_by_construction(case):
+    sql, expected = case
+    feats = P.classify_statement(0, sql)
+    _check_features(feats, expected)
+
+
+@given(st.lists(_ANY_STMT, min_size=1, max_size=4), st.lists(_SEP, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_migration_roundtrip_with_interstatement_noise(cases, seps)  :
+    """Several generated statements joined with ';' plus comment noise
+    between them must split back into exactly those statements, each
+    classifying to its constructed expectation."""
+    pieces = []
+    for i, (sql, _) in enumerate(cases):
+        pieces.append(sql)
+        pieces.append(";")
+        if i < len(seps):
+            pieces.append(seps[i])
+    migration = "".join(pieces)
+    parsed = P.parse_sql(migration)
+    assert len(parsed) == len(cases), (migration, parsed)
+    for row, (sql, expected) in zip(parsed, cases):
+        feats = P.classify_statement(row["stmt_index"], row["stmt_sql"])
+        _check_features(feats, expected)
+
+
+@given(st.sampled_from(_CONST_DEFAULTS), st.sampled_from(_VOLATILE_DEFAULTS))
+@settings(max_examples=60, deadline=None)
+def test_volatility_classification_matrix(const_expr, volatile_expr):
+    assert not P.is_volatile_default(const_expr), const_expr
+    assert P.is_volatile_default(volatile_expr), volatile_expr
