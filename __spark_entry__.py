@@ -42,6 +42,9 @@ _RECHECK_FIRST = [
     "dedup_embedding", "dedup_near_minhash", "dedup_incremental",
     "quality_flags", "dedup_clusters", "dedup_clusters_star",
     "cluster_representatives", "events_copair_stream",
+    "forecast_revenue", "returned_items", "important_parts_share",
+    "priority_line_counts", "top_revenue_supplier",
+    "brand_supplier_counts", "promotion_part_suppliers",
 ]
 _CHECKED_EARLIER = [
     # r01 window

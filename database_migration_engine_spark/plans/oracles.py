@@ -2174,3 +2174,105 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s_name
 LIMIT 10
 """
+
+
+# --- TPC-H completion (r03): Q6, Q10, Q11, Q12, Q15, Q16, Q20 shapes --------
+
+ORACLES["forecast_revenue"] = f"""
+SELECT {_dsum(
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))",
+    "revenue",
+)}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_dsum(_DISC_PRICE, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["important_parts_share"] = f"""
+WITH per_part AS (
+    SELECT l_partkey, {_dsum(_DISC_PRICE, "part_value")}
+    FROM lineitem GROUP BY l_partkey
+),
+total AS (
+    SELECT {_dsum(_DISC_PRICE, "total_value")} FROM lineitem
+)
+SELECT l_partkey, part_value
+FROM per_part, total
+WHERE part_value > total_value * 0.0007
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+ORACLES["priority_line_counts"] = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["top_revenue_supplier"] = f"""
+WITH rev AS (
+    SELECT l_suppkey, {_dsum(_DISC_PRICE, "total_revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLES["brand_supplier_counts"] = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+ORACLES["promotion_part_suppliers"] = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM (
+        SELECT l_suppkey, l_partkey, {_dsum("l_quantity", "ship_qty")}
+        FROM lineitem
+        WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ) WHERE ship_qty > 50
+)
+ORDER BY s_suppkey
+"""

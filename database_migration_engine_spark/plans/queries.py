@@ -3060,3 +3060,191 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 3): the seven official query shapes the registry
+# did not yet cover — Q6, Q10, Q11, Q12, Q15, Q16, Q20 — adapted to the
+# fixture's columns (no partsupp table, no l_shipmode/commitdate; see
+# TESTDATA.md). With these, all 22 TPC-H query shapes have a registered,
+# oracle-checked counterpart.
+# ---------------------------------------------------------------------------
+
+
+@query("forecast_revenue")
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filtered revenue delta — the purest
+    pushdown test (all three predicates must reach the parquet scan; the
+    aggregate is a one-row global sum with map-side partials)."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * CAST(l_discount AS DECIMAL(4,2))"
+                ),
+                "revenue",
+            )
+        )
+    )
+
+
+@query("returned_items")
+def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    customer and nation broadcast; orders⋈lineitem is the one big
+    shuffle; deterministic top-k tie-break on c_custkey."""
+    ensure_deterministic(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.expr(DISC_PRICE), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query("important_parts_share")
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free adaptation): parts whose revenue
+    exceeds 0.07% of GLOBAL revenue — aggregate + scalar-subquery
+    threshold. The one-row global total is crossJoin-broadcast so the
+    HAVING comparison stays fully distributed; both the per-part and the
+    global sums use the exact-decimal pattern, and the threshold is one
+    double multiply of identical inputs in both engines."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.expr(DISC_PRICE), "part_value")
+    )
+    total = li.agg(dsum(F.expr(DISC_PRICE), "total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0007)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@query("priority_line_counts")
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode→linestatus adaptation): join + CASE-sum
+    split of high- vs low-priority orders per line status over a one-year
+    shipdate window."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query("top_revenue_supplier")
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue, keep the
+    supplier(s) equal to the maximum — aggregate feeding a scalar-max
+    subquery (the view + WHERE total_revenue = (SELECT MAX…) form)."""
+    ensure_deterministic(spark)
+    supp = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(dsum(F.expr(DISC_PRICE), "total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query("brand_supplier_counts")
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier counts per (brand, type, size), excluding one brand and —
+    via an anti-join, the NOT IN of the original — suppliers in bad
+    standing (negative account balance stands in for complaint
+    comments)."""
+    ensure_deterministic(spark)
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+@query("promotion_part_suppliers")
+def promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a threshold
+    quantity of promotable ('red …') parts in 1996 — the nested-IN /
+    correlated-half-sum form flattened into semi-joins: parts filter →
+    per-(supplier, part) quantity agg → threshold → distinct suppliers →
+    semi-join supplier."""
+    ensure_deterministic(spark)
+    supp = read_table(spark, sf_dir, "supplier")
+    red_parts = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity"), "ship_qty"))
+        .filter(F.col("ship_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
