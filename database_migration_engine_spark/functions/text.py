@@ -263,3 +263,59 @@ def sql_tokens(text_col: str = "text") -> str:
 def sql_stopword_hits(tokens_sql: str, lang: str) -> str:
     stops = ",".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter({tokens_sql}, t -> t IN ({stops})))"
+
+
+# --- PII detection / redaction (r03) ---------------------------------------
+# Patterns live in the Java-regex ∩ RE2 common subset (no backreferences,
+# no lookaround) so Spark and any RE2-based oracle engine (DuckDB) find
+# the SAME matches. Order matters for redaction: email before phone so
+# digits inside an already-redacted span can't double-match.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # phone: international-ish, 8+ digits with separators; anchored on
+    # digit boundaries so it can't swallow IPv4s (dots excluded)
+    "phone": r"\+?\d[\d ()-]{6,}\d\b",
+}
+
+_REDACTION_ORDER = ("email", "ssn", "ipv4", "phone")
+
+
+def pii_counts(text_col: str = "text") -> dict[str, Column]:
+    """Per-document match count per PII class — JVM regexp_count, no
+    Python in the hot path."""
+    return {
+        name: F.regexp_count(F.col(text_col), F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: str = "text") -> Column:
+    """Replace every PII match with a typed placeholder ([EMAIL] etc.) —
+    chained JVM regexp_replace in an order where earlier redactions
+    cannot leave partial matches for later classes."""
+    col = F.col(text_col)
+    for name in _REDACTION_ORDER:
+        col = F.regexp_replace(
+            col, PII_PATTERNS[name], f"[{name.upper()}]"
+        )
+    return col
+
+
+# Deterministic PII-bearing rows unioned into the scan so the regex
+# behavior itself is oracle-verified cross-engine (the synthetic corpus
+# contains no digits at all — real pipelines feed this operator raw
+# crawl text). Literal SQL VALUES, byte-identical in both engines.
+PII_FIXTURE_ROWS = [
+    (9000001, "contact me at alice.smith+work@example-mail.com today",
+     "synthetic_pii"),
+    (9000002, "server at 192.168.0.1 and backup at 10.0.255.254 ping",
+     "synthetic_pii"),
+    (9000003, "call +1 (415) 555-0199 or 020 7946 0958 now", "synthetic_pii"),
+    (9000004, "ssn 123-45-6789 leaked with bob@corp.io twice bob@corp.io",
+     "synthetic_pii"),
+    (9000005, "clean document with no sensitive content at all",
+     "synthetic_pii"),
+]

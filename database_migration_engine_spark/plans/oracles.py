@@ -2276,3 +2276,72 @@ WHERE s_suppkey IN (
 )
 ORDER BY s_suppkey
 """
+
+
+# --- repetition + PII (r03 wave 2) -----------------------------------------
+
+ORACLES["repetition_stats"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w
+    FROM documents
+),
+staged AS (
+    SELECT doc_id, w,
+           len(w) AS n_words,
+           len(list_distinct(w)) AS n_distinct,
+           len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i + 1]))) AS n_distinct_2g,
+           len(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+               AS n_distinct_3g
+    FROM t WHERE len(w) >= 3
+),
+wc AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS tok FROM t WHERE len(w) >= 3)
+    GROUP BY doc_id, tok
+),
+top AS (SELECT doc_id, MAX(c) AS top_c FROM wc GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_frac,
+       CAST(top_c AS DOUBLE) / n_words AS top_word_frac,
+       1.0 - CAST(n_distinct_2g AS DOUBLE) / (n_words - 1)
+           AS dup_bigram_frac,
+       1.0 - CAST(n_distinct_3g AS DOUBLE) / (n_words - 2)
+           AS dup_trigram_frac
+FROM staged s JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+_PII_VALUES = ", ".join(
+    f"({i}, '{t}', '{s}')" for i, t, s in TX.PII_FIXTURE_ROWS
+)
+_PII_COUNT_COLS = ",\n           ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+    for name, pat in TX.PII_PATTERNS.items()
+)
+_PII_AGGS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN n_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS docs_with_{name},\n       "
+    f"CAST(SUM(n_{name}) AS BIGINT) AS total_{name}"
+    for name in TX.PII_PATTERNS
+)
+
+ORACLES["pii_scan"] = f"""
+WITH all_docs AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {_PII_VALUES}) v(doc_id, text, source)
+),
+counted AS (
+    SELECT source,
+           {_PII_COUNT_COLS}
+    FROM all_docs
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       {_PII_AGGS}
+FROM counted GROUP BY source ORDER BY source
+"""

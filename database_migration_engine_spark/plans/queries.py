@@ -3248,3 +3248,112 @@ def promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline text operators, round 3 wave 2: repetition statistics and
+# PII scanning (the remaining standard pre-training filter families).
+# ---------------------------------------------------------------------------
+
+
+@query("repetition_stats")
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 table A1's
+    duplicate/top-n-gram family, adapted to the fixture's single-line
+    docs): per document, the distinct-word fraction, the most-frequent
+    word's share, and duplicate bigram/trigram fractions. All integer
+    ratios in double — bit-deterministic. The word array stages once;
+    the top-word share runs as explode → two-level aggregation (the
+    same shape the oracle uses), everything else is array expressions."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    # the n_words >= 3 filter comes BEFORE the n-gram expressions so the
+    # element_at(w, i+2) accesses are always in-bounds (ANSI mode throws
+    # on out-of-bounds element_at; degenerate docs carry no signal anyway)
+    staged = (
+        docs.select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), w -> w != '')").alias("w"),
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n_words"),
+            F.size(F.array_distinct("w")).alias("n_distinct"),
+            F.expr(
+                "size(array_distinct(transform(sequence(1, size(w) - 1),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))))"
+            ).alias("n_distinct_2g"),
+            F.expr(
+                "size(array_distinct(transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+                " element_at(w, i + 2)))))"
+            ).alias("n_distinct_3g"),
+        )
+    )
+    top = (
+        staged.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        staged.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_distinct") / F.col("n_words")).alias("distinct_word_frac"),
+            (F.col("top_c") / F.col("n_words")).alias("top_word_frac"),
+            (
+                F.lit(1.0) - F.col("n_distinct_2g") / (F.col("n_words") - 1)
+            ).alias("dup_bigram_frac"),
+            (
+                F.lit(1.0) - F.col("n_distinct_3g") / (F.col("n_words") - 2)
+            ).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("pii_scan")
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screening rollup (standard pre-training compliance pass):
+    per source, documents containing emails / IPv4s / phone-ish numbers
+    / SSN-pattern strings, plus total match counts. Pure regexp_count
+    column expressions (patterns in functions/text.PII_PATTERNS, chosen
+    inside the Java-regex ∩ RE2 common subset so the oracle reproduces
+    the same matches). The deterministic PII_FIXTURE_ROWS ride along so
+    the match behavior is exercised, not just zero-counted."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    vals = ", ".join(
+        f"({i}, '{t}', '{s}')" for i, t, s in TX.PII_FIXTURE_ROWS
+    )
+    synth = spark.sql(
+        f"SELECT col1 AS doc_id, col2 AS text, col3 AS source"
+        f" FROM (VALUES {vals})"
+    )
+    counted = docs.unionByName(synth).select(
+        "source",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}")
+            for name, pat in TX.PII_PATTERNS.items()
+        ],
+    )
+    aggs = []
+    for name in TX.PII_PATTERNS:
+        aggs.append(
+            F.sum(F.when(F.col(f"n_{name}") > 0, 1).otherwise(0)).alias(
+                f"docs_with_{name}"
+            )
+        )
+        aggs.append(F.sum(f"n_{name}").alias(f"total_{name}"))
+    return (
+        counted.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+        .orderBy("source")
+    )
