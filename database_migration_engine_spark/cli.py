@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 from pyspark.sql import functions as F
@@ -43,9 +44,14 @@ def _parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--config", help="config file (yaml/json)")
     p.add_argument("--database-url")
+    p.add_argument("--migrations-dir",
+                   help="path to migration files (reference root flag;"
+                        " the positional dir takes precedence)")
     p.add_argument("--ledger-path")
     p.add_argument("--pg-version", type=int, dest="target_pg_version")
     p.add_argument("--format", choices=["text", "json", "github-actions"])
+    p.add_argument("--verbose", action="store_true",
+                   help="enable verbose output (Spark INFO logs + SQL echo)")
     sub = p.add_subparsers(dest="command", required=True)
 
     an = sub.add_parser("analyze", help="danger-analyze a migrations dir")
@@ -58,6 +64,10 @@ def _parser() -> argparse.ArgumentParser:
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--echo", action="store_true",
                     help="record-only mode (no database needed)")
+    ap.add_argument("--lock-timeout", type=_duration_ms, default=None,
+                    help="override lock timeout (e.g. 10s, 1m, 500ms)")
+    ap.add_argument("--statement-timeout", type=_duration_ms, default=None,
+                    help="override statement timeout (e.g. 30s, 5m)")
 
     rb = sub.add_parser("rollback", help="roll back applied migrations")
     rb.add_argument("dir", nargs="?")
@@ -71,7 +81,24 @@ def _parser() -> argparse.ArgumentParser:
 
     pl = sub.add_parser("plan", help="impact preview (reference stub, real here)")
     pl.add_argument("dir", nargs="?")
+    pl.add_argument("--pending-only", action="store_true",
+                    help="show only migrations not yet in the ledger")
     return p
+
+
+_DURATION_UNITS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000}
+
+
+def _duration_ms(raw: str) -> int:
+    """Go-style duration string → milliseconds (the reference's apply
+    overrides are cobra Duration flags, reference internal/cli/apply.go:
+    41-42): '500ms', '10s', '1m', '2h', or a bare integer (ms)."""
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h)?", raw.strip())
+    if not m:
+        raise argparse.ArgumentTypeError(
+            f"invalid duration {raw!r} (want e.g. 500ms, 10s, 1m)"
+        )
+    return int(float(m.group(1)) * _DURATION_UNITS[m.group(2) or "ms"])
 
 
 def _load_cfg(args: argparse.Namespace) -> cfg.Config:
@@ -81,8 +108,16 @@ def _load_cfg(args: argparse.Namespace) -> cfg.Config:
         "target_pg_version": args.target_pg_version,
         "format": args.format,
     }
+    # positional dir > --migrations-dir flag > env/file (reference
+    # precedence: args[0] over the persistent flag)
     if getattr(args, "dir", None):
         flags["migrations_dir"] = args.dir
+    elif getattr(args, "migrations_dir", None):
+        flags["migrations_dir"] = args.migrations_dir
+    if getattr(args, "lock_timeout", None) is not None:
+        flags["lock_timeout_ms"] = args.lock_timeout
+    if getattr(args, "statement_timeout", None) is not None:
+        flags["statement_timeout_ms"] = args.statement_timeout
     return cfg.load(config_file=args.config, flags=flags)
 
 
@@ -255,6 +290,16 @@ def cmd_status(spark, conf: cfg.Config, args) -> int:
 
 def cmd_plan(spark, conf: cfg.Config, args) -> int:
     migs = load_from_dir(spark, conf.migrations_dir)
+    if getattr(args, "pending_only", False):
+        # reference plan --pending-only (internal/cli/plan.go:18): keep
+        # only migrations not yet applied in the ledger
+        ledger = ParquetLedger(spark, conf.ledger_path)
+        ledger.ensure()
+        migs = migs.join(
+            ledger.df().filter(F.col("status") == "applied"),
+            "version",
+            "left_anti",
+        )
     findings = analyze(migs, pg_version=conf.target_pg_version).collect()
     by_version: dict[str, list] = {}
     for r in findings:
@@ -285,7 +330,9 @@ def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     conf = _load_cfg(args)
     spark = build_session(app_name=f"dbme-{args.command}")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+        "INFO" if getattr(args, "verbose", False) else "ERROR"
+    )
     try:
         return COMMANDS[args.command](spark, conf, args)
     except LockNotAcquiredError as exc:

