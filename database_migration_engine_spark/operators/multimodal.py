@@ -192,6 +192,43 @@ def parse_jpeg_header(data: bytes) -> tuple[int, int]:
     raise ValueError("no SOF marker found")
 
 
+def make_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor + trailer —
+    enough for any header parser (no image data blocks)."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"  # no GCT, bg color, aspect
+        + b"\x3b"  # trailer
+    )
+
+
+def parse_gif_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from the logical screen descriptor (little-endian
+    at fixed offset 6, per the GIF87a/89a spec)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    return int(w), int(h)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, no pixel data
+    (header-parse scope)."""
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + len(info), 0, 0, 14 + len(info))
+    return file_header + info
+
+
+def parse_bmp_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from BITMAPINFOHEADER (height may be negative for
+    top-down DIBs — absolute value is the pixel height)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    w, h = struct.unpack("<ii", data[18:26])
+    return int(w), abs(int(h))
+
+
 def parse_png_header(data: bytes) -> tuple[int, int]:
     """(width, height) from the IHDR chunk — the first chunk after the
     8-byte signature per the PNG spec, so a fixed-offset read."""
@@ -218,13 +255,20 @@ def _decode_real(b: bytes) -> tuple[int, int]:
     if b[:2] == JPEG_SOI:
         w, h = parse_jpeg_header(b)
         return int(w), int(h)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = parse_gif_header(b)
+        return int(w), int(h)
+    if b[:2] == b"BM":
+        w, h = parse_bmp_header(b)
+        return int(w), int(h)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         n_frames, framerate, _, _ = parse_wav_header(b)
         return int(framerate), int(n_frames)
     raise NotImplementedError(
-        "only PNG, JPEG and WAV headers are parseable without media"
-        " libraries; full pixel/sample decode (MP3, video, pixel data)"
-        " needs PIL/ffmpeg — use mode='fake' for format-agnostic plumbing"
+        "only PNG, JPEG, GIF, BMP and WAV headers are parseable without"
+        " media libraries; full pixel/sample decode (MP3, video, pixel"
+        " data) needs PIL/ffmpeg — use mode='fake' for format-agnostic"
+        " plumbing"
     )
 
 

@@ -286,6 +286,29 @@ def test_real_decode_png_jpeg_wav_headers(spark):
             assert (r.width, r.height) == (32 + i % 64, 24 + (i // 3) % 40)
 
 
+def test_gif_bmp_header_decode():
+    """GIF/BMP fixed-offset headers (r03): round-trip make→parse, plus
+    the decode seam recognizing them in mode='real'."""
+    from database_migration_engine_spark.operators.multimodal import (
+        _decode_real,
+        make_bmp,
+        make_gif,
+        parse_bmp_header,
+        parse_gif_header,
+    )
+
+    assert parse_gif_header(make_gif(320, 200)) == (320, 200)
+    assert parse_bmp_header(make_bmp(640, 480)) == (640, 480)
+    assert _decode_real(make_gif(7, 9)) == (7, 9)
+    assert _decode_real(make_bmp(11, 13)) == (11, 13)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_gif_header(b"NOTGIF" + b"\x00" * 8)
+    with _pytest.raises(ValueError):
+        parse_bmp_header(b"XX" + b"\x00" * 30)
+
+
 def test_jpeg_header_parser_edge_cases():
     """Segment-walk robustness: fill bytes before markers, restart
     markers, APPn segments before SOF, and honest failures on non-JPEG
