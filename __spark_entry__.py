@@ -45,7 +45,7 @@ _RECHECK_FIRST = [
     "forecast_revenue", "returned_items", "important_parts_share",
     "priority_line_counts", "top_revenue_supplier",
     "brand_supplier_counts", "promotion_part_suppliers",
-    "repetition_stats", "pii_scan",
+    "repetition_stats", "pii_scan", "clean_corpus",
 ]
 _CHECKED_EARLIER = [
     # r01 window

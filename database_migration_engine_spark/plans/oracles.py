@@ -438,8 +438,11 @@ SELECT doc_id,
 FROM t
 """
 
-ORACLES["quality_flags"] = f"""
-WITH staged AS (
+# Reusable per-document quality-flag CTE chain (qf_staged → qf_m →
+# qf_flags carrying doc_id, source, the seven f_* flags and their
+# product qf_passes) — consumed by both the quality_flags rollup and
+# the clean_corpus end-to-end pipeline oracle.
+_QF_CTES = f"""qf_staged AS (
     SELECT doc_id, source,
            list_filter(string_split_regex(text, '\\s+'), w -> w != '')
                AS words,
@@ -448,7 +451,7 @@ WITH staged AS (
            len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbol_cnt
     FROM documents
 ),
-m AS (
+qf_m AS (
     SELECT doc_id, source, stop_hits, symbol_cnt,
            len(words) AS n_words,
            len(lines) AS n_lines,
@@ -462,10 +465,10 @@ m AS (
                AS ellipsis_cnt,
            len(list_filter(words,
                w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_cnt
-    FROM staged
+    FROM qf_staged
 ),
-flags AS (
-    SELECT source,
+qf_flags AS (
+    SELECT doc_id, source,
         CASE WHEN n_words >= {TX.QF_MIN_WORDS}
               AND n_words <= {TX.QF_MAX_WORDS} THEN 1 ELSE 0 END
             AS f_word_count,
@@ -494,13 +497,18 @@ flags AS (
              THEN 1 ELSE 0 END AS f_alpha_words,
         CASE WHEN stop_hits >= {TX.QF_MIN_STOP_HITS} THEN 1 ELSE 0 END
             AS f_stopwords
-    FROM m
-)
+    FROM qf_m
+)"""
+
+_QF_PASS = ("f_word_count * f_mean_word_len * f_symbol_ratio"
+            " * f_bullet_lines * f_ellipsis_lines * f_alpha_words"
+            " * f_stopwords")
+
+ORACLES["quality_flags"] = f"""
+WITH {_QF_CTES}
 SELECT source,
        COUNT(*) AS n_docs,
-       CAST(SUM(f_word_count * f_mean_word_len * f_symbol_ratio
-                * f_bullet_lines * f_ellipsis_lines * f_alpha_words
-                * f_stopwords) AS BIGINT) AS n_pass,
+       CAST(SUM({_QF_PASS}) AS BIGINT) AS n_pass,
        CAST(SUM(1 - f_word_count) AS BIGINT) AS rej_word_count,
        CAST(SUM(1 - f_mean_word_len) AS BIGINT) AS rej_mean_word_len,
        CAST(SUM(1 - f_symbol_ratio) AS BIGINT) AS rej_symbol_ratio,
@@ -508,7 +516,7 @@ SELECT source,
        CAST(SUM(1 - f_ellipsis_lines) AS BIGINT) AS rej_ellipsis_lines,
        CAST(SUM(1 - f_alpha_words) AS BIGINT) AS rej_alpha_words,
        CAST(SUM(1 - f_stopwords) AS BIGINT) AS rej_stopwords
-FROM flags GROUP BY source ORDER BY source
+FROM qf_flags GROUP BY source ORDER BY source
 """
 
 _HITS = {
@@ -2344,4 +2352,45 @@ SELECT source,
        COUNT(*) AS n_docs,
        {_PII_AGGS}
 FROM counted GROUP BY source ORDER BY source
+"""
+
+
+# --- clean_corpus (r03 capstone): dedup + quality retention ----------------
+
+ORACLES["clean_corpus"] = f"""
+WITH RECURSIVE {_JACC_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jacc
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jacc
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS root FROM documents
+    UNION
+    SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+quality AS ({ORACLES["quality_score"]}),
+ranked AS (
+    SELECT c.cluster_id, q.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.score DESC, q.doc_id ASC) AS rnk
+    FROM comp c JOIN quality q USING (doc_id)
+),
+reps AS (SELECT doc_id FROM ranked WHERE rnk = 1),
+{_QF_CTES},
+perdoc AS (
+    SELECT f.doc_id, f.source,
+           {_QF_PASS} AS passes,
+           CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rep
+    FROM qf_flags f LEFT JOIN reps r USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_rep) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(is_rep * passes) AS BIGINT) AS n_retained,
+       CAST(SUM(is_rep * passes) AS DOUBLE) / COUNT(*) AS retention_rate
+FROM perdoc GROUP BY source ORDER BY source
 """

@@ -861,20 +861,18 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("quality_flags")
-def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style pre-training quality filter (r03): word-count and
-    mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
-    fractions, alphabetic-word fraction, stop-word presence — the
-    published rule set (Rae et al. 2021 table A1) as pure integer-ratio
-    column arithmetic, rolled up per source with the per-rule reject
-    counts a pipeline operator actually monitors.
+QF_RULE_COLS = [
+    "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+    "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords",
+]
 
-    The word and line arrays are staged once (codegen does not reliably
-    CSE a regexp split), then every rule is a filter/size over the staged
-    arrays — no Python, no shuffle before the final source rollup."""
-    ensure_deterministic(spark)
-    docs = read_table(spark, sf_dir, "documents")
+
+def _quality_doc_flags(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher-rule flags (doc_id, source, f_*, passes) —
+    shared by quality_flags (per-source rollup) and clean_corpus (the
+    end-to-end retention pipeline). The word and line arrays are staged
+    once (codegen does not reliably CSE a regexp split), then every rule
+    is a filter/size over the staged arrays — no Python, no shuffle."""
     stops = ",".join(f"'{w}'" for w in TX.STOPWORDS["en"])
     staged = docs.select(
         "doc_id",
@@ -936,22 +934,31 @@ def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(alp >= TX.QF_MIN_ALPHA_FRAC).alias("f_alpha_words"),
         flag(F.col("stop_hits") >= TX.QF_MIN_STOP_HITS).alias("f_stopwords"),
     )
-    rule_cols = [
-        "f_word_count", "f_mean_word_len", "f_symbol_ratio",
-        "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords",
-    ]
     passes = F.lit(1)
-    for c in rule_cols:
+    for c in QF_RULE_COLS:
         passes = passes * F.col(c)
+    return flags.withColumn("passes", passes)
+
+
+@query("quality_flags")
+def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style pre-training quality filter (r03): word-count and
+    mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word presence — the
+    published rule set (Rae et al. 2021 table A1) as pure integer-ratio
+    column arithmetic (see _quality_doc_flags), rolled up per source with
+    the per-rule reject counts a pipeline operator actually monitors."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
     return (
-        flags.withColumn("passes", passes)
+        _quality_doc_flags(docs)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("passes").alias("n_pass"),
             *[
                 F.sum(F.lit(1) - F.col(c)).alias(c.replace("f_", "rej_"))
-                for c in rule_cols
+                for c in QF_RULE_COLS
             ],
         )
         .orderBy("source")
@@ -3355,5 +3362,52 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+        .orderBy("source")
+    )
+
+
+@query("clean_corpus")
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup+filter pipeline's END-TO-END output (r03 capstone): per
+    source, how much of the corpus survives (a) near-dup deduplication —
+    keep only each cluster's best-quality representative — and (b) the
+    Gopher quality filter. This is the number a pre-training data curator
+    actually reports: documents in → documents retained.
+
+    Composition of the already-certified stages (shared materializations,
+    no recomputation): connected-component labels from
+    _dedup_labels_shared, representative = rank-1 by quality score per
+    cluster (ties to lowest doc_id), pass flags from _quality_doc_flags.
+    retention_rate is a ratio of integers — deterministic double."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    labels = _dedup_labels_shared(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    reps = (
+        labels.join(quality, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.lit(1).alias("is_rep"))
+    )
+    flags = _quality_doc_flags(docs).select("doc_id", "source", "passes")
+    return (
+        flags.join(reps, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_rep"), F.lit(0))).alias(
+                "n_after_dedup"
+            ),
+            F.sum(
+                F.coalesce(F.col("is_rep"), F.lit(0)) * F.col("passes")
+            ).alias("n_retained"),
+        )
+        .withColumn(
+            "retention_rate",
+            F.col("n_retained") / F.col("n_docs"),
+        )
         .orderBy("source")
     )
