@@ -46,6 +46,8 @@ _RECHECK_FIRST = [
     "priority_line_counts", "top_revenue_supplier",
     "brand_supplier_counts", "promotion_part_suppliers",
     "repetition_stats", "pii_scan", "clean_corpus",
+    "duplicate_spans", "pack_sequences", "source_mixture_sample",
+    "events_dedup_stream",
 ]
 _CHECKED_EARLIER = [
     # r01 window

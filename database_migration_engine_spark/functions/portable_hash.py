@@ -62,6 +62,19 @@ def hex_bit_sql(hex_col: str, bit: int) -> str:
     return f"(CAST(floor({nib} / {2 ** shift}) AS BIGINT) % 2)"
 
 
+def uniform_frac_sql(hex_col: str) -> str:
+    """Uniform double in [0, 1) from the first 8 hex chars of ``hex_col``
+    (value / 2^32). The 32-bit magnitude keeps the nibble sum positive and
+    far inside exact-double range, so both engines compute the identical
+    quotient — the portable replacement for ``rand()`` in rate-threshold
+    sampling (keep row iff frac < rate)."""
+    val = " + ".join(f"{_nibble(hex_col, i)} * {16 ** (8 - i)}" for i in range(1, 9))
+    # divide by an explicit DOUBLE: a bare `4294967296.0` literal parses
+    # as DECIMAL in Spark SQL, which would round the quotient to the
+    # literal's scale instead of computing the exact double quotient
+    return f"(({val}) / CAST(4294967296 AS DOUBLE))"
+
+
 def md5_uniform(key: str) -> float:
     """Deterministic uniform value in [-1, 1) derived from md5(key) —
     computed in pure Python and baked into SQL as a plain decimal

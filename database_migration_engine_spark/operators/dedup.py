@@ -457,3 +457,72 @@ def rolling_hashes(
             )
 
     return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
+
+
+def span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-passage coverage (ExactSubstr-lite): for
+    each document, how many of its token positions fall inside an
+    ``n``-token shingle that also occurs in at least one OTHER document.
+
+    Returns one row per input row: ``(id_col, n_tokens, n_dup_tokens)``.
+    Membership, not similarity — the duplicated-shingle set is a linear
+    hash-groupBy on md5 digests (map-side partial distinct-doc count) and
+    the coverage union is a bounded ×n explode over duplicated positions
+    only, so the whole plan stays linear in corpus size at 100 TB.
+    Generalizes the reference's whole-file checksum dedup
+    (`internal/migration/migration.go:19-23`) to sub-document spans."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TX
+
+    # Shingles via posexplode + window leads, NOT a transform() lambda:
+    # higher-order-function bodies are interpreted per element (~33 µs per
+    # shingle measured at sf0.1), while lead/concat_ws/md5 in a top-level
+    # projection stay inside whole-stage codegen (~10× faster). The window
+    # sort is per-document (local per-key sort after a hash shuffle on
+    # id_col), never a global sort — the shape that survives 100 TB.
+    toks_row = df.select(
+        F.col(id_col), F.posexplode(TX.tokens(content_col)).alias("pos0", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos0")
+    lead_cols = [F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, n)]
+    sh = (
+        toks_row.select(id_col, "pos0", "tok", *lead_cols)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            id_col,
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)])
+            ).alias("h"),
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.size(TX.tokens(content_col)).alias("n_tokens")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        sh.join(dup, "h")
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .withColumn("n_dup_tokens", F.coalesce("n_dup_tokens", F.lit(0)))
+    )

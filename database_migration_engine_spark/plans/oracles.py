@@ -2394,3 +2394,92 @@ SELECT source,
        CAST(SUM(is_rep * passes) AS DOUBLE) / COUNT(*) AS retention_rate
 FROM perdoc GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 session additions (mirrors plans/queries.py tail).
+# ---------------------------------------------------------------------------
+
+ORACLES["duplicate_spans"] = f"""
+WITH base AS (
+    SELECT doc_id, source, {_TOKS} AS toks FROM documents
+),
+sized AS (
+    SELECT doc_id, source, len(toks) AS n_tokens, toks FROM base
+),
+pos_t AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 7)) AS pos
+    FROM sized WHERE len(toks) >= 8
+),
+sh AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(list_slice(toks, pos, pos + 7), ' ')) AS h
+    FROM pos_t
+),
+dup AS (
+    SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+    SELECT doc_id, COUNT(*) AS n_dup_tokens FROM (
+        SELECT DISTINCT s.doc_id, s.pos + o.off AS idx
+        FROM sh s JOIN dup USING (h), LATERAL generate_series(0, 7) AS o(off)
+    ) GROUP BY doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(n_dup_tokens, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_dup_spans,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(n_dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       CAST(SUM(COALESCE(n_dup_tokens, 0)) AS DOUBLE) / SUM(n_tokens)
+           AS dup_token_rate
+FROM sized LEFT JOIN cov USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH t AS (
+    SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM t
+)
+SELECT source,
+       CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM c GROUP BY source, seq_bin ORDER BY source, seq_bin
+"""
+
+from ..functions.portable_hash import uniform_frac_sql as _UFRAC  # noqa: E402
+
+ORACLES["source_mixture_sample"] = f"""
+WITH rated AS (
+    SELECT source, LEAST(1.0, 10.0 / COUNT(*)) AS rate
+    FROM documents GROUP BY source
+),
+h AS (
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, r.rate,
+           md5(CAST(d.doc_id AS VARCHAR)) AS hx
+    FROM documents d JOIN rated r USING (source)
+)
+SELECT doc_id, lang, source, n_chars
+FROM h WHERE {_UFRAC('hx')} < rate
+ORDER BY doc_id
+"""
+
+ORACLES["events_dedup_stream"] = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {_dsum('value', 'sum_value')}
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""

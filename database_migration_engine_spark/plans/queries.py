@@ -3411,3 +3411,136 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: passage-level dedup, sequence packing, mixture
+# sampling, streaming exact dedup (SURVEY.md §2.B, LLM-pipeline surface).
+# ---------------------------------------------------------------------------
+
+
+@query("duplicate_spans")
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication (ExactSubstr-lite): per source, what
+    fraction of tokens sit inside an 8-token shingle that also occurs in
+    at least one OTHER document. Catches boilerplate paragraphs that
+    whole-document dedup misses — the standard pre-training passage-dedup
+    signal (cf. reference's whole-file checksum
+    `internal/migration/migration.go:19-23`, generalized to sub-document
+    granularity).
+
+    Scale shape: positions explode linearly (one row per token), the
+    duplicated-shingle set is a hash-groupBy over 32-char digests with a
+    distinct-doc count (map-side partial), and the coverage union is a
+    bounded ×8 explode over only the duplicated positions. No pair join
+    anywhere — membership, not similarity — so it stays linear at 100 TB.
+    """
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    cov = DD.span_coverage(docs, id_col="doc_id", content_col="text", n=8)
+    return (
+        docs.select("doc_id", "source")
+        .join(cov, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_dup_tokens") > 0).cast("long")).alias(
+                "docs_with_dup_spans"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_dup_tokens").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_token_rate",
+            (F.col("dup_tokens") / F.col("total_tokens")).cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("pack_sequences")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents stream in doc_id order
+    within each source, and each doc lands in token-budget bin
+    floor(tokens_before / 2048) — the deterministic document→training-
+    sequence assignment a tokenize-and-pack pipeline materializes. Packing
+    is per-source (partitionBy source), so at 100 TB the window sort is
+    per-source-partition parallel, never a global sort; a curator shards
+    further by (source, date) the same way."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", TX.token_count().alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn(
+            "seq_bin", F.floor(F.col("cum_before") / F.lit(2048.0))
+        )
+        .groupBy("source", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("source", "seq_bin")
+    )
+
+
+@query("source_mixture_sample")
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mixture resampling: downsample every source toward a
+    10-doc budget with rate min(1, 10/count), using the content-addressed
+    md5 fraction (functions/portable_hash.uniform_frac_sql) as the
+    Bernoulli coin — reproducible across engines, runs and partitionings,
+    unlike rand(). This is the data-mixing step that rebalances a skewed
+    crawl before training. Per-source counts are a tiny dim aggregated
+    map-side and broadcast back onto the fact — no extra wide shuffle."""
+    from ..functions.portable_hash import uniform_frac_sql
+
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("src_n"))
+    rated = counts.withColumn(
+        "rate", F.least(F.lit(1.0), F.lit(10.0) / F.col("src_n"))
+    )
+    return (
+        docs.join(F.broadcast(rated), "source")
+        .withColumn("hx", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("u", F.expr(uniform_frac_sql("hx")))
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query("events_dedup_stream")
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events file stream unioned with itself
+    (every row a duplicate), keyed dropDuplicatesWithinWatermark on
+    event_id with bounded state, drained append-mode into a memory sink,
+    then rolled up per event_type. Must reproduce the batch DISTINCT
+    aggregate exactly — the streaming-ingestion form of dedup_exact, with
+    state bounded by the 1 h watermark rather than growing with the
+    stream."""
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    s1 = SE.read_events_stream(spark, sf_dir)
+    s2 = SE.read_events_stream(spark, sf_dir)
+    deduped = SE.dedup_within_watermark(s1.unionByName(s2))
+    sink = SE.run_to_memory(deduped, output_mode="append")
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("event_type")
+    )

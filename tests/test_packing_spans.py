@@ -1,0 +1,163 @@
+"""Round-3 wave-3 operators: passage-level span coverage, sequence
+packing, and portable mixture sampling.
+
+The registry queries are oracle-checked end-to-end (test_queries_oracle);
+these tests pin the operator SEMANTICS on crafted inputs — exact coverage
+counts for shared passages, bin-assignment invariants for packing, and
+three-way (Spark = DuckDB = hashlib) portability of the uniform fraction
+that drives rate-threshold sampling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from database_migration_engine_spark.functions.portable_hash import (
+    uniform_frac_sql,
+)
+from database_migration_engine_spark.operators import dedup as DD
+from database_migration_engine_spark.plans import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestSpanCoverage:
+    def test_shared_8gram_covers_both_docs(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = _docs(
+            spark,
+            [
+                f"unique one two three {shared}",
+                f"{shared} other closing words here",
+                "totally different content with no overlap at all whatsoever",
+            ],
+        )
+        rows = {
+            r.doc_id: r
+            for r in DD.span_coverage(docs, n=8).collect()
+        }
+        # exactly the 8 shared tokens are covered in each sharing doc
+        assert rows[0].n_dup_tokens == 8
+        assert rows[1].n_dup_tokens == 8
+        assert rows[2].n_dup_tokens == 0
+
+    def test_overlapping_shingles_union_not_sum(self, spark):
+        # 9 shared consecutive tokens → two overlapping 8-gram shingles;
+        # coverage must be the union (9), not 2 × 8
+        shared = "one two three four five six seven eight nine"
+        docs = _docs(
+            spark,
+            [f"{shared} tail words", f"lead {shared}"],
+        )
+        rows = {r.doc_id: r for r in DD.span_coverage(docs, n=8).collect()}
+        assert rows[0].n_dup_tokens == 9
+        assert rows[1].n_dup_tokens == 9
+
+    def test_short_docs_have_no_shingles(self, spark):
+        docs = _docs(spark, ["a b c", "a b c", ""])
+        for r in DD.span_coverage(docs, n=8).collect():
+            assert r.n_dup_tokens == 0
+
+    def test_within_doc_repetition_is_not_duplication(self, spark):
+        # the same 8-gram twice in ONE doc is repetition, not cross-doc
+        # duplication — countDistinct(doc_id) >= 2 must not fire
+        span = "q w e r t y u i"
+        docs = _docs(spark, [f"{span} {span}", "unrelated text entirely"])
+        rows = {r.doc_id: r for r in DD.span_coverage(docs, n=8).collect()}
+        assert rows[0].n_dup_tokens == 0
+
+
+class TestPackSequences:
+    def test_bin_invariants(self, spark):
+        out = QUERIES["pack_sequences"](spark, SF_DIR).collect()
+        by_source: dict[str, list] = {}
+        for r in out:
+            by_source.setdefault(r.source, []).append(r)
+        assert by_source, "no bins produced"
+        for source, rows in by_source.items():
+            rows.sort(key=lambda r: r.seq_bin)
+            # bins are contiguous from 0
+            assert [r.seq_bin for r in rows] == list(range(len(rows)))
+            # doc ranges are disjoint and ordered across bins
+            for a, b in zip(rows, rows[1:]):
+                assert a.last_doc_id < b.first_doc_id
+            # every bin is assigned by cum_before: each non-final bin's
+            # cumulative token count must reach its budget boundary
+            cum = 0
+            for r in rows[:-1]:
+                cum += r.bin_tokens
+                assert cum >= (r.seq_bin + 1) * 2048
+
+    def test_totals_preserved(self, spark, duck):
+        out = QUERIES["pack_sequences"](spark, SF_DIR)
+        total = out.agg(
+            F.sum("bin_tokens").alias("t"), F.sum("n_docs").alias("d")
+        ).collect()[0]
+        n_docs = duck.sql(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        assert total.d == n_docs
+        assert total.t > 0
+
+
+class TestMixtureSample:
+    def test_uniform_frac_three_way(self, spark, duck):
+        keys = [str(i) for i in range(200)]
+        expected = [
+            int(hashlib.md5(k.encode()).hexdigest()[:8], 16) / 2**32
+            for k in keys
+        ]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        got_spark = [
+            r.u
+            for r in df.select(
+                F.expr(uniform_frac_sql("md5(k)")).alias("u")
+            ).collect()
+        ]
+        assert got_spark == expected
+        got_duck = [
+            row[0]
+            for row in duck.sql(
+                "SELECT " + uniform_frac_sql("md5(CAST(i AS VARCHAR))")
+                + " FROM generate_series(0, 199) AS g(i) ORDER BY i"
+            ).fetchall()
+        ]
+        assert got_duck == expected
+
+    def test_budget_downsamples_every_source(self, spark, duck):
+        kept = QUERIES["source_mixture_sample"](spark, SF_DIR)
+        kept_counts = {
+            r.source: r.c
+            for r in kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        totals = dict(
+            duck.sql(
+                f"SELECT source, COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+                " GROUP BY source"
+            ).fetchall()
+        )
+        for source, total in totals.items():
+            assert kept_counts.get(source, 0) <= total
+        # the sample is a real downsample overall (budget 10 per source)
+        assert sum(kept_counts.values()) < sum(totals.values())
+
+    def test_sample_is_deterministic(self, spark):
+        a = sorted(
+            r.doc_id
+            for r in QUERIES["source_mixture_sample"](spark, SF_DIR).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in QUERIES["source_mixture_sample"](spark, SF_DIR).collect()
+        )
+        assert a == b
