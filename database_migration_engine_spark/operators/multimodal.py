@@ -243,6 +243,37 @@ def parse_wav_header(data: bytes) -> tuple[int, int, int, int]:
         return (w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth())
 
 
+def make_avi(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal structurally-valid RIFF AVI: the ``hdrl`` LIST with a
+    56-byte ``avih`` main header (dwTotalFrames / dwWidth / dwHeight at
+    their spec offsets) plus an empty ``movi`` LIST — the container
+    shape every AVI demuxer probes first."""
+    avih = struct.pack(
+        "<14I", 33333, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + lst + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, total_frames) from the ``avih`` main header of a
+    RIFF AVI (fields 8/9/4 of the 14-dword body, per the AVIMAINHEADER
+    spec)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    p = data.find(b"avih")
+    if p < 0:
+        raise ValueError("AVI missing avih main header")
+    body = data[p + 8 : p + 8 + 56]
+    if len(body) < 56:
+        raise ValueError("truncated avih header")
+    vals = struct.unpack("<14I", body)
+    return vals[8], vals[9], vals[4]
+
+
 def _decode_real(b: bytes) -> tuple[int, int]:
     """Header-level decode for the formats stdlib can parse. Returns the
     (width, height) feature pair; for audio the temporal dimensions map
@@ -264,18 +295,22 @@ def _decode_real(b: bytes) -> tuple[int, int]:
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         n_frames, framerate, _, _ = parse_wav_header(b)
         return int(framerate), int(n_frames)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        w, h, _frames = parse_avi_header(b)
+        return int(w), int(h)
     raise NotImplementedError(
-        "only PNG, JPEG, GIF, BMP and WAV headers are parseable without"
-        " media libraries; full pixel/sample decode (MP3, video, pixel"
-        " data) needs PIL/ffmpeg — use mode='fake' for format-agnostic"
-        " plumbing"
+        "only PNG, JPEG, GIF, BMP, WAV and AVI headers are parseable"
+        " without media libraries; full pixel/sample decode (MP3, video"
+        " frames, pixel data) needs PIL/ffmpeg — use mode='fake' for"
+        " format-agnostic plumbing"
     )
 
 
 def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
-    """Deterministic REAL media assets cycling the three dominant
-    formats: id % 3 == 0 → PNG, 1 → WAV, 2 → JPEG (alternating baseline
-    SOF0 / progressive SOF2), all dimensions derived from the id.
+    """Deterministic REAL media assets cycling all three modalities:
+    id % 4 == 0 → PNG, 1 → WAV, 2 → JPEG (alternating baseline SOF0 /
+    progressive SOF2), 3 → AVI video container; all dimensions derived
+    from the id.
     Payload construction needs Python byte-assembly, so it runs as an
     Arrow-batched mapInPandas over ``spark.range`` — the same distributed
     generation shape a backfill job would use (no driver-side loop)."""
@@ -286,18 +321,23 @@ def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 3 == 0:
-                    payload = make_png(16 + i % 48, 16 + (i // 3) % 32)
+                if i % 4 == 0:
+                    payload = make_png(16 + i % 48, 16 + (i // 4) % 32)
                     modality, mime = "image", "image/png"
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     payload = make_wav(50 + i % 200, framerate=8000 + 100 * (i % 5))
                     modality, mime = "audio", "audio/wav"
-                else:
+                elif i % 4 == 2:
                     payload = make_jpeg(
-                        32 + i % 64, 24 + (i // 3) % 40,
-                        progressive=(i // 3) % 2 == 1,
+                        32 + i % 64, 24 + (i // 4) % 40,
+                        progressive=(i // 4) % 2 == 1,
                     )
                     modality, mime = "image", "image/jpeg"
+                else:
+                    payload = make_avi(
+                        160 + i % 64, 120 + (i // 4) % 48, 24 + i % 100
+                    )
+                    modality, mime = "video", "video/x-msvideo"
                 rows.append(
                     {
                         "asset_id": i,

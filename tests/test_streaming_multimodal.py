@@ -248,14 +248,16 @@ def test_sessionize_batch_stream_agree_on_exact_gap(spark, tmp_path):
 
 def test_real_decode_png_jpeg_wav_headers(spark):
     """mode='real' parses actual PNG IHDR, JPEG SOFn (baseline and
-    progressive), and WAV headers (stdlib only; VERDICT r01 item 7, JPEG
-    r03) — dimensions must match the generation formulas and hand-built
-    known-header assets exactly."""
+    progressive), WAV and AVI headers (stdlib only; VERDICT r01 item 7,
+    JPEG+AVI r03) — dimensions must match the generation formulas and
+    hand-built known-header assets exactly."""
     from database_migration_engine_spark.operators.multimodal import (
         decode_features,
+        make_avi,
         make_jpeg,
         make_png,
         make_wav,
+        parse_avi_header,
         parse_jpeg_header,
         parse_png_header,
         parse_wav_header,
@@ -267,6 +269,7 @@ def test_real_decode_png_jpeg_wav_headers(spark):
     assert parse_wav_header(make_wav(77, framerate=8200)) == (77, 8200, 1, 1)
     assert parse_jpeg_header(make_jpeg(640, 480)) == (640, 480)
     assert parse_jpeg_header(make_jpeg(31, 17, progressive=True)) == (31, 17)
+    assert parse_avi_header(make_avi(1920, 1080, 300)) == (1920, 1080, 300)
 
     feats = {
         r.asset_id: r
@@ -275,15 +278,18 @@ def test_real_decode_png_jpeg_wav_headers(spark):
     assert len(feats) == 40
     for i in range(40):
         r = feats[i]
-        if i % 3 == 0:
+        if i % 4 == 0:
             assert r.modality == "image"
-            assert (r.width, r.height) == (16 + i % 48, 16 + (i // 3) % 32)
-        elif i % 3 == 1:
+            assert (r.width, r.height) == (16 + i % 48, 16 + (i // 4) % 32)
+        elif i % 4 == 1:
             assert r.modality == "audio"
             assert (r.width, r.height) == (8000 + 100 * (i % 5), 50 + i % 200)
-        else:
+        elif i % 4 == 2:
             assert r.modality == "image"
-            assert (r.width, r.height) == (32 + i % 64, 24 + (i // 3) % 40)
+            assert (r.width, r.height) == (32 + i % 64, 24 + (i // 4) % 40)
+        else:
+            assert r.modality == "video"
+            assert (r.width, r.height) == (160 + i % 64, 120 + (i // 4) % 48)
 
 
 def test_gif_bmp_header_decode():
