@@ -47,7 +47,7 @@ _RECHECK_FIRST = [
     "brand_supplier_counts", "promotion_part_suppliers",
     "repetition_stats", "pii_scan", "clean_corpus",
     "duplicate_spans", "pack_sequences", "source_mixture_sample",
-    "events_dedup_stream",
+    "events_dedup_stream", "source_overlap", "events_ks_drift",
 ]
 _CHECKED_EARLIER = [
     # r01 window

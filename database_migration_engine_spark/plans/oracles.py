@@ -2483,3 +2483,79 @@ SELECT event_type,
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
+
+ORACLES["source_overlap"] = f"""
+WITH t AS (
+    SELECT source, {_TOKS} AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT source, md5(shingle) AS h FROM (
+        SELECT source, unnest(
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [] END) AS shingle
+        FROM t
+    )
+),
+counts AS (
+    SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b USING (h)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+),
+grid AS (
+    SELECT x.source AS source_a, y.source AS source_b,
+           x.n AS n_a, y.n AS n_b
+    FROM counts x JOIN counts y ON x.source < y.source
+)
+SELECT g.source_a, g.source_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       g.n_a + g.n_b - COALESCE(i.n_inter, 0) AS n_union,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / (g.n_a + g.n_b - COALESCE(i.n_inter, 0)) AS jaccard
+FROM grid g LEFT JOIN inter i USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
+ORACLES["events_ks_drift"] = """
+WITH types AS (
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, a.n AS n_a,
+           b.event_type AS type_b, b.n AS n_b
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+tagged AS (
+    SELECT p.type_a, p.type_b, p.n_a, p.n_b, e.value,
+           1 AS ca, 0 AS cb
+    FROM events e JOIN pairs p ON e.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, p.n_a, p.n_b, e.value,
+           0 AS ca, 1 AS cb
+    FROM events e JOIN pairs p ON e.event_type = p.type_b
+),
+per_value AS (
+    SELECT type_a, type_b, n_a, n_b, value,
+           SUM(ca) AS ca, SUM(cb) AS cb
+    FROM tagged GROUP BY type_a, type_b, n_a, n_b, value
+),
+cdf AS (
+    SELECT type_a, type_b, n_a, n_b,
+           SUM(ca) OVER (PARTITION BY type_a, type_b ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+           SUM(cb) OVER (PARTITION BY type_a, type_b ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+    FROM per_value
+)
+SELECT type_a, type_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE) / (n_a * n_b)
+           AS ks_stat
+FROM cdf GROUP BY type_a, type_b, n_a, n_b
+ORDER BY type_a, type_b
+"""

@@ -3544,3 +3544,124 @@ def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("source_overlap")
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-lineage diagnostic: Jaccard overlap of the
+    distinct 3-token shingle sets of every source pair — the signal that
+    two crawl feeds are mirrors of each other BEFORE doc-level dedup ever
+    runs. Shingles travel as md5 digests (never content); the self-join
+    is an equi-join on the digest, and per-shingle fan-out is bounded by
+    the number of sources sharing it (per-shingle source list, not doc
+    pairs) — linear in corpus size, quadratic only in #sources, which is
+    the cheap dimension. Zero-overlap pairs are kept via the tiny
+    per-source-count grid (broadcast)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("source", TX.tokens().alias("toks"))
+    sh = (
+        t.select("source", F.explode(TX.shingles("toks", 3)).alias("shingle"))
+        .select("source", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    counts = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    grid = (
+        counts.alias("x")
+        .join(
+            F.broadcast(counts.alias("y")),
+            F.col("x.source") < F.col("y.source"),
+        )
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+    )
+    return (
+        grid.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn(
+            "jaccard", (F.col("n_inter") / F.col("n_union")).cast("double")
+        )
+        .select("source_a", "source_b", "n_inter", "n_union", "jaccard")
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query("events_ks_drift")
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of every event-type pair — the standard
+    distribution-drift monitor for a feature pipeline. All CDF math is
+    integer cross-multiplied (|cum_a·n_b − cum_b·n_a|, one final
+    division), so the result is deterministic at any parallelism — the
+    same exactness trick as source_drift's L1. The pair table is a tiny
+    broadcast dim; the per-pair CDF window sorts only within each pair's
+    partition."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    types = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        types.alias("a")
+        .join(
+            F.broadcast(types.alias("b")),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+    side_a = ev.join(
+        F.broadcast(pairs), ev.event_type == F.col("type_a")
+    ).select("type_a", "type_b", "n_a", "n_b", "value",
+             F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    side_b = ev.join(
+        F.broadcast(pairs), ev.event_type == F.col("type_b")
+    ).select("type_a", "type_b", "n_a", "n_b", "value",
+             F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    per_value = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "n_a", "n_b", "value")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = per_value.withColumn("cum_a", F.sum("ca").over(w)).withColumn(
+        "cum_b", F.sum("cb").over(w)
+    )
+    return (
+        cdf.groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            ).alias("d_int")
+        )
+        .withColumn(
+            "ks_stat",
+            (F.col("d_int") / (F.col("n_a") * F.col("n_b"))).cast("double"),
+        )
+        .select("type_a", "type_b", "n_a", "n_b", "ks_stat")
+        .orderBy("type_a", "type_b")
+    )

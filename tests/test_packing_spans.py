@@ -161,3 +161,57 @@ class TestMixtureSample:
             for r in QUERIES["source_mixture_sample"](spark, SF_DIR).collect()
         )
         assert a == b
+
+
+class TestKsDrift:
+    def test_identical_distribution_gives_zero(self, spark):
+        # two types with the SAME value multiset → D = 0; a disjoint
+        # third type → D = 1 against either
+        rows = ",".join(
+            f"('a', {v}), ('b', {v}), ('c', {v + 1000})"
+            for v in (1.0, 2.0, 3.0, 4.0)
+        )
+        df = spark.sql(
+            f"SELECT * FROM (VALUES {rows}) AS t(event_type, value)"
+        )
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        types = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        # reuse the registry plan's math by rebuilding it on this tiny df
+        pairs = (
+            types.alias("x")
+            .join(types.alias("y"), F.col("x.event_type") < F.col("y.event_type"))
+            .select(
+                F.col("x.event_type").alias("type_a"),
+                F.col("x.n").alias("n_a"),
+                F.col("y.event_type").alias("type_b"),
+                F.col("y.n").alias("n_b"),
+            )
+        )
+        sa = df.join(pairs, df.event_type == F.col("type_a")).select(
+            "type_a", "type_b", "n_a", "n_b", "value",
+            F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        sb = df.join(pairs, df.event_type == F.col("type_b")).select(
+            "type_a", "type_b", "n_a", "n_b", "value",
+            F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+        w = (
+            Window.partitionBy("type_a", "type_b")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ks = (
+            sa.unionByName(sb)
+            .groupBy("type_a", "type_b", "n_a", "n_b", "value")
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+            .withColumn("cum_a", F.sum("ca").over(w))
+            .withColumn("cum_b", F.sum("cb").over(w))
+            .groupBy("type_a", "type_b", "n_a", "n_b")
+            .agg(F.max(F.abs(F.col("cum_a") * F.col("n_b")
+                             - F.col("cum_b") * F.col("n_a"))).alias("d"))
+            .withColumn("ks", F.col("d") / (F.col("n_a") * F.col("n_b")))
+        )
+        got = {(r.type_a, r.type_b): r.ks for r in ks.collect()}
+        assert got[("a", "b")] == 0.0
+        assert got[("a", "c")] == 1.0
+        assert got[("b", "c")] == 1.0
