@@ -171,3 +171,45 @@ def test_join_hints_are_respected(spark):
         F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
     ).groupBy("c_mktsegment").count()
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_duplicate_spans_codegen_and_no_python(spark):
+    """Shingle enumeration must stay JVM-side (posexplode + window leads
+    + codegen md5) — the transform-lambda regression cost 7x at sf0.1."""
+    plan = _plan(spark, "duplicate_spans")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # no Python at all in this one
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the dup-shingle membership join is an equi-join on the digest
+    assert "HashJoin" in plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Packing windows sort within each source partition; a global Sort
+    before the window would serialize the 100 TB case."""
+    plan = _plan(spark, "pack_sequences")
+    # exactly one hash exchange for the source-window; rangepartitioning
+    # appears only for the final presentation orderBy
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_source_mixture_sample_broadcasts_rates(spark):
+    plan = _plan(spark, "source_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_events_ks_drift_broadcasts_pairs_and_partitions_cdf(spark):
+    plan = _plan(spark, "events_ks_drift")
+    assert plan.count("BroadcastHashJoin") >= 2  # both tagged sides
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_source_overlap_equijoin_on_digest(spark):
+    plan = _plan(spark, "source_overlap")
+    assert "CartesianProduct" not in plan
+    # the shingle-set self-join is keyed on the md5 digest
+    assert "HashJoin" in plan
+    assert "BatchEvalPython" not in plan
