@@ -359,7 +359,7 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 
 
 _DEFAULT_END_KEYWORDS = (
-    r"NOT\s+NULL|NULL|CHECK\b|REFERENCES\b|UNIQUE\b|PRIMARY\s+KEY|"
+    r"NOT\s+NULL\b|NULL\b|CHECK\b|REFERENCES\b|UNIQUE\b|PRIMARY\s+KEY|"
     r"CONSTRAINT\b|COLLATE\b|GENERATED\b"
 )
 
@@ -393,7 +393,12 @@ def _extract_default_expr(command: str) -> str | None:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if depth == 0:
+        if depth == 0 and rest[:i].strip():
+            # a constraint keyword can only END a default once some
+            # expression text precedes it: in `DEFAULT NULL` the NULL IS
+            # the (constant) default expression, not a nullability
+            # constraint (r03 fuzz fix — the empty slice classified
+            # DEFAULT NULL as volatile)
             m2 = re.match(_DEFAULT_END_KEYWORDS, rest[i:], re.IGNORECASE)
             if m2:
                 return rest[:i].strip()

@@ -2559,3 +2559,46 @@ SELECT type_a, type_b,
 FROM cdf GROUP BY type_a, type_b, n_a, n_b
 ORDER BY type_a, type_b
 """
+
+
+_PR_HEAD = """pedges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM jacc
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM jacc
+),
+pdegs AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY src),
+alledges AS (
+    SELECT e.src, e.dst, d.deg, FALSE AS self
+    FROM pedges e JOIN pdegs d USING (src)
+    UNION ALL
+    SELECT doc_id, doc_id, CAST(1 AS BIGINT), TRUE FROM documents
+),
+params AS (
+    SELECT 1000000000000 // COUNT(*) AS r0,
+           (15 * (1000000000000 // COUNT(*))) // 100 AS base
+    FROM documents
+),
+pr0 AS (
+    SELECT doc_id AS doc, p.r0 AS r FROM documents CROSS JOIN params p
+)"""
+
+_PR_ITERS = "".join(
+    f""",
+pr{i} AS (
+    SELECT e.dst AS doc,
+           p.base + (85 * SUM(CASE WHEN e.self THEN 0
+                                   ELSE pr{i - 1}.r // e.deg END)) // 100 AS r
+    FROM pr{i - 1} JOIN alledges e ON e.src = pr{i - 1}.doc
+    CROSS JOIN params p
+    GROUP BY e.dst, p.base
+)"""
+    for i in range(1, 9)
+)
+
+ORACLES["pagerank_docs"] = f"""
+WITH {_JACC_CTES},
+{_PR_HEAD}{_PR_ITERS}
+SELECT doc AS doc_id, CAST(r AS BIGINT) AS rank_int,
+       CAST(r AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
+FROM pr8 ORDER BY doc_id
+"""

@@ -3665,3 +3665,104 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("type_a", "type_b", "n_a", "n_b", "ks_stat")
         .orderBy("type_a", "type_b")
     )
+
+
+@query("pagerank_docs")
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-centrality weighting: 8 PageRank iterations over the
+    3-gram Jaccard near-dup graph (same edge set as dedup_clusters) — a
+    high rank marks documents sitting in dense duplication neighborhoods,
+    the weight a curator uses to downweight boilerplate families.
+
+    All arithmetic is FIXED-POINT INTEGER (rank mass scaled by 10^12,
+    floor division for contributions and damping), so every iteration is
+    bit-identical in Spark and DuckDB at any parallelism — the same
+    exactness discipline as the integer cross-multiplied KS/L1 stats,
+    extended to an ITERATIVE algorithm. Self-loop sentinel edges keep
+    zero-degree docs in every iteration (they decay to the damping base).
+    The driver-side `count()` fixes the scale constants — one scalar job,
+    bounded by design (IVF-centroid precedent). Per-iteration shape is
+    join + partial/final aggregate on the edge key; the edge list is
+    persisted once and reused by all 8 iterations, and the rounds run at
+    a rank-graph-sized shuffle width (graph._shuffle_width rationale:
+    the iterating state is vastly smaller than the corpus, and AQE does
+    not coalesce across the iteration boundary)."""
+    ensure_deterministic(spark)
+    SCALE = 10**12
+    docs = read_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    # persist the pair list BEFORE fanning it out: edges consumes it
+    # twice (both directions) and degrees a third time — unpersisted,
+    # the full shingle-join pair computation would run 3x (measured 9.7 s
+    # vs 1.5 s at sf0.1 for a 260-row result)
+    pairs = (
+        DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=50)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    alledges = (
+        edges.join(degs, "src")
+        .withColumn("self", F.lit(False))
+        .unionByName(
+            ids.select(
+                F.col("doc_id").alias("src"),
+                F.col("doc_id").alias("dst"),
+                F.lit(1).cast("long").alias("deg"),
+                F.lit(True).alias("self"),
+            )
+        )
+        .persist()
+    )
+    n_docs = ids.count()
+    r0 = SCALE // n_docs
+    base = (15 * r0) // 100
+    ranks = ids.select(
+        F.col("doc_id").alias("doc"), F.lit(r0).cast("long").alias("r")
+    )
+    with GR._shuffle_width(
+        spark, min(16, spark.sparkContext.defaultParallelism)
+    ):
+        for _ in range(8):
+            ranks = (
+                alledges.join(ranks, alledges.src == ranks.doc)
+                .select(
+                    "dst",
+                    F.when(F.col("self"), F.lit(0).cast("long"))
+                    .otherwise(F.expr("r div deg"))
+                    .alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+                .select(
+                    F.col("dst").alias("doc"),
+                    (F.lit(base) + F.expr("(85 * s) div 100"))
+                    .cast("long")
+                    .alias("r"),
+                )
+            )
+        # eager: the narrowed shuffle width only applies while THIS
+        # context is active, and Spark executes lazily — checkpointing
+        # here materializes all 8 rounds at the narrow width and hands
+        # downstream consumers a lineage-free 5k-row result. AQE is
+        # pinned off for the materialization: its per-stage re-planning
+        # costs ~0.3 s on each of the 17 tiny iteration stages (measured
+        # 2x slower overall at sf0.1) and buys nothing on a pre-sized
+        # 16-partition loop
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_old = spark.conf.get(aqe_key)
+        spark.conf.set(aqe_key, "false")
+        try:
+            ranks = ranks.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set(aqe_key, aqe_old)
+    return ranks.select(
+        F.col("doc").alias("doc_id"),
+        F.col("r").alias("rank_int"),
+        (F.col("r").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    ).orderBy("doc_id")

@@ -215,3 +215,31 @@ class TestKsDrift:
         assert got[("a", "b")] == 0.0
         assert got[("a", "c")] == 1.0
         assert got[("b", "c")] == 1.0
+
+
+class TestPagerank:
+    def test_rank_invariants(self, spark):
+        from database_migration_engine_spark.io import read_table
+        from database_migration_engine_spark.operators import dedup as DD
+
+        out = {
+            r.doc_id: r
+            for r in QUERIES["pagerank_docs"](spark, SF_DIR).collect()
+        }
+        docs = read_table(spark, SF_DIR, "documents")
+        assert len(out) == docs.count()
+        pairs = DD.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_df=50
+        ).collect()
+        linked = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+        n = len(out)
+        base = (15 * (10**12 // n)) // 100
+        for doc_id, r in out.items():
+            if doc_id not in linked:
+                # isolated docs receive no contributions: exactly base
+                assert r.rank_int == base, doc_id
+            else:
+                assert r.rank_int >= base, doc_id
+        # linked docs accumulate centrality above the floor
+        assert any(out[d].rank_int > base for d in linked)
+        assert all(abs(r.rank - r.rank_int / 1e12) < 1e-15 for r in out.values())
