@@ -274,6 +274,83 @@ def parse_avi_header(data: bytes) -> tuple[int, int, int]:
     return vals[8], vals[9], vals[4]
 
 
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def make_mp4(
+    width: int, height: int, duration: int, timescale: int = 600
+) -> bytes:
+    """Minimal structurally-valid ISO-BMFF (MP4): ``ftyp`` +
+    ``moov(mvhd, trak(tkhd))`` with spec-layout version-0 headers —
+    timescale/duration in ``mvhd``, 16.16 fixed-point width/height in
+    ``tkhd``."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp41")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">I", 0)                      # version + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)           # rate 1.0
+        + struct.pack(">H", 0x0100)               # volume 1.0
+        + b"\x00" * 10                            # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                            # pre_defined
+        + struct.pack(">I", 2),                   # next_track_id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)               # version + enabled flags
+        + struct.pack(">IIII", 0, 0, 1, 0)        # times, track_id, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8                             # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)        # layer/group/volume/rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end) —
+    the standard size-prefixed ISO-BMFF walk (no find(): a stray tag in
+    payload bytes cannot mislead it)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        typ = data[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed ISO-BMFF box")
+        yield typ, pos + 8, pos + size
+        pos += size
+
+
+def parse_mp4_header(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, timescale, duration) from moov/mvhd + the first
+    trak/tkhd of an ISO-BMFF file."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    width = height = timescale = duration = None
+    for typ, bs, be in _walk_mp4_boxes(data, 0, len(data)):
+        if typ != b"moov":
+            continue
+        for t2, b2s, b2e in _walk_mp4_boxes(data, bs, be):
+            if t2 == b"mvhd":
+                timescale, duration = struct.unpack(
+                    ">II", data[b2s + 12 : b2s + 20]
+                )
+            elif t2 == b"trak" and width is None:
+                for t3, b3s, b3e in _walk_mp4_boxes(data, b2s, b2e):
+                    if t3 == b"tkhd":
+                        w166, h166 = struct.unpack(
+                            ">II", data[b3e - 8 : b3e]
+                        )
+                        width, height = w166 >> 16, h166 >> 16
+    if timescale is None or width is None:
+        raise ValueError("ISO-BMFF missing mvhd/tkhd headers")
+    return width, height, timescale, duration
+
+
 def _decode_real(b: bytes) -> tuple[int, int]:
     """Header-level decode for the formats stdlib can parse. Returns the
     (width, height) feature pair; for audio the temporal dimensions map
@@ -298,8 +375,11 @@ def _decode_real(b: bytes) -> tuple[int, int]:
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         w, h, _frames = parse_avi_header(b)
         return int(w), int(h)
+    if b[4:8] == b"ftyp":
+        w, h, _ts, _dur = parse_mp4_header(b)
+        return int(w), int(h)
     raise NotImplementedError(
-        "only PNG, JPEG, GIF, BMP, WAV and AVI headers are parseable"
+        "only PNG, JPEG, GIF, BMP, WAV, AVI and MP4 headers are parseable"
         " without media libraries; full pixel/sample decode (MP3, video"
         " frames, pixel data) needs PIL/ffmpeg — use mode='fake' for"
         " format-agnostic plumbing"
@@ -308,9 +388,9 @@ def _decode_real(b: bytes) -> tuple[int, int]:
 
 def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
     """Deterministic REAL media assets cycling all three modalities:
-    id % 4 == 0 → PNG, 1 → WAV, 2 → JPEG (alternating baseline SOF0 /
-    progressive SOF2), 3 → AVI video container; all dimensions derived
-    from the id.
+    id % 5 == 0 → PNG, 1 → WAV, 2 → JPEG (alternating baseline SOF0 /
+    progressive SOF2), 3 → AVI, 4 → MP4 (ISO-BMFF); all dimensions
+    derived from the id.
     Payload construction needs Python byte-assembly, so it runs as an
     Arrow-batched mapInPandas over ``spark.range`` — the same distributed
     generation shape a backfill job would use (no driver-side loop)."""
@@ -321,23 +401,28 @@ def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 4 == 0:
-                    payload = make_png(16 + i % 48, 16 + (i // 4) % 32)
+                if i % 5 == 0:
+                    payload = make_png(16 + i % 48, 16 + (i // 5) % 32)
                     modality, mime = "image", "image/png"
-                elif i % 4 == 1:
-                    payload = make_wav(50 + i % 200, framerate=8000 + 100 * (i % 5))
+                elif i % 5 == 1:
+                    payload = make_wav(50 + i % 200, framerate=8000 + 100 * (i % 4))
                     modality, mime = "audio", "audio/wav"
-                elif i % 4 == 2:
+                elif i % 5 == 2:
                     payload = make_jpeg(
-                        32 + i % 64, 24 + (i // 4) % 40,
-                        progressive=(i // 4) % 2 == 1,
+                        32 + i % 64, 24 + (i // 5) % 40,
+                        progressive=(i // 5) % 2 == 1,
                     )
                     modality, mime = "image", "image/jpeg"
-                else:
+                elif i % 5 == 3:
                     payload = make_avi(
-                        160 + i % 64, 120 + (i // 4) % 48, 24 + i % 100
+                        160 + i % 64, 120 + (i // 5) % 48, 24 + i % 100
                     )
                     modality, mime = "video", "video/x-msvideo"
+                else:
+                    payload = make_mp4(
+                        320 + i % 64, 180 + (i // 5) % 48, 600 + i
+                    )
+                    modality, mime = "video", "video/mp4"
                 rows.append(
                     {
                         "asset_id": i,

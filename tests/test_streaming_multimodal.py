@@ -255,10 +255,12 @@ def test_real_decode_png_jpeg_wav_headers(spark):
         decode_features,
         make_avi,
         make_jpeg,
+        make_mp4,
         make_png,
         make_wav,
         parse_avi_header,
         parse_jpeg_header,
+        parse_mp4_header,
         parse_png_header,
         parse_wav_header,
         synth_real_assets,
@@ -270,6 +272,9 @@ def test_real_decode_png_jpeg_wav_headers(spark):
     assert parse_jpeg_header(make_jpeg(640, 480)) == (640, 480)
     assert parse_jpeg_header(make_jpeg(31, 17, progressive=True)) == (31, 17)
     assert parse_avi_header(make_avi(1920, 1080, 300)) == (1920, 1080, 300)
+    assert parse_mp4_header(make_mp4(1280, 720, 9000, timescale=600)) == (
+        1280, 720, 600, 9000,
+    )
 
     feats = {
         r.asset_id: r
@@ -278,18 +283,21 @@ def test_real_decode_png_jpeg_wav_headers(spark):
     assert len(feats) == 40
     for i in range(40):
         r = feats[i]
-        if i % 4 == 0:
+        if i % 5 == 0:
             assert r.modality == "image"
-            assert (r.width, r.height) == (16 + i % 48, 16 + (i // 4) % 32)
-        elif i % 4 == 1:
+            assert (r.width, r.height) == (16 + i % 48, 16 + (i // 5) % 32)
+        elif i % 5 == 1:
             assert r.modality == "audio"
-            assert (r.width, r.height) == (8000 + 100 * (i % 5), 50 + i % 200)
-        elif i % 4 == 2:
+            assert (r.width, r.height) == (8000 + 100 * (i % 4), 50 + i % 200)
+        elif i % 5 == 2:
             assert r.modality == "image"
-            assert (r.width, r.height) == (32 + i % 64, 24 + (i // 4) % 40)
+            assert (r.width, r.height) == (32 + i % 64, 24 + (i // 5) % 40)
+        elif i % 5 == 3:
+            assert r.modality == "video"
+            assert (r.width, r.height) == (160 + i % 64, 120 + (i // 5) % 48)
         else:
             assert r.modality == "video"
-            assert (r.width, r.height) == (160 + i % 64, 120 + (i // 4) % 48)
+            assert (r.width, r.height) == (320 + i % 64, 180 + (i // 5) % 48)
 
 
 def test_gif_bmp_header_decode():
