@@ -2602,3 +2602,5 @@ SELECT doc AS doc_id, CAST(r AS BIGINT) AS rank_int,
        CAST(r AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
 FROM pr8 ORDER BY doc_id
 """
+
+ORACLES["events_rate_limited_stream"] = ORACLES["events_rate_limited"]

@@ -3766,3 +3766,22 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_int"),
         (F.col("r").cast("double") / F.lit(float(SCALE))).alias("rank"),
     ).orderBy("doc_id")
+
+
+@query("events_rate_limited_stream")
+def events_rate_limited_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-stateful streaming twin of events_rate_limited: an
+    applyInPandasWithState token-gate admitting each user's first event
+    per 5-minute bucket (streaming/stateful.rate_limit_first_per_bucket).
+    Shares the batch oracle — under the availableNow single-batch drain
+    the admitted set must hash-match the batch rank-1 plan exactly."""
+    from ..streaming import events as SE
+    from ..streaming import stateful as ST
+
+    ensure_deterministic(spark)
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    stream = SE.read_events_stream(spark, sf_dir)
+    admitted = ST.rate_limit_first_per_bucket(stream)
+    return SE.run_to_memory(admitted, output_mode="append").orderBy("event_id")

@@ -63,3 +63,76 @@ def user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+# state: the set of 5-minute buckets this user has already emitted in,
+# carried as a sorted array of bucket ids
+_THROTTLE_STATE_SCHEMA = T.StructType(
+    [T.StructField("buckets", T.ArrayType(T.LongType()))]
+)
+
+_BUCKET_US = 300_000_000  # 5 minutes in microseconds
+
+
+def _throttle(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    seen = set(state.get[0]) if state.exists else set()
+    out = []
+    frames = [pdf for pdf in batches if len(pdf)]
+    if frames:
+        pdf = pd.concat(frames, ignore_index=True)
+        # arrival order within the batch is partition-dependent; sorting
+        # by (ts, event_id) makes admission deterministic and equal to
+        # the batch rank-1 semantics when the drain is single-batch
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            bucket = (row.ts.value // 1000) // _BUCKET_US
+            if bucket in seen:
+                continue
+            seen.add(bucket)
+            out.append(
+                (
+                    int(row.event_id),
+                    int(user_id),
+                    row.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    row.event_type,
+                )
+            )
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        out, columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+
+def rate_limit_first_per_bucket(events: DataFrame) -> DataFrame:
+    """Streaming ingestion throttle: admit each user's FIRST event per
+    5-minute bucket, with the admitted-bucket set as explicit GroupState.
+    The custom-stateful twin of the batch events_rate_limited rank-1
+    plan: under an availableNow single-batch drain the admission order is
+    (ts, event_id), so the output equals the batch query exactly (full
+    oracle hash-match); across live micro-batches the semantics become
+    first-ARRIVAL-wins, which is what a real collector enforces. State is
+    one bucket-id array per user, partitioned by the grouping key in the
+    state store — the same shuffle boundary as a groupBy at 100 TB."""
+    return (
+        events.select("event_id", "user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _throttle,
+            outputStructType=THROTTLE_SCHEMA,
+            stateStructType=_THROTTLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
