@@ -48,7 +48,7 @@ _RECHECK_FIRST = [
     "repetition_stats", "pii_scan", "clean_corpus",
     "duplicate_spans", "pack_sequences", "source_mixture_sample",
     "events_dedup_stream", "source_overlap", "events_ks_drift",
-    "pagerank_docs", "events_rate_limited_stream",
+    "pagerank_docs", "events_rate_limited_stream", "approx_distinct_kmv",
 ]
 _CHECKED_EARLIER = [
     # r01 window

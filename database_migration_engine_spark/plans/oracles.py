@@ -2604,3 +2604,35 @@ FROM pr8 ORDER BY doc_id
 """
 
 ORACLES["events_rate_limited_stream"] = ORACLES["events_rate_limited"]
+
+
+ORACLES["approx_distinct_kmv"] = f"""
+WITH pairs AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+    SELECT event_type, user_id,
+           {_UFRAC("md5(CAST(user_id AS VARCHAR))")} AS u
+    FROM pairs
+),
+ranked AS (
+    SELECT event_type, u,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY u, user_id) AS rn
+    FROM hashed
+),
+kth AS (
+    SELECT event_type, u AS u_k FROM ranked WHERE rn = 64
+),
+exact AS (
+    SELECT event_type, COUNT(*) AS n_exact FROM pairs GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       CASE WHEN k.u_k IS NOT NULL THEN 63.0 / k.u_k
+            ELSE CAST(e.n_exact AS DOUBLE) END AS kmv_estimate,
+       ABS(CASE WHEN k.u_k IS NOT NULL THEN 63.0 / k.u_k
+                ELSE CAST(e.n_exact AS DOUBLE) END - e.n_exact)
+           / e.n_exact AS rel_error
+FROM exact e LEFT JOIN kth k USING (event_type)
+ORDER BY event_type
+"""

@@ -3785,3 +3785,53 @@ def events_rate_limited_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = SE.read_events_stream(spark, sf_dir)
     admitted = ST.rate_limit_first_per_bucket(stream)
     return SE.run_to_memory(admitted, output_mode="append").orderBy("event_id")
+
+
+@query("approx_distinct_kmv")
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE cardinality sketch: K-minimum-values estimate of distinct
+    users per event type (k = 64) built on the md5 uniform fraction.
+    Engine-native sketches (HLL / approx_count_distinct) are
+    implementation-specific, which is why approx_events_profile is
+    rows-only — KMV over a portable hash gives the same
+    sub-linear-memory estimate shape with a FULL cross-engine value
+    oracle: estimate = (k-1) / u_k where u_k is the k-th smallest
+    distinct hash fraction, exact count when the group has fewer than k
+    distinct members. At 100 TB the distinct-pair reduction is the
+    hash-groupBy; the per-group rank touches at most the distinct user
+    set (and a production variant would cap it with a per-partition
+    top-k combine)."""
+    from ..functions.portable_hash import uniform_frac_sql
+
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    pairs = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "u", F.expr(uniform_frac_sql("md5(CAST(user_id AS STRING))"))
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    kth = ranked.filter(F.col("rn") == 64).select(
+        "event_type", F.col("u").alias("u_k")
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .withColumn(
+            "kmv_estimate",
+            F.when(F.col("u_k").isNotNull(), F.lit(63.0) / F.col("u_k"))
+            .otherwise(F.col("n_exact").cast("double")),
+        )
+        .withColumn(
+            "rel_error",
+            F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+        )
+        .select("event_type", "n_exact", "kmv_estimate", "rel_error")
+        .orderBy("event_type")
+    )

@@ -243,3 +243,16 @@ class TestPagerank:
         # linked docs accumulate centrality above the floor
         assert any(out[d].rank_int > base for d in linked)
         assert all(abs(r.rank - r.rank_int / 1e12) < 1e-15 for r in out.values())
+
+
+class TestKmv:
+    def test_kmv_estimate_accuracy(self, spark):
+        rows = QUERIES["approx_distinct_kmv"](spark, SF_DIR).collect()
+        assert rows, "no groups"
+        for r in rows:
+            if r.n_exact >= 64:
+                # KMV with k=64 has ~1/sqrt(62) ≈ 13% std error;
+                # 40% is a generous determinism-safe bound
+                assert r.rel_error < 0.40, (r.event_type, r.rel_error)
+            else:
+                assert r.kmv_estimate == float(r.n_exact)
