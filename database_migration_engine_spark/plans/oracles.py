@@ -2636,3 +2636,53 @@ SELECT e.event_type, e.n_exact,
 FROM exact e LEFT JOIN kth k USING (event_type)
 ORDER BY event_type
 """
+
+
+ORACLES["hash_embed"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+bucketed AS (
+    SELECT doc_id,
+           (CAST(instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+                 AS INT)) % 16 AS bucket
+    FROM toks
+),
+counts AS (
+    SELECT doc_id, bucket, COUNT(*) AS c
+    FROM bucketed GROUP BY doc_id, bucket
+),
+vec AS (
+    SELECT doc_id,
+           SUM(CASE WHEN bucket = 0 THEN c ELSE 0 END) AS d0,
+           SUM(CASE WHEN bucket = 1 THEN c ELSE 0 END) AS d1,
+           SUM(CASE WHEN bucket = 2 THEN c ELSE 0 END) AS d2,
+           SUM(CASE WHEN bucket = 3 THEN c ELSE 0 END) AS d3,
+           SUM(CASE WHEN bucket = 4 THEN c ELSE 0 END) AS d4,
+           SUM(CASE WHEN bucket = 5 THEN c ELSE 0 END) AS d5,
+           SUM(CASE WHEN bucket = 6 THEN c ELSE 0 END) AS d6,
+           SUM(CASE WHEN bucket = 7 THEN c ELSE 0 END) AS d7,
+           SUM(CASE WHEN bucket = 8 THEN c ELSE 0 END) AS d8,
+           SUM(CASE WHEN bucket = 9 THEN c ELSE 0 END) AS d9,
+           SUM(CASE WHEN bucket = 10 THEN c ELSE 0 END) AS d10,
+           SUM(CASE WHEN bucket = 11 THEN c ELSE 0 END) AS d11,
+           SUM(CASE WHEN bucket = 12 THEN c ELSE 0 END) AS d12,
+           SUM(CASE WHEN bucket = 13 THEN c ELSE 0 END) AS d13,
+           SUM(CASE WHEN bucket = 14 THEN c ELSE 0 END) AS d14,
+           SUM(CASE WHEN bucket = 15 THEN c ELSE 0 END) AS d15
+    FROM counts GROUP BY doc_id
+),
+normed AS (
+    SELECT doc_id, sqrt(CAST(d0 * d0 + d1 * d1 + d2 * d2 + d3 * d3 + d4 * d4 + d5 * d5 + d6 * d6 + d7 * d7 + d8 * d8 + d9 * d9 + d10 * d10 + d11 * d11 + d12 * d12 + d13 * d13 + d14 * d14 + d15 * d15 AS DOUBLE)) AS nrm, *
+    FROM vec
+)
+SELECT doc_id, CAST(d0 AS DOUBLE) / nrm AS e0, CAST(d1 AS DOUBLE) / nrm AS e1, CAST(d2 AS DOUBLE) / nrm AS e2, CAST(d3 AS DOUBLE) / nrm AS e3, CAST(d4 AS DOUBLE) / nrm AS e4, CAST(d5 AS DOUBLE) / nrm AS e5, CAST(d6 AS DOUBLE) / nrm AS e6, CAST(d7 AS DOUBLE) / nrm AS e7, CAST(d8 AS DOUBLE) / nrm AS e8, CAST(d9 AS DOUBLE) / nrm AS e9, CAST(d10 AS DOUBLE) / nrm AS e10, CAST(d11 AS DOUBLE) / nrm AS e11, CAST(d12 AS DOUBLE) / nrm AS e12, CAST(d13 AS DOUBLE) / nrm AS e13, CAST(d14 AS DOUBLE) / nrm AS e14, CAST(d15 AS DOUBLE) / nrm AS e15, nrm AS raw_norm
+FROM normed
+UNION ALL
+SELECT d.doc_id,
+       0.0 AS e0, 0.0 AS e1, 0.0 AS e2, 0.0 AS e3, 0.0 AS e4, 0.0 AS e5, 0.0 AS e6, 0.0 AS e7, 0.0 AS e8, 0.0 AS e9, 0.0 AS e10, 0.0 AS e11, 0.0 AS e12, 0.0 AS e13, 0.0 AS e14, 0.0 AS e15,
+       0.0 AS raw_norm
+FROM documents d LEFT JOIN vec USING (doc_id)
+WHERE vec.doc_id IS NULL
+ORDER BY doc_id
+"""

@@ -3835,3 +3835,62 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_exact", "kmv_estimate", "rel_error")
         .orderBy("event_type")
     )
+
+
+@query("hash_embed")
+def hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text embedding by FEATURE HASHING: each token lands in
+    one of 16 buckets by an md5 nibble, per-doc bucket counts form the
+    raw vector, L2-normalized to the unit sphere. This closes the
+    text→vector seam of the pipeline deterministically (the embeddings
+    table stands in for a learned model; this operator needs none), so
+    raw documents can feed the ANN/near-dup operators end-to-end.
+
+    Exactness: components are INTEGER counts (any aggregation order),
+    the norm is sqrt of an integer sum of squares (IEEE sqrt is
+    correctly rounded), and each normalized component is a single double
+    division — bit-identical cross-engine, no decimal detour needed.
+    Shape: one explode + hash-groupBy per (doc, bucket), then a 16-way
+    conditional re-agg — linear, shuffles only small count rows."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens()).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.expr("CAST(instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1"
+               " AS INT) % 16"),
+    )
+    counts = toks.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dims = [
+        F.sum(F.when(F.col("bucket") == d, F.col("c")).otherwise(F.lit(0)))
+        .alias(f"d{d}")
+        for d in range(16)
+    ]
+    vec = counts.groupBy("doc_id").agg(*dims)
+    norm = F.sqrt(
+        sum(F.col(f"d{d}") * F.col(f"d{d}") for d in range(16)).cast(
+            "double"
+        )
+    )
+    # 16 scalar columns, not an array: the driver's value-hash compares
+    # flat columns (and a fixed-width embedding IS a flat schema)
+    out = vec.withColumn("norm", norm).select(
+        "doc_id",
+        *[
+            (F.col(f"d{d}").cast("double") / F.col("norm")).alias(f"e{d}")
+            for d in range(16)
+        ],
+        F.col("norm").alias("raw_norm"),
+    )
+    # docs with zero tokens have no count rows: emit the zero vector
+    empty = docs.select("doc_id").join(
+        out.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        *[F.lit(0.0).alias(f"e{d}") for d in range(16)],
+        F.lit(0.0).alias("raw_norm"),
+    )
+    return out.unionByName(empty).orderBy("doc_id")
