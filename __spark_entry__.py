@@ -49,7 +49,7 @@ _RECHECK_FIRST = [
     "duplicate_spans", "pack_sequences", "source_mixture_sample",
     "events_dedup_stream", "source_overlap", "events_ks_drift",
     "pagerank_docs", "events_rate_limited_stream", "approx_distinct_kmv",
-    "hash_embed",
+    "hash_embed", "keyword_search",
 ]
 _CHECKED_EARLIER = [
     # r01 window

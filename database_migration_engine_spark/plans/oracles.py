@@ -2686,3 +2686,34 @@ FROM documents d LEFT JOIN vec USING (doc_id)
 WHERE vec.doc_id IS NULL
 ORDER BY doc_id
 """
+
+
+ORACLES["keyword_search"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hits AS (
+    SELECT doc_id, tok FROM toks WHERE tok IN ('hash', 'join', 'stream')
+),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok
+),
+idf AS (
+    SELECT tok,
+           (CAST(1000000000 AS BIGINT)
+            * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS idf_int
+    FROM tf GROUP BY tok
+),
+scored AS (
+    SELECT t.doc_id,
+           CAST(SUM(t.tf * i.idf_int) AS BIGINT) AS score_int,
+           COUNT(*) AS n_terms_hit
+    FROM tf t JOIN idf i USING (tok)
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_terms_hit, score_int,
+       CAST(score_int AS DOUBLE) / 1000000000.0 AS score
+FROM scored
+ORDER BY score_int DESC, doc_id ASC
+LIMIT 20
+"""

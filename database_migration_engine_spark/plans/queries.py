@@ -3894,3 +3894,47 @@ def hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("raw_norm"),
     )
     return out.unionByName(empty).orderBy("doc_id")
+
+
+@query("keyword_search")
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style keyword retrieval, exact at any parallelism: score a
+    fixed query ('hash join stream') against every document as
+    Σ_t tf(t,d) · idf_int(t), where idf_int = (10^9 · N) div df(t) is an
+    INTEGER inverse-document-frequency (floor division — no logs, no
+    per-term float rounding), so per-doc scores are exact integer sums in
+    any order. Top-20 by score with doc_id tiebreak.
+
+    Shape: term filter prunes the exploded token stream immediately (3
+    terms), df is a tiny hash-groupBy broadcast back onto per-doc term
+    counts — at 100 TB this is the standard posting-list aggregation."""
+    ensure_deterministic(spark)
+    TERMS = ["hash", "join", "stream"]
+    SCALE = 10**9
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens()).alias("tok")
+    ).filter(F.col("tok").isin(TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.withColumn(
+        "idf_int", F.expr(f"CAST({SCALE} AS BIGINT) * {n_docs} div df")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_int")).alias("score_int"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .withColumn(
+            "score",
+            (F.col("score_int").cast("double") / F.lit(float(SCALE))),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_int"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_terms_hit", "score_int", "score")
+    )
