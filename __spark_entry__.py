@@ -50,6 +50,10 @@ _RECHECK_FIRST = [
     "events_dedup_stream", "source_overlap", "events_ks_drift",
     "pagerank_docs", "events_rate_limited_stream", "approx_distinct_kmv",
     "hash_embed", "keyword_search",
+    # round-3 continuation: new full oracle / new queries
+    "multimodal_decode", "cdc_snapshot", "events_enrich_stream",
+    "triangle_count", "containment_pairs", "pq_codes",
+    "value_outliers", "events_attribution_stream",
 ]
 _CHECKED_EARLIER = [
     # r01 window

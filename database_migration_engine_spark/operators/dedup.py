@@ -526,3 +526,59 @@ def span_coverage(
         .join(covered, id_col, "left")
         .withColumn("n_dup_tokens", F.coalesce("n_dup_tokens", F.lit(0)))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    subsume_at: float = 0.8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT.
+
+    Jaccard misses doc-in-doc duplication: a paragraph fully quoted
+    inside a 100× larger page has tiny Jaccard but containment ≈ 1 from
+    the small side. Broder's containment c(A,B) = |A∩B|/|A| is the
+    standard screen for that case in crawl dedup. Same sub-quadratic
+    shape as ngram_jaccard_pairs (shingle equi-join + hot-shingle cap,
+    sizes counted in the capped space so the oracle reproduces exactly);
+    a pair surfaces when either direction's containment ≥ ``threshold``
+    and is flagged ``subsumed`` when one side ≥ ``subsume_at``.
+    """
+    sh = _doc_shingles(df, content_col, id_col, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle").persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .withColumn("cont_a", F.col("common") / F.col("n_a"))
+        .withColumn("cont_b", F.col("common") / F.col("n_b"))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .withColumn(
+            "subsumed", F.greatest("cont_a", "cont_b") >= F.lit(subsume_at)
+        )
+        .select("doc_a", "doc_b", "common", "n_a", "n_b",
+                "cont_a", "cont_b", "subsumed")
+    )

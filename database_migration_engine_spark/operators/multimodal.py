@@ -440,6 +440,16 @@ def synth_real_assets(spark: SparkSession, n: int = 60) -> DataFrame:
     return spark.range(n).mapInPandas(build, schema=ASSET_SCHEMA)
 
 
+def _payload_sha(b) -> str:
+    """Content fingerprint: SHA-256 over the lowercase hex encoding of the
+    payload. Hex-then-hash (rather than hashing raw bytes) keeps the
+    fingerprint reproducible by engines whose hash functions only accept
+    strings (DuckDB ``sha256(VARCHAR)``), which is what lets
+    ``multimodal_decode`` carry a full value oracle; equal payloads ⟺
+    equal fingerprints either way."""
+    return hashlib.sha256(bytes(b).hex().encode("ascii")).hexdigest()
+
+
 def _decode_batch(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
     if mode == "real":
         dims = pdf["payload"].map(_decode_real)
@@ -448,9 +458,7 @@ def _decode_batch(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
                 "asset_id": pdf["asset_id"],
                 "modality": pdf["modality"],
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "payload_sha": pdf["payload"].map(
-                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                ),
+                "payload_sha": pdf["payload"].map(_payload_sha),
                 "width": dims.map(lambda d: d[0]).astype("int32"),
                 "height": dims.map(lambda d: d[1]).astype("int32"),
                 "mean_byte": pdf["payload"].map(
@@ -462,9 +470,7 @@ def _decode_batch(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
         "asset_id": pdf["asset_id"],
         "modality": pdf["modality"],
         "n_bytes": pdf["payload"].map(len).astype("int32"),
-        "payload_sha": pdf["payload"].map(
-            lambda b: hashlib.sha256(bytes(b)).hexdigest()
-        ),
+        "payload_sha": pdf["payload"].map(_payload_sha),
         # fake decode: dimensions derived deterministically from content
         "width": pdf["payload"].map(lambda b: 64 + bytes(b)[0] % 192).astype("int32"),
         "height": pdf["payload"].map(lambda b: 64 + bytes(b)[1] % 192).astype("int32"),

@@ -624,3 +624,82 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cos_sim", "rnk")
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: each vector compressed to ``m`` 4-bit
+    sub-codes (one hex char per subspace) plus its total quantization
+    distortion.
+
+    PQ is the memory side of billion-scale ANN (Jégou et al., IVF-ADC):
+    a 64-dim float32 vector (256 B) becomes an m-byte code, so the whole
+    index fits executor memory and distance evaluation becomes table
+    lookups. Here the encode step: the vector splits into ``m``
+    contiguous subvectors; each is assigned the nearest of the codebook's
+    16 sub-centroids by squared L2 (ties → lowest centroid id).
+
+    Everything is column expressions: subvectors via posexplode of fixed
+    slices, distances as explicit left-associated add chains (bit-exact
+    reproducible cross-engine — no SUM reduction whose order could
+    differ), the argmin as a rank-1 window with a total ordering. The
+    codebook rides a broadcast join (16·m tiny rows); corpus scale-out is
+    a single narrow pipeline per vector — no shuffle except the final
+    groupBy on the vector id.
+    """
+    sub = dim // m
+    subvec = lambda s, col: F.array(  # noqa: E731
+        *[F.col(col)[s * sub + d].cast("double") for d in range(sub)]
+    )
+    # (vec_id, s, u[0..sub)) — one row per subspace
+    sv = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[subvec(s, vec_col) for s in range(m)])
+        ).alias("s", "u"),
+    )
+    cb = codebook.select(
+        F.col(id_col).alias("j"),
+        F.posexplode(
+            F.array(*[subvec(s, vec_col) for s in range(m)])
+        ).alias("s", "c"),
+    )
+    diff2 = [
+        (F.col("u")[d] - F.col("c")[d]) * (F.col("u")[d] - F.col("c")[d])
+        for d in range(sub)
+    ]
+    dist = diff2[0]
+    for term in diff2[1:]:
+        dist = dist + term
+    ranked = (
+        sv.join(F.broadcast(cb), "s")
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col, "s").orderBy("dist", "j")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    code_digits = [
+        F.max(F.when(F.col("s") == s, F.format_string("%x", F.col("j"))))
+        for s in range(m)
+    ]
+    dists = [
+        F.max(F.when(F.col("s") == s, F.col("dist"))).alias(f"d{s}")
+        for s in range(m)
+    ]
+    agg = ranked.groupBy(id_col).agg(
+        F.concat(*code_digits).alias("code"), *dists
+    )
+    distortion = F.col("d0")
+    for s in range(1, m):
+        distortion = distortion + F.col(f"d{s}")
+    return agg.select(id_col, "code", distortion.alias("distortion"))

@@ -2717,3 +2717,215 @@ FROM scored
 ORDER BY score_int DESC, doc_id ASC
 LIMIT 20
 """
+
+
+# multimodal_decode: the synthetic payload for asset i is
+# unhex(sha256(i) || sha256(i||'x') || sha256(i||'y')) — 96 deterministic
+# bytes (operators/multimodal.py:synth_assets). DuckDB cannot hash BLOBs,
+# so the engine fingerprints the *lowercase hex* of the payload
+# (operators/multimodal.py:_payload_sha) which both engines can rebuild
+# as plain strings. Byte values (for the fake-decode width/height and the
+# mean) are parsed from hex pairs via a 256-row lookup CTE — no custom
+# functions needed.
+ORACLES["multimodal_decode"] = """
+WITH nib AS (
+    SELECT v, substr('0123456789abcdef', v + 1, 1) AS c
+    FROM (SELECT unnest(range(16)) AS v)
+),
+hexpair AS (
+    SELECT h.v * 16 + l.v AS val, h.c || l.c AS pair
+    FROM nib h CROSS JOIN nib l
+),
+ids AS (SELECT unnest(range(200)) AS i),
+payload AS (
+    SELECT i,
+           sha256(i::VARCHAR)
+           || sha256(i::VARCHAR || 'x')
+           || sha256(i::VARCHAR || 'y') AS fh
+    FROM ids
+),
+bytes AS (
+    SELECT p.i, j.j, hp.val
+    FROM payload p
+    CROSS JOIN (SELECT unnest(range(96)) AS j) j
+    JOIN hexpair hp ON hp.pair = substr(p.fh, 2 * j.j + 1, 2)
+),
+stats AS (
+    SELECT i, CAST(SUM(val) AS DOUBLE) / 96 AS mean_byte FROM bytes GROUP BY i
+)
+SELECT p.i AS asset_id,
+       (['image', 'audio', 'video'])[CAST(p.i % 3 AS INT) + 1] AS modality,
+       CAST(96 AS INT) AS n_bytes,
+       sha256(p.fh) AS payload_sha,
+       CAST(64 + b0.val % 192 AS INT) AS width,
+       CAST(64 + b1.val % 192 AS INT) AS height,
+       s.mean_byte
+FROM payload p
+JOIN bytes b0 ON b0.i = p.i AND b0.j = 0
+JOIN bytes b1 ON b1.i = p.i AND b1.j = 1
+JOIN stats s ON s.i = p.i
+ORDER BY asset_id
+"""
+
+
+ORACLES["cdc_snapshot"] = """
+WITH ch AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM events
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       event_type AS last_type,
+       value AS last_value,
+       n_changes
+FROM ch
+WHERE rn = 1 AND op != 'D'
+ORDER BY user_id
+"""
+
+ORACLES["triangle_count"] = f"""
+WITH {_JACC_CTES},
+e AS (SELECT doc_a AS a, doc_b AS b FROM jacc),
+tri AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM nodes GROUP BY doc_id ORDER BY doc_id
+"""
+
+# Stream-static enrichment drained with availableNow equals the batch join.
+ORACLES["events_enrich_stream"] = f"""
+SELECT n_name,
+       COUNT(*) AS n_events,
+       {_dsum('value', 'sum_value')}
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# containment_pairs reuses the capped-shingle CTE chain (toks..prs); the
+# jacc CTE rides along unused — containment applies its own threshold.
+ORACLES["containment_pairs"] = f"""
+WITH {_JACC_CTES},
+cont AS (
+    SELECT doc_a, doc_b, common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(common AS DOUBLE) / sa.n_sh AS cont_a,
+           CAST(common AS DOUBLE) / sb.n_sh AS cont_b
+    FROM prs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, common, n_a, n_b, cont_a, cont_b,
+       greatest(cont_a, cont_b) >= 0.8 AS subsumed
+FROM cont
+WHERE greatest(cont_a, cont_b) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+# pq_codes: codebook = the first 16 corpus vectors, 8 subspaces of 8 dims;
+# distances and the final distortion are explicit left-associated add
+# chains (same evaluation order as the Spark expressions → bit-exact).
+_PQ_DIST = " + ".join(
+    f"(u[{d}] - c[{d}]) * (u[{d}] - c[{d}])" for d in range(1, 9)
+)
+_PQ_CODE = " || ".join(f"printf('%x', j{s})" for s in range(8))
+_PQ_JMAX = ", ".join(
+    f"MAX(CASE WHEN s = {s} THEN j END) AS j{s}" for s in range(8)
+)
+_PQ_DMAX = ", ".join(
+    f"MAX(CASE WHEN s = {s} THEN dist END) AS d{s}" for s in range(8)
+)
+_PQ_DISTORT = " + ".join(f"d{s}" for s in range(8))
+ORACLES["pq_codes"] = f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+subs AS (SELECT unnest(range(8)) AS s),
+sv AS (
+    SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS u
+    FROM emb CROSS JOIN subs
+),
+cb AS (
+    SELECT vec_id AS j, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS c
+    FROM emb CROSS JOIN subs WHERE vec_id < 16
+),
+d AS (
+    SELECT sv.vec_id, sv.s, cb.j, {_PQ_DIST} AS dist
+    FROM sv JOIN cb ON sv.s = cb.s
+),
+r AS (
+    SELECT vec_id, s, j, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, j) AS rn
+    FROM d
+),
+p AS (
+    SELECT vec_id, {_PQ_JMAX}, {_PQ_DMAX}
+    FROM r WHERE rn = 1 GROUP BY vec_id
+)
+SELECT vec_id, {_PQ_CODE} AS code, {_PQ_DISTORT} AS distortion
+FROM p ORDER BY vec_id
+"""
+
+ORACLES["value_outliers"] = """
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+q AS (
+    SELECT event_type,
+           MIN(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+           MIN(CASE WHEN rn = (n * 3 + 3) // 4 THEN value END) AS q3
+    FROM ranked
+    WHERE rn = (n + 3) // 4 OR rn = (n * 3 + 3) // 4
+    GROUP BY event_type
+),
+fences AS (
+    SELECT event_type, q1, q3,
+           q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+    FROM q
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       MIN(q1) AS q1,
+       MIN(q3) AS q3,
+       CAST(SUM(CAST(e.value < f.lo AS BIGINT)) AS BIGINT) AS n_low,
+       CAST(SUM(CAST(e.value > f.hi AS BIGINT)) AS BIGINT) AS n_high
+FROM events e JOIN fences f ON e.event_type = f.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+# Streaming left-outer attribution equals the batch left join once the
+# heartbeat-driven watermark flush has emitted every unmatched purchase.
+ORACLES["events_attribution_stream"] = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(c.event_id) AS n_clicks
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY purchase_id
+"""

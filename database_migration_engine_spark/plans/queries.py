@@ -1215,9 +1215,12 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo (rows-only): deterministic synthetic binary
-    assets → Arrow-batched mapInPandas feature extraction (decode stubbed
-    per environment constraints; batch shape and schema are real)."""
+    """Multimodal plumbing demo: deterministic synthetic binary assets →
+    Arrow-batched mapInPandas feature extraction (decode stubbed per
+    environment constraints; batch shape and schema are real). Full value
+    oracle since r03: the fingerprint is sha256-of-hex (see
+    operators/multimodal.py:_payload_sha) so DuckDB rebuilds every column
+    including the payload digest and fake-decode dimensions."""
     from ..operators import multimodal as MM
 
     ensure_deterministic(spark)
@@ -3937,4 +3940,200 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("score_int"), F.asc("doc_id"))
         .limit(20)
         .select("doc_id", "n_terms_hit", "score_int", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation wave: CDC compaction, graph metrics, stream-static
+# enrichment, containment dedup, PQ codes, robust outlier screen.
+# ---------------------------------------------------------------------------
+
+
+@query("cdc_snapshot")
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC apply): events as a keyed change stream —
+    every row an upsert for its user except ``error`` events, which are
+    tombstones. Last-writer-wins by (ts, event_id); users whose final op
+    is a delete vanish from the snapshot. Generalizes the reference
+    ledger's applied/rolled_back state machine
+    (internal/tracker/tracker.go:99,118) to arbitrary keyed CDC. One
+    hash-shuffle on the key, no joins (operators/cdc.py)."""
+    from ..operators import cdc as CDC
+
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    changes = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    snap = CDC.compact_changelog(
+        changes, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return snap.select(
+        "user_id",
+        fmt_ts(F.col("ts"), "last_ts", micros=True),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        "n_changes",
+    ).orderBy("user_id")
+
+
+@query("triangle_count")
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the near-dup pair graph — the
+    graph-quality signal that distinguishes tight duplicate cliques from
+    chains of borderline pairs (a doc in many triangles sits in a dense
+    mirror cluster; a bridge doc sits in none). Edges come from the
+    session-shared 3-gram Jaccard pair graph (same candidates as
+    dedup_clusters). The join is the oriented edge-iterator: edges stored
+    a<b only, wedges b→c extended from a→b, closed by an a→c equi-join —
+    each triangle counted exactly once, work bounded by Σ d(v)² on the
+    capped graph, never N²."""
+    ensure_deterministic(spark)
+    e = _ngram_pairs_shared(spark, sf_dir)
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+@query("events_enrich_stream")
+def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming-ETL shape
+    Structured Streaming executes without state: each micro-batch of the
+    event stream broadcast-joins the static customer→nation dimension
+    (rebuilt per batch, so dim updates are picked up), then feeds a
+    running revenue-by-nation aggregate. Drained with availableNow into a
+    complete-mode sink, the result must equal the batch join+agg exactly
+    — which is the oracle."""
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    stream = SE.read_events_stream(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )
+    return SE.run_to_memory(agg, output_mode="complete").orderBy("n_name")
+
+
+@query("containment_pairs")
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-in-doc near-dup screen: shingle CONTAINMENT
+    c(A,B) = |A∩B|/|A| over the capped 3-gram space — catches a page
+    that fully embeds another doc where symmetric Jaccard stays below
+    every threshold (operators/dedup.py:containment_pairs). Same
+    sub-quadratic shingle equi-join shape as ngram_jaccard_pairs."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("pq_codes")
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou IVF-ADC building block): every
+    64-dim embedding → 8 hex sub-codes + distortion, codebook = the first
+    16 corpus vectors (same deterministic seeding as similarity_ivf).
+    256 B/vector becomes 8 half-bytes — the compression that lets a
+    100 TB ANN index live in executor memory. All column expressions
+    with explicit add chains, so the oracle is bit-exact."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 16)
+    return SIM.pq_encode(emb, codebook).orderBy("vec_id")
+
+
+@query("value_outliers")
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (IQR-fence) outlier screen per event type — the standard
+    data-quality gate before metric aggregation. Quartiles by the
+    nearest-rank definition (value at row ceil(p·n) of the sorted group)
+    rather than interpolation: rank selection is engine-portable where
+    interpolated percentile arithmetic is not. Two passes: a rank-1
+    window computes the per-type fences, then a broadcast join + count
+    classifies every event against them."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    q = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 3) / 4))
+            | (F.col("rn") == F.floor((F.col("n") * 3 + 3) / 4))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == F.floor((F.col("n") + 3) / 4),
+                         F.col("value"))).alias("q1"),
+            F.min(F.when(F.col("rn") == F.floor((F.col("n") * 3 + 3) / 4),
+                         F.col("value"))).alias("q3"),
+        )
+        .withColumn("lo", F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+        .withColumn("hi", F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("events_attribution_stream")
+def events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT-OUTER interval join: every purchase attributed
+    to the same user's clicks in the 10 minutes before it — zero-click
+    purchases included, which is the part only a watermarked OUTER join
+    can stream (unmatched state must expire before it can emit).
+    End-of-stream flush is driven by the heartbeat/punctuation pattern
+    (streaming/events.py:heartbeat_stream_dir): two far-future heartbeat
+    rows in trailing micro-batches push the watermark past every real
+    event; the per-side type filters deliberately keep heartbeats alive
+    through the pushed parquet scan so the watermark node sees them.
+    Drained append-mode, then a batch rollup per purchase — which is
+    exactly the batch left-join oracle."""
+    from ..session import shuffle_width
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    # state-sized width, same rationale as events_copair_stream: the two
+    # join state stores cost open/commit per partition per micro-batch
+    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
+        with_clicks = SE.run_to_memory(
+            SE.attribution_join(spark, sf_dir), output_mode="append"
+        )
+    return (
+        with_clicks.filter(F.col("purchase_id") >= 0)
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count("click_id").alias("n_clicks"))
+        .orderBy("purchase_id")
     )

@@ -24,7 +24,10 @@ from ..schemas import EVENTS, EVENTS_RAW
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over the events parquet (same ts-unit sniffing
     as io.read_table: ns fixtures read as raw int64 + integer division,
@@ -39,7 +42,7 @@ def read_events_stream(
     )
     reader = (
         spark.readStream.schema(EVENTS_RAW if is_ns else EVENTS)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -182,4 +185,133 @@ def interval_join_pairs(
         (
             F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
         ).alias("gap_us"),
+    )
+
+
+def heartbeat_stream_dir(sf_dir: str, horizon: str = "2100-01-01") -> str:
+    """Stage the events file plus a far-future HEARTBEAT row in a temp dir.
+
+    Stream-stream OUTER joins only emit their unmatched side when the
+    watermark passes a row's expiry — and a file stream's watermark never
+    advances past the last real event, so the tail of the stream would be
+    held in state forever. The production fix is a heartbeat/punctuation
+    event on the topic; this helper is that pattern for a file source:
+    the original parquet (older mtime, processed first) plus a one-row
+    heartbeat parquet whose event time is beyond every real row + any
+    watermark. With ``maxFilesPerTrigger=1`` the heartbeat lands in a
+    later micro-batch, pushes the watermark past the horizon, and the
+    final no-data batch flushes all outer state. Heartbeat rows carry
+    ``event_type='heartbeat'`` / ``event_id=-1`` so every consumer's type
+    filter drops them from results.
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp", "dbmig_heartbeat_stream", tag)
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(out, "events.parquet")
+    hbs = [
+        os.path.join(out, "zz_heartbeat_1.parquet"),
+        os.path.join(out, "zz_heartbeat_2.parquet"),
+    ]
+    def _touch_order() -> str:
+        # mtimes drive BOTH batch order (oldest first) and validity:
+        # FileStreamSource drops files older than maxFileAge (7 d against
+        # the wall clock) after the first batch, so everything must be
+        # recent — the data file just older than the heartbeats.
+        import time
+
+        now = time.time()
+        os.utime(dst, (now - 60, now - 60))
+        os.utime(hbs[0], (now - 30, now - 30))
+        os.utime(hbs[1], (now, now))
+        return out
+
+    if os.path.exists(dst) and all(os.path.exists(h) for h in hbs):
+        return _touch_order()
+    os.makedirs(out, exist_ok=True)
+    if not os.path.exists(dst):
+        shutil.copyfile(src, dst)
+    schema = pq.read_schema(src)
+    ts_type = schema.field("ts").type
+    import pandas as pd
+
+    def hb_table(day: str):
+        return pa.table(
+            {
+                "event_id": pa.array([-1], type=schema.field("event_id").type),
+                "ts": pa.array(
+                    pd.to_datetime([day]).tz_localize("UTC").tz_localize(None)
+                    if getattr(ts_type, "tz", None) is None
+                    else pd.to_datetime([day]).tz_localize("UTC"),
+                    type=ts_type,
+                ),
+                "user_id": pa.array([-1], type=schema.field("user_id").type),
+                "event_type": pa.array(["heartbeat"], type=pa.string()),
+                "value": pa.array([0.0], type=schema.field("value").type),
+                "props": pa.array(["{}"], type=pa.string()),
+            },
+            schema=schema,
+        )
+
+    # TWO heartbeats in ascending micro-batches: the first pushes the
+    # watermark past every real row; the second's batch then EMITS the
+    # flushed outer state (outer rows only surface in an executed batch
+    # after the watermark has passed them — availableNow does not run a
+    # trailing no-data batch, so the flush must ride a real file batch).
+    pq.write_table(hb_table(horizon), hbs[0])
+    pq.write_table(hb_table("2100-01-02"), hbs[1])
+    return _touch_order()
+
+
+def attribution_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming purchase→click attribution: every purchase LEFT-OUTER
+    joined to the same user's clicks in the ``lookback`` window before
+    it. The outer side needs watermark-driven state expiry to emit
+    zero-click purchases — see heartbeat_stream_dir for how the flush is
+    driven end-of-stream."""
+    staged = heartbeat_stream_dir(sf_dir)
+    # heartbeats MUST survive the per-side type filter: the filter is
+    # pushed into the parquet scan, and a heartbeat dropped at the scan
+    # never reaches the watermark node — leaving the watermark pinned at
+    # the last real event and the outer state unflushed (observed: the
+    # tail purchases simply never emit). They are joined-out by the
+    # user/time condition and the caller drops their unmatched left rows
+    # post-sink (purchase_id = -1).
+    purchases = (
+        read_events_stream(spark, staged, max_files_per_trigger=1,
+                           glob="*.parquet")
+        .filter(F.col("event_type").isin("purchase", "heartbeat"))
+        .withWatermark("ts", watermark)
+        .alias("p")
+    )
+    clicks = (
+        read_events_stream(spark, staged, max_files_per_trigger=1,
+                           glob="*.parquet")
+        .filter(F.col("event_type").isin("click", "heartbeat"))
+        .withWatermark("ts", watermark)
+        .alias("c")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p.user_id = c.user_id
+            AND c.ts >= p.ts - INTERVAL {lookback}
+            AND c.ts < p.ts"""
+        ),
+        "left_outer",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
     )
