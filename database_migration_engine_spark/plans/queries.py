@@ -4137,3 +4137,230 @@ def events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("click_id").alias("n_clicks"))
         .orderBy("purchase_id")
     )
+
+
+@query("count_min_users")
+def count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE Count-Min frequency sketch: per-user event counts
+    estimated from a 4×64-cell CM sketch built on md5 bucket indices
+    (operators/approx.py:count_min_sketch) next to the exact counts —
+    the one-sided-error guarantee est ≥ exact is thereby IN the result
+    and oracle-checked. Companion to approx_distinct_kmv: the two
+    classic streaming sketches (cardinality, frequency) both carried
+    with full cross-engine value oracles where engine-native sketches
+    (HLL, Spark's count_min_sketch) can never have one. At 100 TB the
+    sketch is a 256-cell mergeable combine instead of a per-key
+    shuffle."""
+    from ..operators import approx as AP
+
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    cells = AP.count_min_sketch(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = AP.count_min_estimate(exact, cells, "user_id")
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "exact_n", "cm_est")
+        .orderBy("user_id")
+    )
+
+
+@query("sampled_quantiles")
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation by deterministic bottom-k hash
+    sampling: each event type keeps the 200 rows with the smallest
+    md5(event_id) (a uniform, engine-portable coin), and the p50/p90 are
+    read off the sample by nearest rank, next to the exact nearest-rank
+    values so the estimation error is part of the oracle-checked result.
+    Bottom-k samples merge by union+re-rank (the KMV trick applied to
+    quantiles), so at 100 TB each partition contributes its local
+    bottom-k and only d×k rows ever cross the wire — against a full
+    per-group sort for the exact path."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.md5(F.col("event_id").cast("string")).alias("coin"),
+    )
+    wq = Window.partitionBy("event_type")
+
+    # sample: bottom-200 by the hash coin, per type
+    sample = (
+        ev.withColumn(
+            "srn", F.row_number().over(wq.orderBy("coin", "event_id"))
+        )
+        .filter(F.col("srn") <= 200)
+        .select("event_type", "event_id", "value")
+    )
+
+    def q_at(df, label):
+        ranked = df.select(
+            "event_type", "value",
+            F.row_number().over(wq.orderBy("value", "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(wq).alias("n"),
+        )
+        p50 = F.ceil(F.col("n") * 0.5)
+        p90 = F.ceil(F.col("n") * 0.9)
+        return ranked.groupBy("event_type").agg(
+            F.min(F.when(F.col("rn") == p50, F.col("value"))).alias(
+                f"p50_{label}"
+            ),
+            F.min(F.when(F.col("rn") == p90, F.col("value"))).alias(
+                f"p90_{label}"
+            ),
+            F.max("n").alias(f"n_{label}"),
+        )
+
+    exact = q_at(ev, "exact")
+    est = q_at(sample, "sample")
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "n_exact", "n_sample",
+            "p50_exact", "p50_sample", "p90_exact", "p90_sample",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("bloom_screen")
+def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE Bloom-filter pre-join screen — the third classic sketch
+    next to KMV (cardinality) and Count-Min (frequency), again with a
+    full cross-engine oracle. The filter (k=3, m=1024) is built over the
+    users who ever emitted an error event; every event then probes it.
+    The result carries bloom hits AND exact membership per event type,
+    so the one-sided guarantee (no false negatives; measured false
+    positives) is itself oracle-checked. At 100 TB this is the
+    shuffle-avoidance pattern: the ≤1024-row bit table broadcasts to
+    every scan task and non-members drop before the join; Spark's
+    runtime-filter bloom does this adaptively, this operator is the
+    explicit, engine-portable form."""
+    from ..operators import approx as AP
+
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    flagged = ev.filter(F.col("event_type") == "error").select("user_id")
+    bits = AP.bloom_build(flagged, "user_id")
+    probed = AP.bloom_probe(ev, bits, "user_id")
+    member = flagged.distinct().withColumn("is_member", F.lit(True))
+    return (
+        probed.join(F.broadcast(member), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(
+                F.coalesce(F.col("is_member"), F.lit(False)).cast("long")
+            ).alias("n_true_members"),
+            F.sum(
+                (
+                    F.col("bloom_hit")
+                    & ~F.coalesce(F.col("is_member"), F.lit(False))
+                ).cast("long")
+            ).alias("n_false_positives"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("similarity_ivfpq")
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC retrieval — the billion-scale ANN serving pipeline
+    composed from this repo's own parts: IVF coarse cells
+    (similarity_ivf's assignment) prune candidates, PQ codes (pq_codes'
+    assignment) replace the index-side floats, and ranking runs on
+    asymmetric distance (exact query subvectors vs candidate codewords).
+    Deterministic seeding throughout (centroids and codebook = the first
+    16 corpus vectors), explicit add chains, (adc_dist, nid) total order
+    — fully oracle-checked. Recall vs exact cosine is pytest-asserted."""
+    import numpy as np
+
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroid_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    centroids = np.array([r.embedding for r in centroid_rows], dtype=np.float64)
+    codebook = emb.filter(F.col("vec_id") < 16)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    return SIM.ivfpq_topk(
+        emb, queries_df, centroids, codebook, k=5, nprobe=2
+    ).orderBy("qid", "rnk")
+
+
+@query("ledger_asof")
+def ledger_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal AS-OF reconstruction of the migration ledger: the
+    current-state table is exploded into its implied event history (an
+    'applied' event at applied_at; rolled-back versions add a
+    'rolled_back' event 5 minutes later — the reference mutates status
+    in place, internal/tracker/tracker.go:99,118, so the history is the
+    state machine's trajectory) and the ledger AS OF a past instant is
+    the last event per version at or before it. This is the time-travel
+    read every audited migration pipeline needs and the reference's
+    schema cannot answer; one key-shuffle rank-1 window, the same CDC
+    shape as cdc_snapshot."""
+    ensure_deterministic(spark)
+    ledger = fixtures.ledger_df(spark)
+    applied_ev = ledger.select(
+        "version", F.col("applied_at").alias("ev_ts"),
+        F.lit("applied").alias("ev_status"),
+    )
+    rb_ev = (
+        ledger.filter(F.col("status") == "rolled_back")
+        .select(
+            "version",
+            (F.col("applied_at") + F.expr("INTERVAL 5 MINUTES")).alias("ev_ts"),
+            F.lit("rolled_back").alias("ev_status"),
+        )
+    )
+    events = applied_ev.unionByName(rb_ev)
+    asof = F.lit("2024-01-01 00:06:30").cast("timestamp")
+    w = Window.partitionBy("version")
+    return (
+        events.filter(F.col("ev_ts") <= asof)
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("ev_ts"), "ev_status")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "version",
+            F.col("ev_status").alias("status_asof"),
+            fmt_ts(F.col("ev_ts"), "as_of_ts"),
+        )
+        .orderBy("version")
+    )
+
+
+@query("hierarchical_rollup")
+def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-tree correctness: the daily aggregate is computed FROM the
+    hourly aggregate (partials of partials), never from raw — the
+    materialized-view / hypertable continuous-aggregate pattern. Because
+    every aggregate here is algebraic over exact decimals, re-aggregating
+    hourly partials is bit-identical to aggregating raw, which is
+    exactly what the oracle asserts (it computes the daily rollup
+    directly from the events table). At 100 TB the tree turns a
+    full-history scan into an incremental merge of per-hour partials."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).alias("sum_dec"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_ts")).alias("day_ts"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+    return daily.select(
+        fmt_ts(F.col("day_ts"), "day"),
+        "event_type", "n_events", "sum_value", "n_hours",
+    ).orderBy("day", "event_type")

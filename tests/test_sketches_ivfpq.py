@@ -1,0 +1,112 @@
+"""Portable sketch trio (Count-Min, Bloom, sampled quantiles) and the
+IVF-PQ ADC retrieval capstone — semantic guarantees beyond the oracle
+equality (which test_queries_oracle covers):
+
+* CM: one-sided error (est ≥ exact, bounded overshoot)
+* Bloom: no false negatives; false-positive rate sane for m/n
+* sampled quantiles: estimate within the sample-size error bound
+* IVF-PQ: recall@5 vs exact cosine stays above the IVF baseline floor
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from database_migration_engine_spark.io import read_table
+from database_migration_engine_spark.operators import approx as AP
+from database_migration_engine_spark.operators import similarity as SIM
+from database_migration_engine_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestCountMin:
+    def test_one_sided_error(self, spark):
+        out = QUERIES["count_min_users"](spark, SF_DIR).collect()
+        assert len(out) > 0
+        n_total = sum(r.exact_n for r in out)
+        for r in out:
+            assert r.cm_est >= r.exact_n  # never undercounts
+            # ε = e/width ≈ 0.0425; allow 2× slack on the εN bound
+            assert r.cm_est - r.exact_n <= 2 * 2.72 / 64 * n_total
+
+    def test_sketch_is_fixed_size(self, spark):
+        ev = read_table(spark, SF_DIR, "events")
+        cells = AP.count_min_sketch(ev, "user_id")
+        assert cells.count() <= 4 * 64
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        out = QUERIES["bloom_screen"](spark, SF_DIR).collect()
+        for r in out:
+            assert r.n_bloom_hits >= r.n_true_members
+            assert r.n_false_positives == r.n_bloom_hits - r.n_true_members
+
+    def test_probe_rejects_non_members(self, spark):
+        # filter over a tiny member set: most of a disjoint probe set
+        # must miss (the filter is doing real work, not returning true)
+        members = spark.range(0, 10).select(F.col("id").alias("user_id"))
+        probes = spark.range(1000, 1200).select(F.col("id").alias("user_id"))
+        bits = AP.bloom_build(members, "user_id")
+        hit = AP.bloom_probe(probes, bits, "user_id")
+        n_hits = hit.filter("bloom_hit").count()
+        assert n_hits < 20  # 200 non-members, fp rate ≈ (30/1024*3)^3 ≪ 10%
+
+    def test_members_always_hit(self, spark):
+        members = spark.range(0, 50).select(F.col("id").alias("user_id"))
+        bits = AP.bloom_build(members, "user_id")
+        hit = AP.bloom_probe(members, bits, "user_id")
+        assert hit.filter("bloom_hit").count() == 50
+
+
+class TestSampledQuantiles:
+    def test_estimates_near_exact(self, spark):
+        out = QUERIES["sampled_quantiles"](spark, SF_DIR).collect()
+        for r in out:
+            assert r.n_sample <= 200
+            spread = max(abs(r.p90_exact), 1e-9)
+            # bottom-k of 200 on ~400 rows: generous rank-error bound
+            assert abs(r.p50_sample - r.p50_exact) <= 0.35 * spread
+            assert abs(r.p90_sample - r.p90_exact) <= 0.35 * spread
+
+
+class TestIVFPQ:
+    def test_recall_vs_exact(self, spark):
+        emb = read_table(spark, SF_DIR, "embeddings")
+        got = {
+            (r.qid, r.rnk): r.nid
+            for r in QUERIES["similarity_ivfpq"](spark, SF_DIR).collect()
+        }
+        assert len(got) > 0
+        # exact cosine top-5 (same query set)
+        queries_df = emb.filter(F.col("vec_id") < 50)
+        exact = SIM.cosine_topk(emb, queries_df, k=5)
+        exact_sets: dict[int, set] = {}
+        for r in exact.collect():
+            exact_sets.setdefault(r.qid, set()).add(r.nid)
+        pq_sets: dict[int, set] = {}
+        for (qid, _), nid in got.items():
+            pq_sets.setdefault(qid, set()).add(nid)
+        recalls = [
+            len(pq_sets.get(q, set()) & s) / len(s)
+            for q, s in exact_sets.items()
+        ]
+        # ADC over nprobe=2 cells on isotropic data: same candidate pool
+        # as similarity_ivf, quantized distances — recall floor is loose
+        # but must beat chance by far (5/500 = 1%)
+        assert np.mean(recalls) > 0.25
+
+    def test_adc_nonneg_and_rerank_order(self, spark):
+        rows = QUERIES["similarity_ivfpq"](spark, SF_DIR).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            assert r.adc_dist >= 0
+            by_q.setdefault(r.qid, []).append((r.rnk, r.cos_sim))
+        for q, pairs in by_q.items():
+            pairs.sort()
+            sims = [c for _, c in pairs]
+            # final order is the exact-rerank order: cosine descending
+            assert sims == sorted(sims, reverse=True)
