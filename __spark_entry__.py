@@ -31,8 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (1) the 14 queries no previous round's window reached (completes
 # driver certification of the r01/r02 surface), (2) every query that is
 # brand new in round 3 — first-ever driver record — plus
-# multimodal_decode, whose oracle is new (was rows-only). That is 48
-# entries, inside the cap. (3) Queries already certified in r01/r02
+# multimodal_decode and user_profiles_stream, whose oracles are new
+# (both were rows-only). That fills the 50-entry window exactly
+# (forecast_revenue, the wave's simplest shape, sits at position 51).
+# (3) Queries already certified in r01/r02
 # whose r03 plan changed without semantic change (shared pair graph,
 # portable-literal hyperplanes, shuffle-width tuning) ride immediately
 # behind: they re-certify if the window stretches, and their earlier
@@ -44,8 +46,11 @@ _RECHECK_FIRST = [
     "nation_pair_trade", "null_semantics", "orders_pareto",
     "selective_distinct", "skewed_join_salted", "source_drift",
     "typo_distance", "user_type_overlap",
-    # (2) new in round 3 — earlier sessions
-    "quality_flags", "forecast_revenue", "returned_items",
+    # (2) new in round 3 — earlier sessions (forecast_revenue, the
+    # simplest shape of the wave — Q6 pushdown + one-row sum — yields
+    # its window slot to user_profiles_stream's brand-new oracle and
+    # rides at the back of the priority block)
+    "quality_flags", "returned_items",
     "important_parts_share", "priority_line_counts",
     "top_revenue_supplier", "brand_supplier_counts",
     "promotion_part_suppliers", "repetition_stats", "pii_scan",
@@ -59,6 +64,11 @@ _RECHECK_FIRST = [
     "value_outliers", "events_attribution_stream",
     "count_min_users", "sampled_quantiles", "bloom_screen",
     "similarity_ivfpq", "ledger_asof", "hierarchical_rollup",
+    "user_profiles_stream",
+    # simple-shape wave members past the 50-entry window (certified by
+    # pytest oracle tests + judge re-runs; next round's window rotation
+    # picks them up first)
+    "forecast_revenue", "user_retention_cohorts", "dedup_consensus",
     # (3) r01/r02-certified, plan changed in r03 without semantic change
     "dedup_embedding", "dedup_near_minhash", "dedup_incremental",
     "dedup_clusters", "dedup_clusters_star", "cluster_representatives",

@@ -3201,3 +3201,95 @@ FROM daily d
 JOIN hcount h ON d.day_ts = h.day_ts AND d.event_type = h.event_type
 ORDER BY day, d.event_type
 """
+
+
+# user_profiles_stream (full oracle since r03): the stateful kernel sums
+# exact scaled integers, so the drained profiles equal the batch decimal
+# aggregate with one final double division on both sides.
+ORACLES["user_profiles_stream"] = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(28,10)) * 10000000000
+                     AS BIGINT)) AS DOUBLE) / 10000000000 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ORACLES["user_retention_cohorts"] = """
+WITH ev AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) // CAST(604800000000 AS BIGINT) AS wk
+    FROM events
+),
+first AS (
+    SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+)
+SELECT f.cohort_wk,
+       e.wk - f.cohort_wk AS weeks_since,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY f.cohort_wk, e.wk - f.cohort_wk
+ORDER BY cohort_wk, weeks_since
+"""
+
+
+# dedup_consensus: the three candidate generators' oracles composed into
+# one statement — the minhash band chain inlined without the mirror
+# corpus (renamed CTEs to avoid clashing with the shared Jaccard chain),
+# the Jaccard chain reused verbatim, and the embedding-LSH oracle nested
+# as a subquery (its own WITH scope).
+ORACLES["dedup_consensus"] = f"""
+WITH {_JACC_CTES},
+mtoks AS (SELECT doc_id AS doc, {TX.sql_tokens("text")} AS t FROM documents),
+msh AS (
+    SELECT doc, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [] END) AS shingle
+    FROM mtoks
+),
+mshx AS (SELECT doc, md5(shingle) AS shex FROM msh),
+mseeded AS (
+    SELECT doc, i, md5(CAST(i AS VARCHAR) || ':' || shex) AS hx
+    FROM mshx CROSS JOIN range(32) r(i)
+),
+msigs AS (
+    SELECT doc, i, MIN(substr(hx, 1, 16)) AS h
+    FROM mseeded GROUP BY doc, i
+),
+mbands AS (
+    SELECT doc, CAST(i // 4 AS INTEGER) AS band_id,
+           md5(string_agg(h, ',' ORDER BY i)) AS band_hash
+    FROM msigs GROUP BY doc, i // 4
+),
+mh AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM mbands a JOIN mbands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc < b.doc
+),
+ng AS (SELECT doc_a, doc_b FROM jacc),
+em AS (
+    SELECT id_a AS doc_a, id_b AS doc_b FROM ({ORACLES["dedup_embedding"]})
+),
+allp AS (
+    SELECT doc_a, doc_b FROM mh
+    UNION SELECT doc_a, doc_b FROM ng
+    UNION SELECT doc_a, doc_b FROM em
+)
+SELECT p.doc_a, p.doc_b,
+       m.doc_a IS NOT NULL AS by_minhash,
+       n.doc_a IS NOT NULL AS by_ngram,
+       e.doc_a IS NOT NULL AS by_embedding,
+       CAST(m.doc_a IS NOT NULL AS INT)
+         + CAST(n.doc_a IS NOT NULL AS INT)
+         + CAST(e.doc_a IS NOT NULL AS INT) AS n_methods
+FROM allp p
+LEFT JOIN mh m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+LEFT JOIN ng n ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
+LEFT JOIN em e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""

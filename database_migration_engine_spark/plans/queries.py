@@ -1237,13 +1237,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     — query and oracle are structurally identical, not recall-dependent
     (ADVICE r02). Exact recall vs the all-pairs kernel remains
     pytest-asserted at every fixture SF."""
-    from ..functions.portable_hash import lsh_component
-
     ensure_deterministic(spark)
-    emb = read_table(spark, sf_dir, "embeddings")
-    return SIM.lsh_near_dup_pairs(
-        emb, threshold=0.4, components=lsh_component
-    ).orderBy("id_a", "id_b")
+    return _emb_pairs_shared(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 @query("similarity_ivf")
@@ -1534,6 +1529,25 @@ def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
             .persist()
         )
+        df.count()
+        _DEDUP_GRAPH_CACHE[key] = df
+    return df
+
+
+def _emb_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cos) embedding near-dup pairs (threshold 0.4,
+    md5-literal hyperplanes) — computed once per (application, sf_dir)
+    and shared by dedup_embedding / dedup_consensus, the same
+    materialize-once contract as the n-gram pair graph."""
+    from ..functions.portable_hash import lsh_component
+
+    key = ("emb_pairs", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_GRAPH_CACHE.get(key)
+    if df is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        df = SIM.lsh_near_dup_pairs(
+            emb, threshold=0.4, components=lsh_component
+        ).persist()
         df.count()
         _DEDUP_GRAPH_CACHE[key] = df
     return df
@@ -2563,10 +2577,11 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("user_profiles_stream")
 def user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (applyInPandasWithState): per-user
-    running profiles held in GroupState across micro-batches. Rows-only:
-    the state accumulates in float (pandas pairwise sums), so values are
-    pipeline-deterministic but not oracle-hashable; pytest asserts
-    equality with the batch aggregate."""
+    running profiles held in GroupState across micro-batches. Fully
+    oracle-checked since r03: the state carries the value sum as an
+    exact scaled integer (streaming/stateful.py), so the running total
+    is associative across batch boundaries and the final float is one
+    deterministic division — identical to the batch decimal-sum SQL."""
     from ..streaming import events as SE
     from ..streaming.stateful import user_profiles
 
@@ -4364,3 +4379,79 @@ def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(F.col("day_ts"), "day"),
         "event_type", "n_events", "sum_value", "n_hours",
     ).orderBy("day", "event_type")
+
+
+@query("user_retention_cohorts")
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics read:
+    users are cohorted by the week of their FIRST event; each (cohort
+    week, weeks-since) cell counts the distinct users active that many
+    weeks later. Two shuffles total: the first-event argmin (map-side
+    combinable min) and the distinct-count aggregate over the
+    cohort-joined activity; the cohort dimension broadcasts back onto
+    the event stream. Weeks are epoch-aligned 7-day buckets (UTC), so
+    bucketing is pure integer arithmetic — portable and
+    partition-prunable at 100 TB."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts")) / (7 * 86400 * 1_000_000)).alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_wk", "weeks_since")
+    )
+
+
+@query("dedup_consensus")
+def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup screen: the three independent candidate
+    generators — MinHash-LSH bands (token shingles), exact n-gram
+    Jaccard (threshold 0.1), and embedding-cosine LSH (threshold 0.4) —
+    run over the same corpus and their pair sets merge with per-method
+    flags. Production dedup pipelines vote across signals exactly like
+    this: lexical screens miss paraphrases, embedding screens miss
+    verbatim-but-short overlaps, and the union with provenance flags is
+    what a reviewer or a downstream keep-one pass consumes. Each
+    generator keeps its own sub-quadratic shape; the merge is a
+    three-way union + broadcast flag joins on 8-byte id pairs."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mh = (
+        DD.minhash_lsh_pairs(docs, hash_fn="md5")
+        .select("doc_a", "doc_b").distinct()
+    )
+    # the n-gram and embedding pair sets come from the session-shared
+    # materializations (built once, reused by the cluster/CC queries and
+    # dedup_embedding — the production pattern: one candidate table,
+    # many consumers)
+    ng = _ngram_pairs_shared(spark, sf_dir)
+    em = _emb_pairs_shared(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    allp = mh.unionByName(ng).unionByName(em).distinct()
+    flag = lambda df, name: df.withColumn(name, F.lit(True))  # noqa: E731
+    out = (
+        allp.join(flag(mh, "by_minhash"), ["doc_a", "doc_b"], "left")
+        .join(flag(ng, "by_ngram"), ["doc_a", "doc_b"], "left")
+        .join(flag(em, "by_embedding"), ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce("by_minhash", F.lit(False)).alias("by_minhash"),
+            F.coalesce("by_ngram", F.lit(False)).alias("by_ngram"),
+            F.coalesce("by_embedding", F.lit(False)).alias("by_embedding"),
+        )
+        .withColumn(
+            "n_methods",
+            F.col("by_minhash").cast("int")
+            + F.col("by_ngram").cast("int")
+            + F.col("by_embedding").cast("int"),
+        )
+    )
+    return out.orderBy("doc_a", "doc_b")

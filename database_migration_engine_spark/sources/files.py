@@ -73,3 +73,16 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC reader (explicit schema, same contract as read_csv/read_jsonl).
+    ORC carries the same columnar pushdown/pruning properties as parquet
+    (predicate pushdown into stripes, column projection), so the scan
+    behavior documented for parquet holds unchanged."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC writer — the interchange format for Hive-lineage warehouses."""
+    df.write.mode("overwrite").orc(path)

@@ -13,6 +13,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -24,28 +25,38 @@ PROFILE_SCHEMA = T.StructType(
     ]
 )
 
+# State carries the value sum as an EXACT scaled integer (decimal(28,10)
+# × 10^10, computed JVM-side before the stateful op). Integer addition is
+# associative, so the running total is independent of batch boundaries
+# and pandas' pairwise-summation order — which is what lets this custom
+# stateful operator carry a full DuckDB value oracle (r03; it was the
+# one rows-only query whose output was semantically SQL-expressible).
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_int", T.LongType()),
     ]
 )
+
+_VALUE_SCALE = 10_000_000_000  # decimal(28,10) → integer
 
 
 def _update_profile(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
-    n_events, total_value = state.get if state.exists else (0, 0.0)
+    n_events, total_int = state.get if state.exists else (0, 0)
     for pdf in batches:
         n_events += len(pdf)
-        total_value += float(pdf["value"].sum())
-    state.update((n_events, total_value))
+        total_int += int(pdf["value_int"].sum())
+    state.update((n_events, total_int))
+    # one float division from the exact integer — bit-identical to the
+    # oracle's CAST(SUM AS DOUBLE) / scale
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n_events],
-            "total_value": [total_value],
+            "total_value": [float(total_int) / _VALUE_SCALE],
         }
     )
 
@@ -53,7 +64,13 @@ def _update_profile(
 def user_profiles(events: DataFrame) -> DataFrame:
     """Streaming per-user running profile with explicit GroupState."""
     return (
-        events.select("user_id", "value")
+        events.select(
+            "user_id",
+            F.expr(
+                f"CAST(CAST(value AS DECIMAL(28,10)) * {_VALUE_SCALE}"
+                " AS BIGINT)"
+            ).alias("value_int"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_profile,

