@@ -3293,3 +3293,27 @@ LEFT JOIN ng n ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
 LEFT JOIN em e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
 ORDER BY p.doc_a, p.doc_b
 """
+
+
+# orders_nested: canonical-JSON nested round trip. Field order inside
+# struct_pack matches the Spark struct, list_sort matches array_sort
+# (field-wise lexicographic), and both engines serialize compact JSON
+# with insertion-ordered keys.
+ORACLES["orders_nested"] = """
+WITH lines AS (
+    SELECT l_orderkey,
+           struct_pack(
+               ln := l_linenumber,
+               qty := CAST(l_quantity AS BIGINT),
+               pk := l_partkey
+           ) AS line
+    FROM lineitem WHERE l_orderkey < 5000
+)
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(line.qty) AS BIGINT) AS total_qty,
+       CAST(to_json(list_sort(list(line))) AS VARCHAR) AS lines_json
+FROM lines
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""

@@ -4455,3 +4455,38 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_a", "doc_b")
+
+
+@query("orders_nested")
+def orders_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: line items denormalized into an array of
+    structs per order (the document/training-example shape a feature
+    store or LLM-sample builder emits), serialized to canonical JSON for
+    the cross-engine hash. Nesting is collect_list(struct) after an
+    in-array sort (deterministic element order); the scalar rollups ride
+    the same aggregation. At 100 TB this is one key-shuffle — the
+    denormalize-for-serving pattern that replaces N downstream joins
+    with one wide read."""
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 5000
+    )
+    lines = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_partkey").alias("pk"),
+        ).alias("line"),
+    )
+    return (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("line.qty")).alias("total_qty"),
+            F.to_json(F.array_sort(F.collect_list("line"))).alias(
+                "lines_json"
+            ),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -287,15 +287,20 @@ def attribution_join(
     # tail purchases simply never emit). They are joined-out by the
     # user/time condition and the caller drops their unmatched left rows
     # post-sink (purchase_id = -1).
+    # two files per trigger: the data file and the first heartbeat share
+    # batch 1 (the watermark only advances AFTER a batch, so co-reading
+    # them is safe and saves a full state-store open/commit cycle);
+    # batch 2 is the second heartbeat, whose execution emits the flushed
+    # outer state. Measured at sf0.1: 3 batches -> 2, ~1 s saved.
     purchases = (
-        read_events_stream(spark, staged, max_files_per_trigger=1,
+        read_events_stream(spark, staged, max_files_per_trigger=2,
                            glob="*.parquet")
         .filter(F.col("event_type").isin("purchase", "heartbeat"))
         .withWatermark("ts", watermark)
         .alias("p")
     )
     clicks = (
-        read_events_stream(spark, staged, max_files_per_trigger=1,
+        read_events_stream(spark, staged, max_files_per_trigger=2,
                            glob="*.parquet")
         .filter(F.col("event_type").isin("click", "heartbeat"))
         .withWatermark("ts", watermark)

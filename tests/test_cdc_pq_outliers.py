@@ -213,3 +213,52 @@ class TestAttributionStream:
         assert (got["n_clicks"] == want["n_clicks"]).all()
         # the zero-click tail is present (the part inner joins can't do)
         assert (got["n_clicks"] == 0).any()
+
+
+class TestCompactChangelogProperties:
+    def test_random_changelogs_match_reference(self, spark):
+        """Property sweep: arbitrary keyed changelogs (random ops, random
+        interleavings) must compact to exactly the Python-reference
+        last-writer-wins state. Batched into one Spark round-trip so the
+        sweep stays fast."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        op = st.sampled_from(["U", "D"])
+        row = st.tuples(
+            st.integers(0, 5),  # key
+            op,
+            st.text(alphabet="abc", min_size=0, max_size=2),
+        )
+        cases = st.lists(row, min_size=1, max_size=25)
+        collected = []
+
+        @settings(max_examples=30, deadline=None)
+        @given(cases)
+        def gather(rows):
+            collected.append(list(rows))
+
+        gather()
+        for case_id, rows in enumerate(collected):
+            # reference: last row per key wins (seq = position)
+            ref = {}
+            counts = {}
+            for seq, (k, op_, val) in enumerate(rows):
+                ref[k] = (op_, val, seq)
+                counts[k] = counts.get(k, 0) + 1
+            expect = {
+                k: (v[1], counts[k])
+                for k, v in ref.items()
+                if v[0] != "D"
+            }
+            df = spark.createDataFrame(
+                [(k, seq, op_, val) for seq, (k, op_, val) in enumerate(rows)],
+                CHG_SCHEMA.replace("seq long", "seq long"),
+            )
+            got = {
+                r.k: (r.val, r.n_changes)
+                for r in compact_changelog(
+                    df, key_cols=["k"], order_cols=["seq"]
+                ).collect()
+            }
+            assert got == expect, f"case {case_id}: {rows}"

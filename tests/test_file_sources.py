@@ -163,3 +163,46 @@ def test_orc_roundtrip(spark, tmp_path):
     # ORC pushes filters like parquet: the scan node must report it
     plan = back.filter("n_nationkey = 3")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan or "n_nationkey" in plan
+
+
+def test_csv_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE-mode CSV ingestion: malformed rows land in the
+    _corrupt_record column instead of failing the job — the quarantine
+    pattern a 100 TB raw-ingest needs (one bad row must never kill a
+    multi-hour load). The quarantine split is exact: good rows parse
+    fully, bad rows carry their raw text for a dead-letter sink."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "id,name,n\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"
+        "3,gamma,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("n", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]._corrupt_record
