@@ -69,7 +69,7 @@ _RECHECK_FIRST = [
     # pytest oracle tests + judge re-runs; next round's window rotation
     # picks them up first)
     "forecast_revenue", "user_retention_cohorts", "dedup_consensus",
-    "orders_nested",
+    "orders_nested", "events_copair_hourly_stream", "augment_dropout",
     # (3) r01/r02-certified, plan changed in r03 without semantic change
     "dedup_embedding", "dedup_near_minhash", "dedup_incremental",
     "dedup_clusters", "dedup_clusters_star", "cluster_representatives",

@@ -3317,3 +3317,43 @@ FROM lines
 GROUP BY l_orderkey
 ORDER BY l_orderkey
 """
+
+
+# Chained stateful streaming twin: batch interval join grouped by hour.
+ORACLES["events_copair_hourly_stream"] = """
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+           AS hour_bucket,
+       e.event_type AS a_type, f.event_type AS b_type,
+       COUNT(*) AS n_pairs
+FROM events e
+JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts > e.ts
+ AND epoch_us(f.ts) <= epoch_us(e.ts) + 60000000
+GROUP BY 1, 2, 3
+ORDER BY hour_bucket, a_type, b_type
+"""
+
+
+ORACLES["augment_dropout"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TX.sql_tokens("text")}) AS tok,
+           generate_subscripts({TX.sql_tokens("text")}, 1) - 1 AS pos
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, pos, tok FROM toks
+    WHERE substr(md5(doc_id || ':' || pos), 1, 1) != '0'
+),
+agg AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS aug_hash
+    FROM kept GROUP BY doc_id
+),
+sizes AS (
+    SELECT doc_id, len({TX.sql_tokens("text")}) AS n_tokens FROM documents
+)
+SELECT a.doc_id, s.n_tokens, a.n_kept, a.aug_hash
+FROM agg a JOIN sizes s ON a.doc_id = s.doc_id
+ORDER BY a.doc_id
+"""

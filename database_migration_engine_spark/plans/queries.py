@@ -4490,3 +4490,75 @@ def orders_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query("events_copair_hourly_stream")
+def events_copair_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED multi-stateful streaming: interval self-join → tumbling
+    hourly aggregation inside ONE continuous query (join state + window
+    state back to back — the multiple-stateful-operator pipeline shape).
+    Append mode only emits finalized windows, so the heartbeat staging
+    (streaming/events.py:heartbeat_stream_dir) pushes the watermark past
+    end-of-stream exactly as in the outer-join query; heartbeat rows can
+    never pair (singleton far-future user -1), so the aggregate is
+    untouched. Oracle: the batch interval join grouped by hour."""
+    from ..session import shuffle_width
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    staged = SE.heartbeat_stream_dir(sf_dir)
+    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(
+            spark, staged, max_files_per_trigger=2, glob="*.parquet"
+        )
+        out = SE.run_to_memory(
+            SE.copair_hourly(stream), output_mode="append"
+        )
+    return out.orderBy("hour_bucket", "a_type", "b_type")
+
+
+@query("augment_dropout")
+def augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation — the contrastive /
+    denoising variant generator of a training pipeline, with the
+    reproducibility constraint production augmentation needs: the
+    per-position coin is md5(doc:pos), so a re-run (or the oracle)
+    regenerates the identical variant. ~10% of positions drop; the
+    augmented text travels as an md5 fingerprint, never as content.
+    One explode + one groupBy, embarrassingly parallel."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(TX.tokens()).alias("pos", "tok"),
+    )
+    kept = toks.filter(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 1
+        ).isin(*"123456789abcdef")  # drop when first nibble = '0' (1/16)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("aug_hash"),
+        )
+        .join(
+            docs.select(
+                "doc_id", F.size(TX.tokens()).alias("n_tokens")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "n_tokens", "n_kept", "aug_hash")
+        .orderBy("doc_id")
+    )

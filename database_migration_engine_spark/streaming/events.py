@@ -320,3 +320,41 @@ def attribution_join(
         F.col("p.ts").alias("purchase_ts"),
         F.col("c.event_id").alias("click_id"),
     )
+
+
+def copair_hourly(
+    events: DataFrame, band_seconds: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """CHAINED stateful streaming: the interval self-join feeds a
+    windowed aggregation in the same continuous query — two stateful
+    operators back to back (join state + window state), the shape Spark
+    only supports since multiple-stateful-operator chaining landed.
+    The join's event-time column (side a's ts) carries through with its
+    watermark, so the downstream tumbling window can emit finalized
+    buckets in append mode."""
+    a = events.withWatermark("ts", watermark).alias("a")
+    b = events.withWatermark("ts", watermark).alias("b")
+    joined = a.join(
+        b,
+        F.expr(
+            f"""a.user_id = b.user_id
+            AND b.ts > a.ts
+            AND b.ts <= a.ts + INTERVAL {band_seconds} SECONDS"""
+        ),
+    ).select(
+        F.col("a.ts").alias("a_ts"),
+        F.col("a.event_type").alias("a_type"),
+        F.col("b.event_type").alias("b_type"),
+    )
+    return (
+        joined.groupBy(
+            F.window("a_ts", "1 hour"), "a_type", "b_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "a_type", "b_type", "n_pairs",
+        )
+    )
