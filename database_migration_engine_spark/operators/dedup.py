@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     max_df: int = 50,
+    keep_sizes: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by n-gram (token shingle) Jaccard similarity.
 
@@ -126,7 +127,10 @@ def ngram_jaccard_pairs(
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "common", "jaccard")
+        .select(
+            "doc_a", "doc_b", "common", "jaccard",
+            *(["n_a", "n_b"] if keep_sizes else []),
+        )
     )
 
 

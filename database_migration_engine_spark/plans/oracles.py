@@ -3357,3 +3357,105 @@ SELECT a.doc_id, s.n_tokens, a.n_kept, a.aug_hash
 FROM agg a JOIN sizes s ON a.doc_id = s.doc_id
 ORDER BY a.doc_id
 """
+
+
+ORACLES["bpe_first_merges"] = f"""
+WITH toks AS (
+    SELECT unnest({TX.sql_tokens("text")}) AS tok FROM documents
+),
+pairs AS (
+    SELECT substr(tok, i, 2) AS pair
+    FROM toks, LATERAL unnest(range(1, len(tok))) t(i)
+    WHERE len(tok) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+ORACLES["unigram_score"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TX.sql_tokens("text")}) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS n FROM toks)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(f.cf) AS BIGINT) AS cf_sum,
+       CAST(CAST(SUM(f.cf) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * (SELECT n FROM total) AS DOUBLE)
+           AS avg_unigram_p
+FROM toks t JOIN freq f ON t.tok = f.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# jaccard_est_error: minhash signature chain (no mirror) + the capped
+# shingle pair counts, error terms kept rational (integer numerators).
+ORACLES["jaccard_est_error"] = f"""
+WITH {_JACC_CTES},
+mtoks AS (SELECT doc_id AS doc, {TX.sql_tokens("text")} AS t FROM documents),
+msh AS (
+    SELECT doc, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [] END) AS shingle
+    FROM mtoks
+),
+mshx AS (SELECT doc, md5(shingle) AS shex FROM msh),
+mseeded AS (
+    SELECT doc, i, md5(CAST(i AS VARCHAR) || ':' || shex) AS hx
+    FROM mshx CROSS JOIN range(32) r(i)
+),
+msigs AS (
+    SELECT doc, i, MIN(substr(hx, 1, 16)) AS h
+    FROM mseeded GROUP BY doc, i
+),
+mbands AS (
+    SELECT doc, CAST(i // 4 AS INTEGER) AS band_id,
+           md5(string_agg(h, ',' ORDER BY i)) AS band_hash
+    FROM msigs GROUP BY doc, i // 4
+),
+mcand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM mbands a JOIN mbands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc < b.doc
+),
+mh AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM mcand c
+    JOIN msigs sa ON sa.doc = c.doc_a
+    JOIN msigs sb ON sb.doc = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+    SELECT doc_a, doc_b, common,
+           sa.n_sh + sb.n_sh - common AS u
+    FROM prs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+),
+per_pair AS (
+    SELECT CAST((10 * m.k) // 32 AS INT) AS est_decile,
+           abs(m.k * e.u - 32 * e.common) AS num,
+           32 * e.u AS den,
+           CAST(abs(m.k * e.u - 32 * e.common) AS DOUBLE)
+               / (32 * e.u) AS abs_err
+    FROM mh m JOIN exact e
+      ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+)
+SELECT est_decile,
+       COUNT(*) AS n_pairs,
+       {_dsum('abs_err', 'sum_abs_err')},
+       CAST(CAST(SUM(CAST(abs_err AS {_DEC})) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS mean_abs_err
+FROM per_pair
+GROUP BY est_decile
+ORDER BY est_decile
+"""

@@ -4562,3 +4562,109 @@ def augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_kept", "aug_hash")
         .orderBy("doc_id")
     )
+
+
+@query("bpe_first_merges")
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's inner loop, one iteration, corpus-wide: count
+    every adjacent character pair inside every token occurrence and rank
+    the top-20 merge candidates — exactly the statistic byte-pair
+    encoding maximizes per merge step. Shape: token explode → in-token
+    position explode (arrays of substrings, all JVM expressions) → one
+    hash-groupBy; at 100 TB the pair count is a map-side-combinable sum
+    over 2-char keys, and successive merge iterations re-run the same
+    plan over the rewritten token stream."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens()).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substr(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+@query("unigram_score")
+def unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable unigram language-model scoring WITHOUT logarithms: a
+    doc's commonness score is the integer sum of its tokens' corpus
+    frequencies, normalized by (doc length × corpus tokens) in a single
+    final division. Log-probability scoring is the standard quality /
+    domain-fit signal, but libm logs are not bit-portable — the rational
+    form keeps every aggregate in exact integers so the oracle matches
+    bit-for-bit at any parallelism, same trick as keyword_search's
+    integer TF-IDF. Two hash-groupBys + one broadcast-back join."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    n_total = toks.count()
+    scored = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").alias("cf_sum"),
+        )
+        .withColumn(
+            "avg_unigram_p",
+            F.col("cf_sum").cast("double")
+            / (F.col("n_tokens") * F.lit(n_total)).cast("double"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "cf_sum", "avg_unigram_p"
+    ).orderBy("doc_id")
+
+
+@query("jaccard_est_error")
+def jaccard_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: MinHash's estimated Jaccard (k equal
+    components out of 32) joined against the EXACT shingle Jaccard for
+    the same pairs, rolled up into error statistics per estimate decile.
+    This is the measurement that justifies a banding config in
+    production. All error arithmetic stays rational — |k·u − 32·c| over
+    32·u with integer numerators — so the only floats are final
+    divisions and the exact-decimal error sum, oracle-checked
+    bit-for-bit."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mh = DD.minhash_lsh_pairs(docs, hash_fn="md5").select(
+        "doc_a", "doc_b",
+        F.round(F.col("est_jaccard") * 32).cast("long").alias("k"),
+    )
+    exact = DD.ngram_jaccard_pairs(
+        docs, threshold=0.0, keep_sizes=True
+    ).select(
+        "doc_a", "doc_b", "common",
+        (F.col("n_a") + F.col("n_b") - F.col("common")).alias("u"),
+    )
+    joined = mh.join(exact, ["doc_a", "doc_b"], "inner")
+    per_pair = joined.select(
+        F.expr("CAST((10 * k) div 32 AS INT)").alias("est_decile"),
+        F.abs(F.col("k") * F.col("u") - 32 * F.col("common")).alias("num"),
+        (32 * F.col("u")).alias("den"),
+    ).withColumn("abs_err", F.col("num").cast("double") / F.col("den"))
+    return (
+        per_pair.groupBy("est_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("abs_err"), "sum_abs_err"),
+            (
+                F.sum(F.col("abs_err").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("est_decile")
+    )
