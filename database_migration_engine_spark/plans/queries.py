@@ -4506,7 +4506,9 @@ def events_copair_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
-    staged = SE.heartbeat_stream_dir(sf_dir)
+    staged = SE.heartbeat_stream_dir(
+        sf_dir, app_id=spark.sparkContext.applicationId
+    )
     with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
         stream = SE.read_events_stream(
             spark, staged, max_files_per_trigger=2, glob="*.parquet"

@@ -188,7 +188,9 @@ def interval_join_pairs(
     )
 
 
-def heartbeat_stream_dir(sf_dir: str, horizon: str = "2100-01-01") -> str:
+def heartbeat_stream_dir(
+    sf_dir: str, horizon: str = "2100-01-01", app_id: str | None = None
+) -> str:
     """Stage the events file plus a far-future HEARTBEAT row in a temp dir.
 
     Stream-stream OUTER joins only emit their unmatched side when the
@@ -210,7 +212,13 @@ def heartbeat_stream_dir(sf_dir: str, horizon: str = "2100-01-01") -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # staged per (fixture, application): a dir shared across concurrent
+    # Spark sessions would have its mtimes re-touched by one session
+    # while another's file source is mid-listing, which can collapse the
+    # batch split and silently skip the outer-state flush
     tag = os.path.basename(os.path.normpath(sf_dir))
+    if app_id:
+        tag = f"{tag}-{app_id}"
     out = os.path.join("/tmp", "dbmig_heartbeat_stream", tag)
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(out, "events.parquet")

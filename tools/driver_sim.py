@@ -1,6 +1,10 @@
 """Driver simulation: vanilla SparkSession (no engine confs), sf0.01,
-import __spark_entry__ exactly as the driver would, compare to DuckDB."""
-import sys, hashlib
+import __spark_entry__ exactly as the driver would, compare to DuckDB.
+
+Set DRIVER_SIM_SF_DIR to certify against a different scale factor (the
+per-round habit: full sweep at sf0.01, heavy-query spot sweep at sf0.1
+so scale-up correctness is evidenced, not assumed)."""
+import os, sys, hashlib
 import duckdb, pandas as pd
 from pyspark.sql import SparkSession
 
@@ -16,7 +20,7 @@ n = df.count()
 print(f"entry(): {n} rows, schema={df.columns}")
 assert n > 0
 
-sf = "/root/testdata/sf0.01"
+sf = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
