@@ -71,6 +71,7 @@ _RECHECK_FIRST = [
     "forecast_revenue", "user_retention_cohorts", "dedup_consensus",
     "orders_nested", "events_copair_hourly_stream", "augment_dropout",
     "bpe_first_merges", "unigram_score", "jaccard_est_error",
+    "mmr_rerank",
     # (3) r01/r02-certified, plan changed in r03 without semantic change
     "dedup_embedding", "dedup_near_minhash", "dedup_incremental",
     "dedup_clusters", "dedup_clusters_star", "cluster_representatives",

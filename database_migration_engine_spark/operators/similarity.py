@@ -832,3 +832,106 @@ def ivfpq_topk(
         .select("qid", "nid", "adc_dist", "cos_sim",
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from each query's
+    top-``pool`` cosine candidates, greedily select ``k`` results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected —
+    the standard diversity re-rank of retrieval pipelines (Carbonell &
+    Goldstein), which plain top-k cannot express because each pick
+    depends on the picks before it.
+
+    The greedy loop unrolls into ``k`` plan stages (k is small and
+    fixed — this is a post-retrieval re-rank over ≤pool rows per query,
+    never a corpus-scale iteration): stage i joins the remaining
+    candidates to the i−1 selected rows, takes the max pairwise
+    similarity, and picks the arg-max MMR score with a (score DESC, nid)
+    total order. Pairwise similarities among the pool compute once. All
+    arithmetic is deterministic IEEE on both engines; the oracle unrolls
+    the identical stages in SQL."""
+    # localCheckpoint (not persist): every greedy stage's logical plan
+    # would otherwise embed the full lineage of all earlier stages —
+    # with the 64-term unrolled dot products that plan grows
+    # exponentially and OOMs the analyzer before anything runs. The
+    # checkpoint truncates lineage to the materialized pool (≤ pool rows
+    # per query, bounded by design).
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col,
+                       vec_col=vec_col, dim=dim).select(
+        "qid", "nid", F.col("cos_sim").alias("rel")
+    ).localCheckpoint(eager=True)
+    # pairwise sims among each query's pool (pool² per query, tiny)
+    n = _prepared(corpus, id_col, vec_col, "n", dim)
+    a = cand.select("qid", F.col("nid").alias("na"))
+    b = cand.select("qid", F.col("nid").alias("nb"))
+    psim = (
+        a.join(b, "qid")
+        .filter(F.col("na") != F.col("nb"))
+        .join(n.select(F.col("nid").alias("na"),
+                       F.col("nvec").alias("va"),
+                       F.col("nnorm").alias("norma")), "na")
+        .join(n.select(F.col("nid").alias("nb"),
+                       F.col("nvec").alias("vb"),
+                       F.col("nnorm").alias("normb")), "nb")
+        .withColumn(
+            "sim",
+            dot_unrolled("va", "vb", dim) / (F.col("norma") * F.col("normb")),
+        )
+        .select("qid", "na", "nb", "sim")
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("rel"), "nid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "nid", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("qid", "nid"), ["qid", "nid"], "left_anti"
+        )
+        div = (
+            remaining.join(
+                psim.withColumnRenamed("na", "nid"), ["qid", "nid"]
+            )
+            .join(
+                selected.select("qid", F.col("nid").alias("nb")),
+                ["qid", "nb"],
+            )
+            .groupBy("qid", "nid", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            div.withColumn(
+                "score",
+                F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("max_sim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.desc("score"), "nid"
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("qid", "nid", "rel", F.lit(step).alias("mmr_rank"))
+        )
+        # lineage cut per stage (see cand comment)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "qid", "nid", "rel", F.col("mmr_rank").cast("int").alias("mmr_rank")
+    )

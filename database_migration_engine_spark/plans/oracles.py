@@ -3459,3 +3459,147 @@ FROM per_pair
 GROUP BY est_decile
 ORDER BY est_decile
 """
+
+
+
+# mmr_rerank: the greedy MMR loop unrolled into five SQL stages —
+# structurally identical to the Spark plan stages.
+ORACLES["mmr_rerank"] = """
+WITH prepared AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+pool AS (
+    SELECT qid, nid, rel FROM (
+        SELECT q.vec_id AS qid, n.vec_id AS nid,
+               list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm)
+                            DESC, n.vec_id ASC) AS rnk
+        FROM prepared q CROSS JOIN prepared n
+        WHERE q.vec_id < 10 AND q.vec_id != n.vec_id
+    ) WHERE rnk <= 20
+),
+psim AS (
+    SELECT a.qid, a.nid AS na, b.nid AS nb,
+           list_dot_product(pa.v, pb.v) / (pa.nrm * pb.nrm) AS sim
+    FROM pool a
+    JOIN pool b ON a.qid = b.qid AND a.nid != b.nid
+    JOIN prepared pa ON pa.vec_id = a.nid
+    JOIN prepared pb ON pb.vec_id = b.nid
+),
+sel1 AS (
+    SELECT qid, nid, rel, 1 AS mmr_rank FROM (
+        SELECT qid, nid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, nid) AS rn
+        FROM pool
+    ) WHERE rn = 1
+),
+rem2 AS (
+    SELECT c.qid, c.nid, c.rel FROM pool c
+    LEFT JOIN sel1 s ON c.qid = s.qid AND c.nid = s.nid
+    WHERE s.nid IS NULL
+),
+div2 AS (
+    SELECT r.qid, r.nid, r.rel, MAX(p.sim) AS max_sim
+    FROM rem2 r
+    JOIN psim p ON p.qid = r.qid AND p.na = r.nid
+    JOIN sel1 s ON s.qid = p.qid AND s.nid = p.nb
+    GROUP BY r.qid, r.nid, r.rel
+),
+pick2 AS (
+    SELECT qid, nid, rel, 2 AS mmr_rank FROM (
+        SELECT qid, nid, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY 0.7 * rel - 0.3 * max_sim DESC, nid) AS rn
+        FROM div2
+    ) WHERE rn = 1
+),
+sel2 AS (
+    SELECT qid, nid, rel, mmr_rank FROM sel1
+    UNION ALL SELECT qid, nid, rel, mmr_rank FROM pick2
+),
+rem3 AS (
+    SELECT c.qid, c.nid, c.rel FROM pool c
+    LEFT JOIN sel2 s ON c.qid = s.qid AND c.nid = s.nid
+    WHERE s.nid IS NULL
+),
+div3 AS (
+    SELECT r.qid, r.nid, r.rel, MAX(p.sim) AS max_sim
+    FROM rem3 r
+    JOIN psim p ON p.qid = r.qid AND p.na = r.nid
+    JOIN sel2 s ON s.qid = p.qid AND s.nid = p.nb
+    GROUP BY r.qid, r.nid, r.rel
+),
+pick3 AS (
+    SELECT qid, nid, rel, 3 AS mmr_rank FROM (
+        SELECT qid, nid, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY 0.7 * rel - 0.3 * max_sim DESC, nid) AS rn
+        FROM div3
+    ) WHERE rn = 1
+),
+sel3 AS (
+    SELECT qid, nid, rel, mmr_rank FROM sel2
+    UNION ALL SELECT qid, nid, rel, mmr_rank FROM pick3
+),
+rem4 AS (
+    SELECT c.qid, c.nid, c.rel FROM pool c
+    LEFT JOIN sel3 s ON c.qid = s.qid AND c.nid = s.nid
+    WHERE s.nid IS NULL
+),
+div4 AS (
+    SELECT r.qid, r.nid, r.rel, MAX(p.sim) AS max_sim
+    FROM rem4 r
+    JOIN psim p ON p.qid = r.qid AND p.na = r.nid
+    JOIN sel3 s ON s.qid = p.qid AND s.nid = p.nb
+    GROUP BY r.qid, r.nid, r.rel
+),
+pick4 AS (
+    SELECT qid, nid, rel, 4 AS mmr_rank FROM (
+        SELECT qid, nid, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY 0.7 * rel - 0.3 * max_sim DESC, nid) AS rn
+        FROM div4
+    ) WHERE rn = 1
+),
+sel4 AS (
+    SELECT qid, nid, rel, mmr_rank FROM sel3
+    UNION ALL SELECT qid, nid, rel, mmr_rank FROM pick4
+),
+rem5 AS (
+    SELECT c.qid, c.nid, c.rel FROM pool c
+    LEFT JOIN sel4 s ON c.qid = s.qid AND c.nid = s.nid
+    WHERE s.nid IS NULL
+),
+div5 AS (
+    SELECT r.qid, r.nid, r.rel, MAX(p.sim) AS max_sim
+    FROM rem5 r
+    JOIN psim p ON p.qid = r.qid AND p.na = r.nid
+    JOIN sel4 s ON s.qid = p.qid AND s.nid = p.nb
+    GROUP BY r.qid, r.nid, r.rel
+),
+pick5 AS (
+    SELECT qid, nid, rel, 5 AS mmr_rank FROM (
+        SELECT qid, nid, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY 0.7 * rel - 0.3 * max_sim DESC, nid) AS rn
+        FROM div5
+    ) WHERE rn = 1
+),
+sel5 AS (
+    SELECT qid, nid, rel, mmr_rank FROM sel4
+    UNION ALL SELECT qid, nid, rel, mmr_rank FROM pick5
+)
+SELECT qid, nid, rel, CAST(mmr_rank AS INT) AS mmr_rank
+FROM sel5
+ORDER BY qid, mmr_rank
+"""

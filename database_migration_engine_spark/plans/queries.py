@@ -4670,3 +4670,20 @@ def jaccard_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_decile")
     )
+
+
+@query("mmr_rerank")
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking (Maximal Marginal Relevance): the first 10
+    vectors, as queries, pick 5 of their top-20 cosine candidates by the
+    greedy λ·rel − (1−λ)·max-sim-to-selected rule (λ=0.7) — the standard
+    RAG retrieval refinement that plain top-k cannot express. Greedy
+    steps unroll into 5 plan stages over ≤20 candidates per query; the
+    oracle unrolls the identical stages in SQL
+    (operators/similarity.py:mmr_rerank)."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return SIM.mmr_rerank(emb, queries_df, k=5, pool=20).orderBy(
+        "qid", "mmr_rank"
+    )

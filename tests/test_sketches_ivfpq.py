@@ -110,3 +110,39 @@ class TestIVFPQ:
             sims = [c for _, c in pairs]
             # final order is the exact-rerank order: cosine descending
             assert sims == sorted(sims, reverse=True)
+
+
+class TestMMR:
+    def test_diversity_tradeoff(self, spark):
+        """MMR must (a) keep the top-1 relevance pick, (b) produce a
+        valid permutation-free rank 1..5 per query, and (c) reduce
+        within-result redundancy vs plain top-5 on at least some query
+        (the whole point of the re-rank)."""
+        from database_migration_engine_spark.io import read_table
+        from database_migration_engine_spark.operators import (
+            similarity as SIM,
+        )
+        from database_migration_engine_spark.plans import QUERIES
+
+        rows = QUERIES["mmr_rerank"](spark, SF_DIR).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        emb = read_table(spark, SF_DIR, "embeddings")
+        top5 = SIM.cosine_topk(emb, emb.filter("vec_id < 10"), k=5)
+        top_sets: dict[int, set] = {}
+        top1: dict[int, int] = {}
+        for r in top5.collect():
+            top_sets.setdefault(r.qid, set()).add(r.nid)
+            if r.rnk == 1:
+                top1[r.qid] = r.nid
+        n_diverge = 0
+        for q, sel in by_q.items():
+            ranks = sorted(r.mmr_rank for r in sel)
+            assert ranks == [1, 2, 3, 4, 5]
+            assert len({r.nid for r in sel}) == 5
+            first = next(r for r in sel if r.mmr_rank == 1)
+            assert first.nid == top1[q]  # rank-1 = pure relevance
+            if {r.nid for r in sel} != top_sets[q]:
+                n_diverge += 1
+        assert n_diverge >= 1  # diversity actually changed something
