@@ -37,16 +37,43 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
     i = 0
     start = 0
 
-    def flush(end: int) -> None:
+    def flush(end: int) -> bool:
+        """Returns True when the flushed statement is COPY ... FROM
+        STDIN, whose inline payload follows until a ``\\.`` line."""
         nonlocal start
         text = sql[start:end].strip()
         # comment-only segments (trailing "-- done", "/* x */;" between
         # semicolons) are not statements — the real parser's statement
         # stream skips them (r03 fuzz fix: they previously surfaced as
         # phantom stmt_type="other" rows and shifted stmt_index)
-        if text and _strip_comments(text):
+        stripped = _strip_comments(text) if text else ""
+        if stripped:
             statements.append((start, text))
         start = end + 1
+        return bool(
+            re.match(r"COPY\b", stripped, re.IGNORECASE)
+            and re.search(r"\bFROM\s+STDIN\b", stripped, re.IGNORECASE)
+        )
+
+    def skip_copy_payload(pos: int) -> int:
+        """pg_dump-style inline COPY data (r04 fuzz round 2): everything
+        after the COPY ... FROM STDIN; line up to the terminator line
+        ``\\.`` is payload, not SQL — a data row containing ';' or
+        'DROP TABLE' must neither split nor classify. psql semantics:
+        data starts on the NEXT line; the terminator is a line holding
+        exactly ``\\.``."""
+        nonlocal start
+        eol = sql.find("\n", pos)
+        if eol == -1:
+            start = n
+            return n
+        m = re.search(r"(?m)^\\\.[ \t]*$", sql[eol + 1:])
+        if not m:
+            start = n
+            return n
+        after = eol + 1 + m.end()
+        start = after
+        return after
 
     while i < n:
         ch = sql[i]
@@ -96,8 +123,10 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
             else:
                 i += 1
         elif ch == ";":
-            flush(i)
-            i += 1
+            if flush(i):
+                i = skip_copy_payload(i + 1)
+            else:
+                i += 1
         else:
             i += 1
     flush(n)
@@ -642,6 +671,18 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
     if m:
         feats.stmt_type = "rename"
         feats.rename_object = "index"
+        return feats
+
+    # CopyStmt (r04): typed for statement audits; no rule fires on it.
+    # The FROM STDIN payload never reaches here — split_statements skips
+    # it up to the \. terminator.
+    m = re.match(
+        rf"COPY\s+(?:\(\s*)?(?P<table>{_QNAME})", s, re.IGNORECASE
+    )
+    if m and not re.match(r"COPY\s*\(", s, re.IGNORECASE):
+        feats.stmt_type = "copy"
+        feats.table = normalize_name(m.group("table"))
+        feats.tables = [feats.table]
         return feats
 
     return feats

@@ -463,6 +463,121 @@ def rolling_hashes(
     return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
 
 
+def positioned_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """``(doc, pos, h)``: md5 of every ``n``-token shingle with its
+    1-based start position.
+
+    Shingles via posexplode + window leads, NOT a transform() lambda:
+    higher-order-function bodies are interpreted per element (~33 µs per
+    shingle measured at sf0.1), while lead/concat_ws/md5 in a top-level
+    projection stay inside whole-stage codegen (~10× faster). The window
+    sort is per-document (local per-key sort after a hash shuffle on
+    id_col), never a global sort — the shape that survives 100 TB."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TX
+
+    toks_row = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(TX.tokens(content_col)).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos0")
+    lead_cols = [F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, n)]
+    return (
+        toks_row.select("doc", "pos0", "tok", *lead_cols)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "doc",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)])
+            ).alias("h"),
+        )
+    )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Longest common VERBATIM token run per candidate pair — the
+    ExactSubstr signal (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): long verbatim spans that shingle
+    Jaccard dilutes (a 60-token quote inside two large unrelated pages).
+
+    Instead of per-pair suffix automata in Python, the runs come from
+    relational ANCHOR CHAINING, exact and fully SQL-oracle-checkable:
+    equal ``n``-token shingles between the pair are anchors ``(pa, pb)``;
+    a maximal common substring of length L ≥ n corresponds 1:1 to a
+    maximal run of L−n+1 consecutive anchors on the diagonal
+    ``pb − pa``. Runs fall out of gaps-and-islands (``pa − row_number``
+    per (pair, diagonal) partition — small bounded windows, never
+    global), and ``run_len = n_anchors + n − 1`` is the exact span
+    length; start_a/start_b are its extents (1-based token positions).
+
+    Sub-quadratic: ``pairs`` comes from an upstream candidate screen
+    (shingle Jaccard / MinHash-LSH), and the anchor join is an equi-join
+    on (doc, shingle-hash) restricted to those pairs. One row per pair:
+    the longest run (ties: min start_a, then start_b) plus ``n_runs``,
+    the count of maximal duplicated spans ≥ n tokens."""
+    from pyspark.sql import Window
+
+    sh = positioned_shingles(df, id_col, content_col, n)
+    a = sh.select(
+        F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = sh.select(
+        F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    anchors = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .withColumn("diag", F.col("pb") - F.col("pa"))
+    )
+    w_diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        anchors.withColumn(
+            "isl", F.col("pa") - F.row_number().over(w_diag)
+        )
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).alias("run_len"),
+        )
+    )
+    w_pair = Window.partitionBy("doc_a", "doc_b")
+    return (
+        runs.withColumn("n_runs", F.count(F.lit(1)).over(w_pair))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w_pair.orderBy(
+                    F.desc("run_len"), F.asc("start_a"), F.asc("start_b")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("run_len").cast("long").alias("run_len"),
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            F.col("n_runs").cast("long").alias("n_runs"),
+        )
+    )
+
+
 def span_coverage(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -480,32 +595,10 @@ def span_coverage(
     only, so the whole plan stays linear in corpus size at 100 TB.
     Generalizes the reference's whole-file checksum dedup
     (`internal/migration/migration.go:19-23`) to sub-document spans."""
-    from pyspark.sql import Window
-
     from ..functions import text as TX
 
-    # Shingles via posexplode + window leads, NOT a transform() lambda:
-    # higher-order-function bodies are interpreted per element (~33 µs per
-    # shingle measured at sf0.1), while lead/concat_ws/md5 in a top-level
-    # projection stay inside whole-stage codegen (~10× faster). The window
-    # sort is per-document (local per-key sort after a hash shuffle on
-    # id_col), never a global sort — the shape that survives 100 TB.
-    toks_row = df.select(
-        F.col(id_col), F.posexplode(TX.tokens(content_col)).alias("pos0", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos0")
-    lead_cols = [F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, n)]
-    sh = (
-        toks_row.select(id_col, "pos0", "tok", *lead_cols)
-        .filter(F.col(f"t{n - 1}").isNotNull())
-        .select(
-            id_col,
-            (F.col("pos0") + 1).alias("pos"),
-            F.md5(
-                F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)])
-            ).alias("h"),
-        )
-    )
+    sh = positioned_shingles(df, id_col, content_col, n)
+    sh = sh.withColumnRenamed("doc", id_col)
     base = df.select(
         F.col(id_col), F.size(TX.tokens(content_col)).alias("n_tokens")
     )

@@ -1,0 +1,176 @@
+"""Distributed global ranking without a single-task sort.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` funnels every row
+through ONE task's sort — fine at sf0.1, fatal at 100 TB (the round-3
+verdict flagged three reporting queries for exactly this). The classic
+scalable rewrite is the two-pass ranked shuffle a distributed sort uses:
+
+1. **Boundary pass** — sample approximate quantile boundaries of the
+   primary sort column (balance only; correctness never depends on where
+   a boundary lands).
+2. **Bucket assignment** — each row's bucket is a *pure expression* over
+   its own value against the broadcast boundary list. Unlike
+   ``spark_partition_id()`` after ``repartitionByRange`` (whose sampling
+   can differ between the count job and the rank job), a value-derived
+   bucket is identical across re-executions by construction.
+3. **Offset pass** — per-bucket row counts (a tiny aggregate, ≤ a few
+   hundred rows) are collected and turned into exclusive prefix sums on
+   the driver.
+4. **Rank pass** — ``row_number``/``rank`` windows partitioned BY BUCKET
+   (each ~N/buckets rows), plus the broadcast offset, give the exact
+   global rank.
+
+Rows with equal primary values always share a bucket (buckets split the
+value space monotonically), so rank-with-ties and peer counts are exact;
+tiebreak columns only ever order rows *within* one bucket's window.
+
+Cost at scale: one narrow scan for boundaries + one shuffle on bucket —
+the same shape as a distributed ORDER BY, with no task ever holding more
+than ~1/buckets of the data.
+
+Reference anchor: the reference engine has no window machinery at all
+(its queries are ledger CRUD — SURVEY.md §2.A); this module exists for
+the §2.B analytics surface's reporting queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    """Tiny driver-side frame as a SQL VALUES inline table — a
+    LocalRelation the optimizer folds/broadcasts for free, unlike
+    ``createDataFrame(list)`` whose Python-RDD plan costs seconds per
+    evaluation (verify-skill gotcha)."""
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+    )
+    return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({', '.join(cols)})")
+
+
+def _bucket_expr(
+    col: Column, boundaries: list[float], ascending: bool
+) -> Column:
+    """0-based bucket index: #boundaries strictly before ``col`` in sort
+    order. A pure deterministic function of the row's own value."""
+    b = F.lit(0)
+    for v in boundaries:
+        hit = (col > F.lit(v)) if ascending else (col < F.lit(v))
+        b = b + F.when(hit, 1).otherwise(0)
+    return b
+
+
+def bucket_boundaries(
+    df: DataFrame, value_col: str, buckets: int
+) -> list[float]:
+    """Approximate interior quantile boundaries of ``value_col`` (for
+    load balance only — any boundary placement yields the same ranks)."""
+    if buckets <= 1:
+        return []
+    qs = [i / buckets for i in range(1, buckets)]
+    # loose relative error: boundaries only balance the buckets, so a
+    # cheap sketch beats a tight (and much slower) one
+    return df.approxQuantile(value_col, qs, 0.02)
+
+
+def with_global_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    ascending: bool = True,
+    buckets: int = 32,
+    partition_cols: list[str] | None = None,
+    rn_col: str | None = "rn",
+    rank_col: str | None = None,
+    cume_cnt_col: str | None = None,
+) -> tuple[DataFrame, int | dict]:
+    """Attach exact global (or per-``partition_cols``-group) rank columns
+    computed with bucket-partitioned windows — no unpartitioned Window.
+
+    * ``rn_col``  — ``row_number`` under (value, *tiebreaks) total order.
+    * ``rank_col`` — SQL ``rank()`` under the value order alone (ties
+      share a rank).
+    * ``cume_cnt_col`` — #rows with value ≤ current (peers inclusive;
+      the ``cume_dist`` numerator).
+
+    Returns ``(df, total)`` where ``total`` is the overall row count
+    (int) or, with ``partition_cols``, a dict keyed by the group tuple.
+
+    This is a two-pass physical algorithm: it runs two O(buckets)-row
+    driver actions (boundaries + offsets) before returning the lazy
+    ranked frame — the documented deviation from the plans' "no action
+    inside a query" convention, same as the shared-pair-graph caches.
+    """
+    pcols = partition_cols or []
+    boundaries = bucket_boundaries(df, value_col, buckets)
+    dfb = df.withColumn(
+        "_bkt", _bucket_expr(F.col(value_col), boundaries, ascending)
+    )
+    counts = (
+        dfb.groupBy(*pcols, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    # exclusive prefix sums per group, in bucket order
+    offsets: dict = {}
+    totals: dict = {}
+    for row in sorted(counts, key=lambda r: (tuple(str(r[c]) for c in pcols), r["_bkt"])):
+        g = tuple(row[c] for c in pcols)
+        offsets[(g, row["_bkt"])] = totals.get(g, 0)
+        totals[g] = totals.get(g, 0) + row["_n"]
+    spark = df.sparkSession
+    off_rows = [
+        (*g, bkt, off) for (g, bkt), off in offsets.items()
+    ]
+    off_df = values_df(spark, off_rows, [*pcols, "_bkt", "_off"])
+    order = (
+        [F.col(value_col).asc()] if ascending else [F.col(value_col).desc()]
+    )
+    w_val = Window.partitionBy(*pcols, "_bkt").orderBy(*order)
+    w_full = w_val.orderBy(
+        *order, *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    out = dfb.join(F.broadcast(off_df), [*pcols, "_bkt"])
+    if rn_col:
+        out = out.withColumn(
+            rn_col, F.col("_off") + F.row_number().over(w_full)
+        )
+    if rank_col:
+        out = out.withColumn(
+            rank_col, F.col("_off") + F.rank().over(w_val)
+        )
+    if cume_cnt_col:
+        out = out.withColumn(
+            cume_cnt_col,
+            F.col("_off")
+            + F.count(F.lit(1)).over(
+                w_val.rangeBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    out = out.drop("_bkt", "_off")
+    if not pcols:
+        return out, totals.get((), 0)
+    return out, {g: n for g, n in totals.items()}
+
+
+def ntile_from_rn(rn: Column, n_rows: int, tiles: int) -> Column:
+    """Exact SQL ``NTILE(tiles)`` tile from a precomputed global
+    row_number: the first ``n_rows % tiles`` tiles get ``n_rows//tiles
+    + 1`` rows, the rest ``n_rows//tiles`` (both engines' semantics)."""
+    q, r0 = divmod(n_rows, tiles)
+    big = (q + 1) * r0  # rows living in the oversized tiles
+    return F.when(
+        rn <= F.lit(big), F.ceil(rn / F.lit(q + 1))
+    ).otherwise(
+        F.lit(r0) + F.ceil((rn - F.lit(big)) / F.lit(max(q, 1)))
+    ).cast("int")

@@ -29,6 +29,10 @@ from ..functions.vectors import (
     norm_unrolled,
 )
 
+# cosine_pairs_arrow collects its query side to the driver; refuse
+# anything larger than a bounded re-rank/QA batch (see its docstring)
+MAX_COLLECTED_QUERIES = 100_000
+
 
 def _prepared(
     df: DataFrame, id_col: str, vec_col: str, prefix: str, dim: int | None
@@ -115,6 +119,13 @@ def cosine_pairs_arrow(
 
     With `threshold` set, pairs are filtered inside the kernel (near-dup
     mode, tiny output); otherwise all pairs emit (rank outside).
+
+    CONTRACT: the query side is collected to the driver and shipped in
+    the kernel closure, so it must be a bounded query/re-rank set (the
+    broadcast-dimension shape), never a corpus. Calls with more than
+    ``MAX_COLLECTED_QUERIES`` query rows are refused — route a
+    corpus-×-corpus workload through the LSH/IVF candidate generators
+    instead.
     """
     import numpy as np
     import pandas as pd
@@ -123,7 +134,18 @@ def cosine_pairs_arrow(
     from ..session import ensure_worker_imports
 
     ensure_worker_imports(corpus.sparkSession)
-    qrows = queries.select(id_col, vec_col).collect()
+    probe = queries.select(id_col, vec_col).limit(
+        MAX_COLLECTED_QUERIES + 1
+    ).collect()
+    if len(probe) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            "cosine_pairs_arrow: query side exceeds "
+            f"{MAX_COLLECTED_QUERIES} rows; it is collected to the driver "
+            "and broadcast into the kernel closure, so it must be a "
+            "bounded query set — use the LSH/IVF candidate paths for "
+            "corpus-scale inputs"
+        )
+    qrows = probe
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorms = _seq_norms(qmat)
@@ -865,6 +887,11 @@ def mmr_rerank(
     # exponentially and OOMs the analyzer before anything runs. The
     # checkpoint truncates lineage to the materialized pool (≤ pool rows
     # per query, bounded by design).
+    # the diversity weight must be the literal double the oracle SQL
+    # parses (e.g. 0.3), not the float expression 1-0.7 =
+    # 0.30000000000000004 — a ~1 ulp score difference can flip a
+    # near-tie pick between engines
+    div_w = float(f"{1.0 - lam:.10g}")
     cand = cosine_topk(corpus, queries, k=pool, id_col=id_col,
                        vec_col=vec_col, dim=dim).select(
         "qid", "nid", F.col("cos_sim").alias("rel")
@@ -917,7 +944,7 @@ def mmr_rerank(
         pick = (
             div.withColumn(
                 "score",
-                F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("max_sim"),
+                F.lit(lam) * F.col("rel") - F.lit(div_w) * F.col("max_sim"),
             )
             .withColumn(
                 "rn",

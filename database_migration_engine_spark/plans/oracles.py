@@ -2438,6 +2438,58 @@ FROM sized LEFT JOIN cov USING (doc_id)
 GROUP BY source ORDER BY source
 """
 
+# exact_substr_spans: anchor chaining in SQL — equal 8-token shingles
+# between a candidate pair are (pa, pb) anchors; maximal consecutive
+# anchor runs on a diagonal (pb - pa) are exactly the maximal common
+# substrings (run_len = anchors + 7). Gaps-and-islands per (pair, diag).
+ORACLES["exact_substr_spans"] = f"""
+WITH {_JACC_CTES},
+toks8 AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+pos8 AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS pos
+    FROM toks8 WHERE len(t) >= 8
+),
+sh8 AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(list_slice(t, pos, pos + 7), ' ')) AS h
+    FROM pos8
+),
+anchors AS (
+    SELECT j.doc_a, j.doc_b, a.pos AS pa, b.pos AS pb
+    FROM jacc j
+    JOIN sh8 a ON a.doc_id = j.doc_a
+    JOIN sh8 b ON b.doc_id = j.doc_b AND b.h = a.h
+),
+isl AS (
+    SELECT doc_a, doc_b, pb - pa AS diag, pa, pb,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS grp
+    FROM anchors
+),
+runs AS (
+    SELECT doc_a, doc_b, diag, grp,
+           MIN(pa) AS start_a, MIN(pb) AS start_b,
+           COUNT(*) + 7 AS run_len
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+),
+best AS (
+    SELECT doc_a, doc_b, run_len, start_a, start_b,
+           COUNT(*) OVER (PARTITION BY doc_a, doc_b) AS n_runs,
+           ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                              ORDER BY run_len DESC, start_a, start_b) AS rn
+    FROM runs
+)
+SELECT doc_a, doc_b,
+       CAST(run_len AS BIGINT) AS run_len,
+       CAST(start_a AS BIGINT) AS start_a,
+       CAST(start_b AS BIGINT) AS start_b,
+       CAST(n_runs AS BIGINT) AS n_runs
+FROM best WHERE rn = 1
+ORDER BY doc_a, doc_b
+"""
+
 ORACLES["pack_sequences"] = f"""
 WITH t AS (
     SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents

@@ -34,6 +34,7 @@ from ..io import read_table
 from ..operators import dedup as DD
 from ..operators import graph as GR
 from ..operators import joins as JN
+from ..operators import ranks as RK
 from ..operators import similarity as SIM
 from ..operators import skew as SK
 from ..session import ensure_deterministic
@@ -2089,15 +2090,27 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("price_deciles")
 def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth binning: orders split into global price deciles with
-    ntile (deterministic under the totalprice+orderkey total order), then
+    """Equi-depth binning: orders split into global price deciles
+    (deterministic under the totalprice+orderkey total order), then
     per-decile stats — the histogram/binning primitive of feature
-    engineering."""
+    engineering.
+
+    NO unpartitioned window (r03 verdict item 2): the global row_number
+    comes from bucket-partitioned two-pass ranking (operators/ranks.py)
+    and the exact NTILE tile is computed arithmetically from it — same
+    values as ``ntile(10).over(Window.orderBy(...))``, but no task ever
+    sorts more than ~1/buckets of the table."""
     ensure_deterministic(spark)
     orders = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked, n_rows = RK.with_global_ranks(
+        orders.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+    )
     return (
-        orders.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", RK.ntile_from_rn(F.col("rn"), n_rows, 10)
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -2238,17 +2251,45 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 def priority_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: percent_rank and cume_dist of each order's
     price within its priority class — rank-ratio doubles (integer
-    divisions) are engine-identical, unlike value interpolation."""
+    divisions) are engine-identical, unlike value interpolation.
+
+    The priority key has only 5 distinct values, so a per-class window
+    would sort 20% of the fact table in one task at scale (r03 verdict
+    item 3). Instead the per-class rank and peer count come from
+    bucket-partitioned two-pass ranking (operators/ranks.py — each
+    (class, price-bucket) window holds ~N/(5·buckets) rows) and the
+    ratios divide by broadcast per-class totals: rank ties share a
+    bucket by construction, so rank()/cume_dist peers are exact."""
     ensure_deterministic(spark)
     orders = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked, totals = RK.with_global_ranks(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        [],
+        partition_cols=["o_orderpriority"],
+        rn_col=None,
+        rank_col="_rank",
+        cume_cnt_col="_cume_cnt",
+    )
+    n_class = RK.values_df(
+        spark,
+        [(g[0], n) for g, n in totals.items()],
+        ["o_orderpriority", "_n_class"],
+    )
     return (
-        orders.select(
+        ranked.join(F.broadcast(n_class), "o_orderpriority")
+        .select(
             "o_orderpriority",
             "o_orderkey",
             "o_totalprice",
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
+            F.when(F.col("_n_class") > 1,
+                (F.col("_rank") - F.lit(1)).cast("double")
+                / (F.col("_n_class") - F.lit(1)).cast("double")
+            ).otherwise(F.lit(0.0)).alias("pct_rank"),
+            (
+                F.col("_cume_cnt").cast("double")
+                / F.col("_n_class").cast("double")
+            ).alias("cume"),
         )
         .orderBy("o_orderkey")
     )
@@ -3022,33 +3063,38 @@ def events_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("orders_pareto")
 def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto / concentration analysis: orders sorted by price descending
-    with cumulative revenue share — running DECIMAL sum over the global
-    sort divided by the exact total (how top-heavy is revenue?). Top 100
-    rows keep the output bounded."""
+    """Pareto / concentration analysis: top-100 orders by price with
+    cumulative revenue share — running DECIMAL sum divided by the exact
+    total (how top-heavy is revenue?).
+
+    NO unpartitioned window over the fact table (r03 verdict item 2):
+    the output is the top 100, so the top 100 come from a distributed
+    sort+limit (TakeOrderedAndProject — per-partition top-k, tiny merge)
+    and the running-sum/row_number windows then run over exactly 100
+    rows. The exact denominator is a broadcast one-row aggregate."""
     ensure_deterministic(spark)
     orders = read_table(spark, sf_dir, "orders")
-    w = (
-        Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     total = orders.agg(
         F.sum(F.col("o_totalprice").cast(_DEC)).alias("_t")
     )
+    top = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+    w_order = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        orders.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .select(
             "o_orderkey",
             "o_totalprice",
-            F.row_number()
-            .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
-            .alias("rnk"),
+            F.row_number().over(w_order).alias("rnk"),
             (
                 F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
                 / F.col("_t").cast("double")
             ).alias("cum_share"),
         )
-        .filter(F.col("rnk") <= 100)
         .orderBy("rnk")
     )
 
@@ -3474,6 +3520,20 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("exact_substr_spans")
+def exact_substr_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ExactSubstr passage dedup (r03 verdict item 4, Lee et al.
+    2022): per near-dup candidate pair (3-gram Jaccard screen ≥ 0.1),
+    the longest common verbatim token run with its extents — the span
+    evidence a duplication auditor wants, where `duplicate_spans` only
+    reports coverage rates. Anchor-chained, exact, no Python
+    (operators/dedup.exact_substr_spans)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _ngram_pairs_shared(spark, sf_dir)
+    return DD.exact_substr_spans(docs, pairs, n=8).orderBy("doc_a", "doc_b")
 
 
 @query("pack_sequences")

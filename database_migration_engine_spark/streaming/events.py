@@ -222,10 +222,24 @@ def heartbeat_stream_dir(
     out = os.path.join("/tmp", "dbmig_heartbeat_stream", tag)
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(out, "events.parquet")
+    stamp_path = os.path.join(out, ".src_stamp")
     hbs = [
         os.path.join(out, "zz_heartbeat_1.parquet"),
         os.path.join(out, "zz_heartbeat_2.parquet"),
     ]
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+
+    def _stamp_fresh() -> bool:
+        # a regenerated fixture at the same path must invalidate the
+        # staged copy, or streams run over stale data while the DuckDB
+        # oracle reads the new file
+        try:
+            with open(stamp_path) as fh:
+                return fh.read() == stamp
+        except OSError:
+            return False
+
     def _touch_order() -> str:
         # mtimes drive BOTH batch order (oldest first) and validity:
         # FileStreamSource drops files older than maxFileAge (7 d against
@@ -239,25 +253,38 @@ def heartbeat_stream_dir(
         os.utime(hbs[1], (now, now))
         return out
 
-    if os.path.exists(dst) and all(os.path.exists(h) for h in hbs):
+    if (
+        os.path.exists(dst)
+        and all(os.path.exists(h) for h in hbs)
+        and _stamp_fresh()
+    ):
         return _touch_order()
     os.makedirs(out, exist_ok=True)
-    if not os.path.exists(dst):
-        shutil.copyfile(src, dst)
+    shutil.copyfile(src, dst)
     schema = pq.read_schema(src)
     ts_type = schema.field("ts").type
     import pandas as pd
 
     def hb_table(day: str):
+        moment = pd.to_datetime([day]).tz_localize("UTC")
+        if pa.types.is_integer(ts_type):
+            # EVENTS_RAW fixtures store ts as epoch-ns int64; emit the
+            # horizon in the same unit so pa.array doesn't reject a
+            # timestamp array against an integer field
+            ts_arr = pa.array(
+                [int(moment.asi8[0])], type=ts_type
+            )
+        else:
+            ts_arr = pa.array(
+                moment.tz_localize(None)
+                if getattr(ts_type, "tz", None) is None
+                else moment,
+                type=ts_type,
+            )
         return pa.table(
             {
                 "event_id": pa.array([-1], type=schema.field("event_id").type),
-                "ts": pa.array(
-                    pd.to_datetime([day]).tz_localize("UTC").tz_localize(None)
-                    if getattr(ts_type, "tz", None) is None
-                    else pd.to_datetime([day]).tz_localize("UTC"),
-                    type=ts_type,
-                ),
+                "ts": ts_arr,
                 "user_id": pa.array([-1], type=schema.field("user_id").type),
                 "event_type": pa.array(["heartbeat"], type=pa.string()),
                 "value": pa.array([0.0], type=schema.field("value").type),
@@ -273,6 +300,8 @@ def heartbeat_stream_dir(
     # trailing no-data batch, so the flush must ride a real file batch).
     pq.write_table(hb_table(horizon), hbs[0])
     pq.write_table(hb_table("2100-01-02"), hbs[1])
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
     return _touch_order()
 
 
@@ -287,7 +316,9 @@ def attribution_join(
     it. The outer side needs watermark-driven state expiry to emit
     zero-click purchases — see heartbeat_stream_dir for how the flush is
     driven end-of-stream."""
-    staged = heartbeat_stream_dir(sf_dir)
+    staged = heartbeat_stream_dir(
+        sf_dir, app_id=spark.sparkContext.applicationId
+    )
     # heartbeats MUST survive the per-side type filter: the filter is
     # pushed into the parquet scan, and a heartbeat dropped at the scan
     # never reaches the watermark node — leaving the watermark pinned at

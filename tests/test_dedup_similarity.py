@@ -360,3 +360,19 @@ def test_contamination_self_is_total(spark):
     for r in rows:
         assert 0.0 <= r.contamination_rate <= 1.0
         assert r.n_contaminated <= r.n_shingles
+
+
+def test_cosine_pairs_arrow_refuses_corpus_scale_query_side(spark, monkeypatch):
+    """cosine_pairs_arrow collects its query side to the driver; a
+    corpus-sized query input must be refused, not silently collected
+    (r03 verdict item 5)."""
+    import pytest
+
+    from database_migration_engine_spark.operators import similarity as SIM
+
+    emb = spark.range(10).selectExpr(
+        "id AS vec_id", "array(double(id), double(id + 1)) AS embedding"
+    )
+    monkeypatch.setattr(SIM, "MAX_COLLECTED_QUERIES", 5)
+    with pytest.raises(ValueError, match="query side exceeds"):
+        SIM.cosine_pairs_arrow(emb, emb)

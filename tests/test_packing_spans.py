@@ -256,3 +256,69 @@ class TestKmv:
                 assert r.rel_error < 0.40, (r.event_type, r.rel_error)
             else:
                 assert r.kmv_estimate == float(r.n_exact)
+
+
+class TestExactSubstrSpans:
+    def test_known_span_length_and_extents(self, spark):
+        """A 12-token verbatim paragraph inside two otherwise-different
+        documents: the longest run must be exactly 12 tokens with the
+        exact 1-based start positions on both sides."""
+        para = "the quick brown fox jumps over the lazy dog near riverbank today"
+        assert len(para.split()) == 12
+        docs = _docs(
+            spark,
+            [
+                f"intro words here {para} closing remarks",      # starts at 4
+                f"completely different opening sentence {para}",  # starts at 5
+            ],
+        )
+        pairs = spark.sql("SELECT * FROM (VALUES (0, 1)) t(doc_a, doc_b)")
+        out = DD.exact_substr_spans(docs, pairs, n=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.run_len, r.start_a, r.start_b, r.n_runs) == (12, 4, 5, 1)
+
+    def test_catches_long_span_the_jaccard_screen_dilutes(self, spark):
+        """ExactSubstr's reason to exist: a 16-token verbatim quote inside
+        two large unrelated documents. Whole-doc 3-gram Jaccard is tiny
+        (the screen at its default 0.1 threshold would drop the pair),
+        but the span is found exactly once the pair is a candidate."""
+        # letters-only words: tokens() splits on [^a-z]+, so digit
+        # suffixes would collapse every word to one repeated token
+        def w(prefix, i):
+            return prefix + chr(97 + i // 26) + chr(97 + i % 26)
+
+        quote = " ".join(w("quoted", i) for i in range(16))
+        filler_a = " ".join(w("aword", i) for i in range(300))
+        filler_b = " ".join(w("bword", i) for i in range(300))
+        docs = _docs(spark, [f"{filler_a} {quote}", f"{quote} {filler_b}"])
+        screened = DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=50)
+        assert screened.count() == 0  # Jaccard dilution: screen misses it
+        pairs = spark.sql("SELECT * FROM (VALUES (0, 1)) t(doc_a, doc_b)")
+        r = DD.exact_substr_spans(docs, pairs, n=8).collect()[0]
+        assert (r.run_len, r.start_a, r.start_b) == (16, 301, 1)
+
+    def test_two_disjoint_runs_counted(self, spark):
+        run1 = " ".join("first" + chr(97 + i) for i in range(9))
+        run2 = " ".join("second" + chr(97 + i) for i in range(10))
+        docs = _docs(
+            spark,
+            [
+                f"{run1} middle padding words only {run2}",
+                f"{run2} unrelated connective tissue {run1}",
+            ],
+        )
+        pairs = spark.sql("SELECT * FROM (VALUES (0, 1)) t(doc_a, doc_b)")
+        r = DD.exact_substr_spans(docs, pairs, n=8).collect()[0]
+        assert r.run_len == 10 and r.n_runs == 2
+
+    def test_no_shared_span_empty(self, spark):
+        docs = _docs(
+            spark,
+            [
+                " ".join("left" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(40)),
+                " ".join("right" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(40)),
+            ],
+        )
+        pairs = spark.sql("SELECT * FROM (VALUES (0, 1)) t(doc_a, doc_b)")
+        assert DD.exact_substr_spans(docs, pairs, n=8).count() == 0

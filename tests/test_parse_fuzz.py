@@ -267,10 +267,78 @@ def rename_stmt(draw):
     }
 
 
+# --- round-2 productions (r04 verdict item 8): routines, DO, COPY ----------
+
+# rule-trigger DDL that must NOT fire when it only appears inside a
+# dollar-quoted routine body / DO block / COPY payload
+_TRIGGER_DDL = st.sampled_from([
+    "DROP TABLE users;",
+    "CREATE INDEX i ON t (c);",
+    "VACUUM FULL;",
+    "ALTER TABLE t ADD COLUMN c text DEFAULT now();",
+    "TRUNCATE a, b;",
+    "LOCK TABLE t IN ACCESS EXCLUSIVE MODE;",
+    "ALTER TABLE t ALTER COLUMN c TYPE bigint;",
+])
+
+_DOLLAR_TAG = st.sampled_from(["$$", "$fn$", "$body$", "$x9_$"])
+
+
+@st.composite
+def create_function_stmt(draw):
+    """CREATE FUNCTION/PROCEDURE with a dollar-quoted body full of
+    rule-trigger DDL and semicolons: ONE statement, classified 'other',
+    nothing inside the body may leak into the feature vector."""
+    kind = draw(st.sampled_from(["FUNCTION", "PROCEDURE"]))
+    tag = draw(_DOLLAR_TAG)
+    body_stmts = draw(st.lists(_TRIGGER_DDL, min_size=1, max_size=3))
+    body = " BEGIN " + " ".join(body_stmts) + " END; "
+    fname, _ = draw(ident_pair())
+    ret = " RETURNS void" if kind == "FUNCTION" else ""
+    lang = draw(st.sampled_from(["plpgsql", "sql"]))
+    sql = (
+        f"CREATE {kind} {fname}(){ret} LANGUAGE {lang} AS "
+        f"{tag}{body}{tag}"
+    )
+    return sql, {"stmt_type": "other", "table": None, "tables": []}
+
+
+@st.composite
+def do_block_stmt(draw):
+    tag = draw(_DOLLAR_TAG)
+    body_stmts = draw(st.lists(_TRIGGER_DDL, min_size=1, max_size=3))
+    sql = f"DO {tag} BEGIN {' '.join(body_stmts)} END {tag}"
+    return sql, {"stmt_type": "other", "table": None, "tables": []}
+
+
+@st.composite
+def copy_from_file_stmt(draw):
+    """COPY from a file/program — no inline payload follows."""
+    raw, norm = draw(ident_pair())
+    src = draw(st.sampled_from(["'/tmp/data.csv'", "PROGRAM 'gen'"]))
+    sql = f"COPY {raw} (a, b) FROM {src} WITH (FORMAT csv)"
+    return sql, {"stmt_type": "copy", "table": norm}
+
+
 _ANY_STMT = st.one_of(
     create_index_stmt(), drop_table_stmt(), truncate_stmt(), lock_stmt(),
     vacuum_stmt(), alter_table_stmt(), rename_stmt(),
+    create_function_stmt(), do_block_stmt(), copy_from_file_stmt(),
 )
+
+# hostile COPY payload rows: semicolons, rule-trigger DDL as literal
+# data, comment markers, quotes, dollar signs, backslashes
+_PAYLOAD_ROW = st.sampled_from([
+    "1\tplain row",
+    "2\tDROP TABLE users;",
+    "3\tVACUUM FULL; TRUNCATE a;",
+    "4\t-- not a comment",
+    "5\t/* not a block */",
+    "6\tit's quoted \"here\"",
+    "7\t$$ dollar $tag$ signs",
+    "8\tback\\slash",
+    "\\N\t\\N",
+])
 
 
 def _check_features(feats, expected: dict) -> None:
@@ -321,3 +389,49 @@ def test_migration_roundtrip_with_interstatement_noise(cases, seps)  :
 def test_volatility_classification_matrix(const_expr, volatile_expr):
     assert not P.is_volatile_default(const_expr), const_expr
     assert P.is_volatile_default(volatile_expr), volatile_expr
+
+
+@given(
+    st.lists(_ANY_STMT, min_size=0, max_size=2),
+    ident_pair(),
+    st.lists(_PAYLOAD_ROW, min_size=1, max_size=6),
+    st.lists(_ANY_STMT, min_size=0, max_size=2),
+)
+@settings(max_examples=150, deadline=None)
+def test_copy_stdin_payload_is_skipped(before, table, rows, after):
+    """pg_dump-style COPY ... FROM STDIN; <payload> \\. inside a
+    migration: the payload — including rows that look like ';'-separated
+    rule-trigger DDL — must vanish entirely, and the statements around
+    the COPY must keep their classification and count."""
+    traw, tnorm = table
+    pieces = [sql + ";\n" for sql, _ in before]
+    pieces.append(f"COPY {traw} (a, b) FROM STDIN;\n")
+    pieces.extend(r + "\n" for r in rows)
+    pieces.append("\\.\n")
+    pieces.extend(sql + ";\n" for sql, _ in after)
+    parsed = P.parse_sql("".join(pieces))
+    expected = [e for _, e in before] + [
+        {"stmt_type": "copy", "table": tnorm}
+    ] + [e for _, e in after]
+    assert len(parsed) == len(expected), (pieces, parsed)
+    for row, exp in zip(parsed, expected):
+        feats = P.classify_statement(row["stmt_index"], row["stmt_sql"])
+        _check_features(feats, exp)
+
+
+@given(st.one_of(create_function_stmt(), do_block_stmt()), _ANY_STMT)
+@settings(max_examples=150, deadline=None)
+def test_routine_bodies_do_not_leak_rule_triggers(routine, neighbor):
+    """A routine body stuffed with DROP/VACUUM/ALTER text is ONE 'other'
+    statement; a real statement after it still parses independently."""
+    (r_sql, r_exp), (n_sql, n_exp) = routine, neighbor
+    parsed = P.parse_sql(f"{r_sql};\n{n_sql};")
+    assert len(parsed) == 2, (r_sql, n_sql, parsed)
+    _check_features(
+        P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]),
+        r_exp,
+    )
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )

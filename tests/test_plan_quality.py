@@ -213,3 +213,32 @@ def test_source_overlap_equijoin_on_digest(spark):
     # the shingle-set self-join is keyed on the md5 digest
     assert "HashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_price_deciles_no_unpartitioned_window(spark):
+    """r03 verdict item 2: the global ntile used to funnel every order
+    through one task's sort. The two-pass bucket rank must keep every
+    window partitioned (by _bkt) — no single-partition exchange
+    anywhere in the plan."""
+    plan = _plan(spark, "price_deciles")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # still windowed, but bucket-partitioned
+
+
+def test_priority_price_distribution_no_unpartitioned_window(spark):
+    """r03 verdict item 3: percent_rank over a 5-value partition key is
+    a 20%-of-the-table single-task sort at scale; the bucketed rewrite
+    partitions every window by (class, price bucket)."""
+    plan = _plan(spark, "priority_price_distribution")
+    assert "SinglePartition" not in plan
+
+
+def test_orders_pareto_topk_before_window(spark):
+    """r03 verdict item 2: the running-share window may only ever see
+    the bounded top-100 — distributed TakeOrderedAndProject first, then
+    the (legitimately single-partition) window over 100 rows."""
+    plan = _plan(spark, "orders_pareto")
+    assert "TakeOrderedAndProject" in plan
+    # the window's single-partition exchange sits above the limit, so
+    # exactly one is allowed and none may touch the unbounded scan side
+    assert plan.count("SinglePartition") == 1
