@@ -1650,6 +1650,48 @@ GROUP BY source
 ORDER BY source
 """
 
+ORACLES["corpus_diff"] = f"""
+WITH t AS (
+    SELECT source, lang, len({_TOKS}) AS n_tokens,
+           CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END AS in_prev,
+           CASE WHEN doc_id % 5 != 0 THEN 1 ELSE 0 END AS in_curr
+    FROM documents
+),
+base AS (
+    SELECT source,
+           SUM(in_prev) AS n_prev,
+           SUM(in_curr) AS n_curr,
+           SUM(CASE WHEN in_curr = 1 AND in_prev = 0 THEN 1 ELSE 0 END)
+               AS n_added,
+           SUM(CASE WHEN in_prev = 1 AND in_curr = 0 THEN 1 ELSE 0 END)
+               AS n_removed,
+           SUM(in_prev * n_tokens) AS tokens_prev,
+           SUM(in_curr * n_tokens) AS tokens_curr
+    FROM t GROUP BY source
+),
+lc AS (
+    SELECT source, lang, SUM(in_prev) AS c_prev, SUM(in_curr) AS c_curr
+    FROM t GROUP BY source, lang
+),
+drift AS (
+    SELECT lc.source,
+           SUM(ABS(c_prev * b.n_curr - c_curr * b.n_prev)) AS num
+    FROM lc JOIN base b ON lc.source = b.source
+    GROUP BY lc.source
+)
+SELECT b.source,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       CAST(n_added AS BIGINT) AS n_added,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(tokens_curr - tokens_prev AS BIGINT) AS token_delta,
+       CASE WHEN n_prev * n_curr > 0
+            THEN CAST(num AS DOUBLE) / CAST(n_prev * n_curr AS DOUBLE)
+            END AS lang_l1
+FROM base b JOIN drift d ON b.source = d.source
+ORDER BY b.source
+"""
+
 ORACLES["source_drift"] = """
 WITH counts AS (
     SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang

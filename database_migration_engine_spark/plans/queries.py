@@ -3007,6 +3007,79 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_diff")
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot dataset-card delta (r03 verdict item 9): the release
+    report a continuously-ingested corpus publishes between snapshots —
+    adds/removes, token-volume delta, and per-source language-mix drift.
+    Snapshots are deterministic id-slices of the corpus (prev = doc_id
+    % 7 != 0, curr = doc_id % 5 != 0), so the diff machinery is exercised
+    with both additions and removals at any scale factor. All counts are
+    integers; the L1 drift uses source_drift's integer cross-product form
+    (Σ|c_prev·n_curr − c_curr·n_prev| / (n_prev·n_curr)) — one division
+    at the end, shuffle-order-free. Two aggregation passes over one scan
+    (per-source and per-(source, lang)); no joins wider than the
+    5-source card."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        "lang",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        (F.col("doc_id") % 7 != 0).cast("long").alias("in_prev"),
+        (F.col("doc_id") % 5 != 0).cast("long").alias("in_curr"),
+    )
+    base = tagged.groupBy("source").agg(
+        F.sum("in_prev").alias("n_prev"),
+        F.sum("in_curr").alias("n_curr"),
+        F.sum(
+            ((F.col("in_curr") == 1) & (F.col("in_prev") == 0)).cast("long")
+        ).alias("n_added"),
+        F.sum(
+            ((F.col("in_prev") == 1) & (F.col("in_curr") == 0)).cast("long")
+        ).alias("n_removed"),
+        F.sum(F.col("in_prev") * F.col("n_tokens")).alias("tokens_prev"),
+        F.sum(F.col("in_curr") * F.col("n_tokens")).alias("tokens_curr"),
+    )
+    lang_counts = tagged.groupBy("source", "lang").agg(
+        F.sum("in_prev").alias("c_prev"),
+        F.sum("in_curr").alias("c_curr"),
+    )
+    drift = (
+        lang_counts.join(
+            F.broadcast(base.select("source", "n_prev", "n_curr")), "source"
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_prev") * F.col("n_curr")
+                    - F.col("c_curr") * F.col("n_prev")
+                )
+            ).alias("_num")
+        )
+    )
+    return (
+        base.join(drift, "source")
+        .select(
+            "source",
+            "n_prev",
+            "n_curr",
+            "n_added",
+            "n_removed",
+            (F.col("tokens_curr") - F.col("tokens_prev")).alias("token_delta"),
+            # drift from/to an EMPTY snapshot is undefined — NULL, not a
+            # division error (tiny sources can lose every doc to a slice)
+            F.when(
+                F.col("n_prev") * F.col("n_curr") > 0,
+                F.col("_num").cast("double")
+                / (F.col("n_prev") * F.col("n_curr")).cast("double"),
+            ).alias("lang_l1"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("embedding_norm_check")
 def embedding_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector data-quality gate: per-label norm extrema and degenerate
@@ -4190,19 +4263,21 @@ def events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases included, which is the part only a watermarked OUTER join
     can stream (unmatched state must expire before it can emit).
     End-of-stream flush is driven by the heartbeat/punctuation pattern
-    (streaming/events.py:heartbeat_stream_dir): two far-future heartbeat
-    rows in trailing micro-batches push the watermark past every real
-    event; the per-side type filters deliberately keep heartbeats alive
-    through the pushed parquet scan so the watermark node sees them.
-    Drained append-mode, then a batch rollup per purchase — which is
-    exactly the batch left-join oracle."""
+    (streaming/events.py:heartbeat_stream_dir): a far-future heartbeat
+    row pushes the watermark past every real event and the trailing
+    no-data batch emits the flushed state; the per-side type filters
+    deliberately keep the heartbeat alive through the pushed parquet
+    scan so the watermark node sees it. Drained append-mode, then a
+    batch rollup per purchase — which is exactly the batch left-join
+    oracle."""
     from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
     # state-sized width, same rationale as events_copair_stream: the two
     # join state stores cost open/commit per partition per micro-batch
-    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
+    # (width 4 measured fastest at sf0.1 — r04 streaming trim)
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
         with_clicks = SE.run_to_memory(
             SE.attribution_join(spark, sf_dir), output_mode="append"
         )
@@ -4569,7 +4644,7 @@ def events_copair_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = SE.heartbeat_stream_dir(
         sf_dir, app_id=spark.sparkContext.applicationId
     )
-    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
         stream = SE.read_events_stream(
             spark, staged, max_files_per_trigger=2, glob="*.parquet"
         )

@@ -198,13 +198,12 @@ def heartbeat_stream_dir(
     advances past the last real event, so the tail of the stream would be
     held in state forever. The production fix is a heartbeat/punctuation
     event on the topic; this helper is that pattern for a file source:
-    the original parquet (older mtime, processed first) plus a one-row
-    heartbeat parquet whose event time is beyond every real row + any
-    watermark. With ``maxFilesPerTrigger=1`` the heartbeat lands in a
-    later micro-batch, pushes the watermark past the horizon, and the
-    final no-data batch flushes all outer state. Heartbeat rows carry
-    ``event_type='heartbeat'`` / ``event_id=-1`` so every consumer's type
-    filter drops them from results.
+    the original parquet plus a one-row heartbeat parquet whose event
+    time is beyond every real row + any watermark. The heartbeat pushes
+    the watermark past the horizon at the end of its (only) batch, and
+    the trailing no-data batch flushes all outer/window state. Heartbeat
+    rows carry ``event_type='heartbeat'`` / ``event_id=-1`` so every
+    consumer's type filter drops them from results.
     """
     import os
     import shutil
@@ -223,12 +222,10 @@ def heartbeat_stream_dir(
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(out, "events.parquet")
     stamp_path = os.path.join(out, ".src_stamp")
-    hbs = [
-        os.path.join(out, "zz_heartbeat_1.parquet"),
-        os.path.join(out, "zz_heartbeat_2.parquet"),
-    ]
+    hb = os.path.join(out, "zz_heartbeat_1.parquet")
     st = os.stat(src)
-    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    # v2: single-heartbeat staging (see the batch-count note below)
+    stamp = f"v2:{st.st_mtime_ns}:{st.st_size}"
 
     def _stamp_fresh() -> bool:
         # a regenerated fixture at the same path must invalidate the
@@ -249,15 +246,10 @@ def heartbeat_stream_dir(
 
         now = time.time()
         os.utime(dst, (now - 60, now - 60))
-        os.utime(hbs[0], (now - 30, now - 30))
-        os.utime(hbs[1], (now, now))
+        os.utime(hb, (now, now))
         return out
 
-    if (
-        os.path.exists(dst)
-        and all(os.path.exists(h) for h in hbs)
-        and _stamp_fresh()
-    ):
+    if os.path.exists(dst) and os.path.exists(hb) and _stamp_fresh():
         return _touch_order()
     os.makedirs(out, exist_ok=True)
     shutil.copyfile(src, dst)
@@ -293,13 +285,17 @@ def heartbeat_stream_dir(
             schema=schema,
         )
 
-    # TWO heartbeats in ascending micro-batches: the first pushes the
-    # watermark past every real row; the second's batch then EMITS the
-    # flushed outer state (outer rows only surface in an executed batch
-    # after the watermark has passed them — availableNow does not run a
-    # trailing no-data batch, so the flush must ride a real file batch).
-    pq.write_table(hb_table(horizon), hbs[0])
-    pq.write_table(hb_table("2100-01-02"), hbs[1])
+    # ONE heartbeat: it rides the data file's micro-batch (co-read is
+    # safe — the watermark only advances AFTER a batch) and pushes the
+    # watermark past every real row; the trailing NO-DATA batch that
+    # availableNow runs whenever the watermark moved (Spark's
+    # noDataMicroBatches behavior, verified on this engine's Spark with
+    # batch-count + row-count assertions in tests) then EMITS the
+    # flushed outer/window state. r03 staged a second heartbeat batch to
+    # carry the flush — one full state-store commit cycle per query the
+    # no-data batch makes redundant (~0.6 s per streaming query at
+    # sf0.1).
+    pq.write_table(hb_table(horizon), hb)
     with open(stamp_path, "w") as fh:
         fh.write(stamp)
     return _touch_order()
@@ -326,11 +322,10 @@ def attribution_join(
     # tail purchases simply never emit). They are joined-out by the
     # user/time condition and the caller drops their unmatched left rows
     # post-sink (purchase_id = -1).
-    # two files per trigger: the data file and the first heartbeat share
-    # batch 1 (the watermark only advances AFTER a batch, so co-reading
-    # them is safe and saves a full state-store open/commit cycle);
-    # batch 2 is the second heartbeat, whose execution emits the flushed
-    # outer state. Measured at sf0.1: 3 batches -> 2, ~1 s saved.
+    # two files per trigger: the data file and the heartbeat share ONE
+    # batch (the watermark only advances AFTER a batch, so co-reading
+    # them is safe); the trailing no-data batch emits the flushed outer
+    # state. Measured at sf0.1: r03's 3 batches -> 2, ~1.5 s saved.
     purchases = (
         read_events_stream(spark, staged, max_files_per_trigger=2,
                            glob="*.parquet")

@@ -215,6 +215,46 @@ class TestAttributionStream:
         assert (got["n_clicks"] == 0).any()
 
 
+    def test_single_heartbeat_two_batches_no_data_flush(self, spark):
+        """r04 staging contract: ONE heartbeat file co-read with the data
+        (one file batch), and the trailing no-data batch carries the
+        outer-state flush. Pins the Spark behavior the single-heartbeat
+        design depends on: if an upgrade stopped running the no-data
+        batch, this test loses its zero-click tail and fails loudly."""
+        import uuid
+
+        from pyspark.sql import functions as SF
+
+        from database_migration_engine_spark.session import shuffle_width
+        from database_migration_engine_spark.streaming import events as SE
+
+        staged = SE.heartbeat_stream_dir(
+            SF_DIR, app_id=spark.sparkContext.applicationId
+        )
+        import os
+
+        files = sorted(os.listdir(staged))
+        assert files == [".src_stamp", "events.parquet", "zz_heartbeat_1.parquet"]
+        with shuffle_width(spark, 4):
+            sdf = SE.attribution_join(spark, SF_DIR)
+            name = "hbprobe_" + uuid.uuid4().hex[:6]
+            q = (
+                sdf.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+        progress = q.recentProgress
+        # one file batch (data + heartbeat) + one no-data flush batch
+        assert len(progress) == 2, [p["batchId"] for p in progress]
+        assert progress[-1]["numInputRows"] == 0
+        tail = (
+            spark.table(name)
+            .filter("purchase_id >= 0 AND click_id IS NULL")
+            .count()
+        )
+        assert tail > 0  # the flush-only rows arrived in the no-data batch
+
+
 class TestCompactChangelogProperties:
     def test_random_changelogs_match_reference(self, spark):
         """Property sweep: arbitrary keyed changelogs (random ops, random
