@@ -27,55 +27,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check covers the first ~50 registry entries
-# per round. Priority for the CORRECTNESS_r03 window, front to back:
-# (1) the 14 queries no previous round's window reached (completes
-# driver certification of the r01/r02 surface), (2) every query that is
-# brand new in round 3 — first-ever driver record — plus
-# multimodal_decode and user_profiles_stream, whose oracles are new
-# (both were rows-only). That fills the 50-entry window exactly
-# (forecast_revenue, the wave's simplest shape, sits at position 51).
-# (3) Queries already certified in r01/r02
-# whose r03 plan changed without semantic change (shared pair graph,
-# portable-literal hyperplanes, shuffle-width tuning) ride immediately
-# behind: they re-certify if the window stretches, and their earlier
-# green rows plus the judge's full re-run stand otherwise.
+# per round. Priority for the CORRECTNESS_r04 window, front to back
+# (r03 verdict item 1):
+# (1) the 10 queries no driver window has ever hash-checked — green in
+# the judge's r03 re-run and the sf0.1 sweeps, but the driver's
+# CORRECTNESS file is the record of truth; with these, every registry
+# query has a driver-window record (153/153 of the r03 surface).
+# (2) the queries that are NEW in round 4 (exact_substr_spans,
+# corpus_diff) — first-ever driver record.
+# (3) every query whose r04 plan changed without semantic change
+# (de-globalized windows, single-heartbeat streaming flush, shared
+# shingle localCheckpoint, MMR literal) — they must re-certify under
+# the new plans.
+# (4) the rest of the r03 wave re-certifies behind if the window
+# stretches; earlier green rows stand otherwise.
 _RECHECK_FIRST = [
-    # (1) never inside a driver check window (r01 ∪ r02)
-    "corpus_summary", "disjunctive_revenue", "embedding_norm_check",
-    "event_transitions", "events_rate_limited", "monthly_revenue_growth",
-    "nation_pair_trade", "null_semantics", "orders_pareto",
-    "selective_distinct", "skewed_join_salted", "source_drift",
-    "typo_distance", "user_type_overlap",
-    # (2) new in round 3 — earlier sessions (forecast_revenue, the
-    # simplest shape of the wave — Q6 pushdown + one-row sum — yields
-    # its window slot to user_profiles_stream's brand-new oracle and
-    # rides at the back of the priority block)
-    "quality_flags", "returned_items",
-    "important_parts_share", "priority_line_counts",
-    "top_revenue_supplier", "brand_supplier_counts",
-    "promotion_part_suppliers", "repetition_stats", "pii_scan",
-    "clean_corpus", "duplicate_spans", "pack_sequences",
-    "source_mixture_sample", "events_dedup_stream", "source_overlap",
-    "events_ks_drift", "pagerank_docs", "events_rate_limited_stream",
-    "approx_distinct_kmv", "hash_embed", "keyword_search",
-    # (2) new in round 3 — this session (multimodal_decode: new oracle)
-    "multimodal_decode", "cdc_snapshot", "events_enrich_stream",
-    "triangle_count", "containment_pairs", "pq_codes",
-    "value_outliers", "events_attribution_stream",
-    "count_min_users", "sampled_quantiles", "bloom_screen",
-    "similarity_ivfpq", "ledger_asof", "hierarchical_rollup",
-    "user_profiles_stream",
-    # simple-shape wave members past the 50-entry window (certified by
-    # pytest oracle tests + judge re-runs; next round's window rotation
-    # picks them up first)
+    # (1) never inside a driver check window (r01 ∪ r02 ∪ r03)
     "forecast_revenue", "user_retention_cohorts", "dedup_consensus",
     "orders_nested", "events_copair_hourly_stream", "augment_dropout",
     "bpe_first_merges", "unigram_score", "jaccard_est_error",
     "mmr_rerank",
-    # (3) r01/r02-certified, plan changed in r03 without semantic change
-    "dedup_embedding", "dedup_near_minhash", "dedup_incremental",
-    "dedup_clusters", "dedup_clusters_star", "cluster_representatives",
-    "events_copair_stream",
+    # (2) new in round 4
+    "exact_substr_spans", "corpus_diff",
+    # (3) r04 plan/runtime changes without semantic change
+    "price_deciles", "orders_pareto", "priority_price_distribution",
+    "events_attribution_stream", "events_copair_stream",
+    "events_dedup_stream", "events_rate_limited_stream",
+    "events_enrich_stream", "user_profiles_stream",
+    "events_tumbling_stream", "events_sessionize_stream",
+    "events_hopping_stream", "ngram_jaccard_pairs", "containment_pairs",
+    "duplicate_spans", "dedup_clusters", "dedup_clusters_star",
+    "cluster_representatives", "pagerank_docs", "triangle_count",
+    "dedup_embedding", "similarity_topk",
+    # (4) r03 wave re-certification backlog (driver r03-green; unchanged)
+    "quality_flags", "returned_items",
+    "important_parts_share", "priority_line_counts",
+    "top_revenue_supplier", "brand_supplier_counts",
+    "promotion_part_suppliers", "repetition_stats", "pii_scan",
+    "clean_corpus", "pack_sequences",
+    "source_mixture_sample", "source_overlap",
+    "events_ks_drift",
+    "approx_distinct_kmv", "hash_embed", "keyword_search",
+    "multimodal_decode", "cdc_snapshot",
+    "pq_codes", "value_outliers",
+    "count_min_users", "sampled_quantiles", "bloom_screen",
+    "similarity_ivfpq", "ledger_asof", "hierarchical_rollup",
+    "corpus_summary", "disjunctive_revenue", "embedding_norm_check",
+    "event_transitions", "events_rate_limited", "monthly_revenue_growth",
+    "nation_pair_trade", "null_semantics",
+    "selective_distinct", "skewed_join_salted", "source_drift",
+    "typo_distance", "user_type_overlap",
+    "dedup_near_minhash", "dedup_incremental",
 ]
 _CHECKED_EARLIER = [
     # r01 window

@@ -1650,6 +1650,65 @@ GROUP BY source
 ORDER BY source
 """
 
+# kmeans_embeddings: the 2-iteration fixed-point Lloyd trajectory
+# unrolled — every quantity is an integer (quantize once, exact integer
+# distances, floored integer-mean updates via the pmod trick), so the
+# SQL replays the identical state sequence. Mirrors
+# operators/kmeans.py assign/update exactly.
+_KM_ASSIGN = """
+    SELECT pid, cid, dist FROM (
+        SELECT p.pid, c.cid,
+               SUM((p.ival - c.cval) * (p.ival - c.cval)) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.pid
+                   ORDER BY SUM((p.ival - c.cval) * (p.ival - c.cval)),
+                            c.cid) AS rn
+        FROM pts p JOIN {cent} c ON p.pos = c.pos
+        GROUP BY p.pid, c.cid
+    ) WHERE rn = 1
+"""
+
+_KM_UPDATE = """
+    SELECT a.cid, p.pos,
+           (SUM(p.ival) - ((SUM(p.ival) % COUNT(*)) + COUNT(*)) % COUNT(*))
+               // COUNT(*) AS cval
+    FROM {asg} a JOIN pts p ON a.pid = p.pid
+    GROUP BY a.cid, p.pos
+"""
+
+ORACLES["kmeans_embeddings"] = f"""
+WITH pts AS (
+    SELECT vec_id AS pid, u.pos,
+           -- CAST both operands: DuckDB parses 1000000.0 as DECIMAL,
+           -- and FLOAT * DECIMAL rounds differently from the engine's
+           -- float->double * double (33 off-by-one floors at sf0.001)
+           CAST(FLOOR(CAST(embedding[u.pos] AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ival
+    FROM embeddings, LATERAL generate_series(1, 16) AS u(pos)
+),
+seeds AS (
+    SELECT pid, ROW_NUMBER() OVER (ORDER BY pid) - 1 AS cid
+    FROM (SELECT pid FROM pts GROUP BY pid ORDER BY pid LIMIT 4)
+),
+c0 AS (
+    SELECT s.cid, p.pos, p.ival AS cval
+    FROM seeds s JOIN pts p ON s.pid = p.pid
+),
+a1 AS ({_KM_ASSIGN.format(cent="c0")}),
+c1 AS ({_KM_UPDATE.format(asg="a1")}),
+a2 AS ({_KM_ASSIGN.format(cent="c1")}),
+c2 AS ({_KM_UPDATE.format(asg="a2")}),
+af AS ({_KM_ASSIGN.format(cent="c2")}),
+csums AS (SELECT cid, CAST(SUM(cval) AS BIGINT) AS c_sum FROM c2 GROUP BY cid)
+SELECT CAST(a.cid AS INT) AS cid,
+       COUNT(*) AS n_members,
+       CAST(SUM(a.dist) AS BIGINT) AS inertia,
+       MIN(cs.c_sum) AS c_sum
+FROM af a JOIN csums cs ON a.cid = cs.cid
+GROUP BY a.cid
+ORDER BY cid
+"""
+
 ORACLES["corpus_diff"] = f"""
 WITH t AS (
     SELECT source, lang, len({_TOKS}) AS n_tokens,

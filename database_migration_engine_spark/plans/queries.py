@@ -3080,6 +3080,41 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kmeans_embeddings")
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative model TRAINING on the cluster: 2 Lloyd k-means
+    iterations over the embedding corpus in fixed-point integer
+    arithmetic (operators/kmeans.py) — k=4 centroids over the first 16
+    components, the coarse-quantizer training step an IVF ANN index
+    needs. Bit-exact by construction (integer distances, floored
+    integer-mean updates, cid tiebreaks), so the full trajectory is
+    verified by an unrolled SQL oracle — the same determinism discipline
+    as the fixed-point PageRank. Per-iteration cost: one broadcast join
+    (k·dims centroid rows) + two partial aggregations; no driver-side
+    loop over data."""
+    from ..operators import kmeans as KM
+
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    asg, cent = KM.kmeans_fixed_point(emb, k=4, dims=16, iters=2)
+    csums = cent.groupBy("cid").agg(F.sum("cval").alias("c_sum"))
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .join(csums, "cid")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_members",
+            "inertia",  # ≤ ~2e16 at sf0.1 — well inside BIGINT
+            "c_sum",
+        )
+        .orderBy("cid")
+    )
+
+
 @query("embedding_norm_check")
 def embedding_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector data-quality gate: per-label norm extrema and degenerate

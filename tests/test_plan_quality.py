@@ -242,3 +242,12 @@ def test_orders_pareto_topk_before_window(spark):
     # the window's single-partition exchange sits above the limit, so
     # exactly one is allowed and none may touch the unbounded scan side
     assert plan.count("SinglePartition") == 1
+
+
+def test_kmeans_broadcasts_centroids_no_cartesian(spark):
+    """Each Lloyd iteration joins the k·dims centroid table by
+    broadcast; a shuffle or cartesian there would serialize training."""
+    plan = _plan(spark, "kmeans_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -146,3 +146,80 @@ class TestMMR:
             if {r.nid for r in sel} != top_sets[q]:
                 n_diverge += 1
         assert n_diverge >= 1  # diversity actually changed something
+
+
+class TestKMeansFixedPoint:
+    def _reference(self, vecs, k, dims, iters):
+        """Pure-Python replay of the fixed-point trajectory."""
+        import math
+
+        pts = {
+            i: [math.floor(float(v) * 1_000_000) for v in vec[:dims]]
+            for i, vec in vecs.items()
+        }
+        cent = {c: list(pts[i]) for c, i in enumerate(sorted(pts)[:k])}
+
+        def assign():
+            out = {}
+            for i, p in pts.items():
+                best = min(
+                    (sum((a - b) ** 2 for a, b in zip(p, cent[c])), c)
+                    for c in cent
+                )
+                out[i] = best  # (dist, cid)
+            return out
+
+        def update(asg):
+            new = {}
+            for c in set(cid for _, cid in asg.values()):
+                members = [pts[i] for i, (_, cid) in asg.items() if cid == c]
+                n = len(members)
+                new[c] = [
+                    sum(col) // n for col in zip(*members)
+                ]  # Python // IS floor division — matches _floordiv
+            return new
+
+        for _ in range(iters):
+            cent = update(assign())
+        return assign(), cent
+
+    def test_matches_python_reference(self, spark):
+        """The Spark trajectory (assignments, centroids, distances) must
+        equal a sequential pure-Python replay bit for bit — the property
+        the fixed-point design buys."""
+        import random
+
+        from database_migration_engine_spark.operators import kmeans as KM
+
+        rng = random.Random(7)
+        vecs = {
+            i: [rng.uniform(-0.5, 0.5) for _ in range(8)] for i in range(40)
+        }
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        asg, cent = KM.kmeans_fixed_point(emb, k=3, dims=8, iters=2)
+        got_asg = {r.pid: (r.dist, r.cid) for r in asg.collect()}
+        got_cent = {}
+        for r in cent.collect():
+            got_cent.setdefault(r.cid, [0] * 8)[r.pos - 1] = r.cval
+        want_asg, want_cent = self._reference(vecs, k=3, dims=8, iters=2)
+        assert got_cent == want_cent
+        assert got_asg == want_asg
+
+    def test_inertia_non_increasing(self, spark):
+        """Lloyd monotonicity: total inertia after 3 iterations ≤ after
+        1 (floored-integer updates keep the descent property within one
+        quantum per member; asserted non-strictly)."""
+        from pyspark.sql import functions as SF
+
+        from database_migration_engine_spark.io import read_table
+        from database_migration_engine_spark.operators import kmeans as KM
+
+        emb = read_table(spark, SF_DIR, "embeddings")
+        tot = []
+        for iters in (1, 3):
+            asg, _ = KM.kmeans_fixed_point(emb, k=4, dims=16, iters=iters)
+            tot.append(asg.agg(SF.sum("dist")).collect()[0][0])
+        assert tot[1] <= tot[0]
