@@ -73,8 +73,10 @@ def _floordiv(s, n):
     return ((s - pmod) / n).cast("long")
 
 
-def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
-    """(pid, cid, dist): nearest centroid per point, ties to min cid."""
+def _assign(pts: DataFrame, cent: DataFrame, n_best: int = 1) -> DataFrame:
+    """(pid, cid, dist): the ``n_best`` nearest centroids per point,
+    ties to min cid. n_best=1 is the Lloyd assignment; n_best>1 is the
+    multi-probe cell selection of IVF search."""
     d = (
         pts.join(F.broadcast(cent), "pos")
         .withColumn(
@@ -87,7 +89,7 @@ def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     w = Window.partitionBy("pid").orderBy("dist", "cid")
     return (
         d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_best)
         .select("pid", "cid", "dist")
     )
 

@@ -1650,6 +1650,98 @@ GROUP BY source
 ORDER BY source
 """
 
+# revenue_trend_ols: sufficient statistics in integer cents (scale-0
+# decimals — exact), doubles only in the final expression tree, which
+# mirrors the Spark expression ORDER exactly (intercept re-derives
+# slope inline the way the Spark plan does). Integer→DOUBLE conversions
+# route through VARCHAR (DuckDB's DECIMAL→DOUBLE is not correctly
+# rounded).
+ORACLES["revenue_trend_ols"] = """
+WITH m AS (
+    SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS x,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(18,0))) AS y
+    FROM orders GROUP BY 1
+),
+s AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+           SUM(y) AS sy, SUM(x * y) AS sxy, SUM(y * y) AS syy
+    FROM m
+),
+d AS (
+    SELECT n,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS numd,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS denxd,
+           CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS denyd,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+           CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
+    FROM s
+)
+SELECT n AS n_months,
+       numd / denxd AS slope,
+       (syd - (numd / denxd) * sxd) / n AS intercept,
+       (numd * numd) / (denxd * denyd) AS r2
+FROM d
+"""
+
+# hybrid_search_rrf: keyword leg = keyword_search's integer TF-IDF;
+# vector leg = exact cosine vs doc 0; RRF K=60 with explicit DOUBLE
+# division (a bare 1.0 literal is DECIMAL in DuckDB).
+ORACLES["hybrid_search_rrf"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+        '[^a-z]+'), x -> x != '')) AS tok FROM documents
+),
+hits AS (
+    SELECT doc_id, tok FROM toks WHERE tok IN ('hash', 'join', 'stream')
+),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok
+),
+idf AS (
+    SELECT tok,
+           (CAST(1000000000 AS BIGINT)
+            * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS idf_int
+    FROM tf GROUP BY tok
+),
+scored AS (
+    SELECT t.doc_id, CAST(SUM(t.tf * i.idf_int) AS BIGINT) AS score_int
+    FROM tf t JOIN idf i USING (tok) GROUP BY t.doc_id
+),
+kw AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_int DESC, doc_id) AS kw_rank
+    FROM (SELECT * FROM scored ORDER BY score_int DESC, doc_id LIMIT 50)
+),
+prepared AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+vpairs AS (
+    SELECT n.vec_id AS doc_id,
+           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+    FROM prepared q, prepared n
+    WHERE q.vec_id = 0 AND n.vec_id != 0
+),
+vec AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+    FROM (SELECT * FROM vpairs ORDER BY cos_sim DESC, doc_id LIMIT 50)
+),
+fused AS (
+    SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.kw_rank, v.vec_rank,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), 0.0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0.0)
+               AS rrf_score
+    FROM kw k FULL OUTER JOIN vec v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(kw_rank AS INT) AS kw_rank,
+       CAST(vec_rank AS INT) AS vec_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
 # kmeans_embeddings: the 2-iteration fixed-point Lloyd trajectory
 # unrolled — every quantity is an integer (quantize once, exact integer
 # distances, floored integer-mean updates via the pmod trick), so the
@@ -1707,6 +1799,69 @@ SELECT CAST(a.cid AS INT) AS cid,
 FROM af a JOIN csums cs ON a.cid = cs.cid
 GROUP BY a.cid
 ORDER BY cid
+"""
+
+# similarity_ivf_trained: the kmeans trajectory (same CTE fragments) →
+# query multi-probe (2 nearest trained cells, integer metric) → exact
+# 64-dim cosine re-rank inside probed cells only.
+ORACLES["similarity_ivf_trained"] = f"""
+WITH pts AS (
+    SELECT vec_id AS pid, u.pos,
+           CAST(FLOOR(CAST(embedding[u.pos] AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ival
+    FROM embeddings, LATERAL generate_series(1, 16) AS u(pos)
+),
+seeds AS (
+    SELECT pid, ROW_NUMBER() OVER (ORDER BY pid) - 1 AS cid
+    FROM (SELECT pid FROM pts GROUP BY pid ORDER BY pid LIMIT 4)
+),
+c0 AS (
+    SELECT s.cid, p.pos, p.ival AS cval
+    FROM seeds s JOIN pts p ON s.pid = p.pid
+),
+a1 AS ({_KM_ASSIGN.format(cent="c0")}),
+c1 AS ({_KM_UPDATE.format(asg="a1")}),
+a2 AS ({_KM_ASSIGN.format(cent="c1")}),
+c2 AS ({_KM_UPDATE.format(asg="a2")}),
+lists AS ({_KM_ASSIGN.format(cent="c2")}),
+probes AS (
+    SELECT pid AS qid, cid FROM (
+        SELECT p.pid, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.pid
+                   ORDER BY SUM((p.ival - c.cval) * (p.ival - c.cval)),
+                            c.cid) AS rn
+        FROM pts p JOIN c2 c ON p.pos = c.pos
+        WHERE p.pid < 10
+        GROUP BY p.pid, c.cid
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT pr.qid, l.pid AS nid
+    FROM probes pr JOIN lists l ON pr.cid = l.cid
+    WHERE pr.qid != l.pid
+),
+prepared AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT c.qid, c.nid,
+           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+    FROM cand c
+    JOIN prepared q ON q.vec_id = c.qid
+    JOIN prepared n ON n.vec_id = c.nid
+),
+ranked AS (
+    SELECT qid, nid, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid ASC) AS rnk
+    FROM scored
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
 """
 
 ORACLES["corpus_diff"] = f"""

@@ -4126,6 +4126,209 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ivf_trained")
+def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED IVF retrieval pipeline end-to-end: the coarse
+    quantizer comes from `kmeans_embeddings`' fixed-point Lloyd training
+    (not hand-picked cells like `similarity_ivf`), queries multi-probe
+    their 2 nearest trained cells by the same integer metric, and the
+    exact 64-dim cosine re-rank runs only inside probed cells — the
+    composition a production ANN index actually ships (train → assign →
+    probe → re-rank). Everything up to the cosine is integer-exact, and
+    the cosine matches the oracle's sequential list_dot_product, so the
+    full composed pipeline is value-certified."""
+    from ..functions.vectors import dot_unrolled
+    from ..operators import kmeans as KM
+
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    lists, cent = KM.kmeans_fixed_point(emb, k=4, dims=16, iters=2)
+    qpts = KM.quantized_points(emb.filter(F.col("vec_id") < 10), 16)
+    probes = KM._assign(qpts, cent, n_best=2).select(
+        F.col("pid").alias("qid"), "cid"
+    )
+    cand = (
+        probes.join(
+            lists.select(F.col("pid").alias("nid"), "cid"), "cid"
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = SIM._prepared(emb, "vec_id", "embedding", "q", 64)
+    n = SIM._prepared(emb, "vec_id", "embedding", "n", 64)
+    return (
+        cand.join(q, "qid")
+        .join(n, "nid")
+        .withColumn(
+            "cos_sim",
+            dot_unrolled("qvec", "nvec", 64)
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("cos_sim"), F.asc("nid")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "nid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )
+
+
+@query("revenue_trend_ols")
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares trend over monthly revenue — the
+    forecasting primitive behind capacity/quota dashboards, computed the
+    way a 100 TB engine must: the five sufficient statistics (n, Σx,
+    Σx², Σy, Σxy) come from ONE exact-decimal aggregation pass (x =
+    absolute month number, y = monthly revenue), and slope/intercept/r²
+    are a handful of driver-free scalar expressions on the single
+    result row. Revenue is carried as integer CENTS in scale-0 decimals
+    (a wide-decimal square would overflow precision 38; integers never
+    round), so every sufficient statistic is exact and every double
+    appears only in the final fixed-order expression tree — identical
+    bits in both engines, no iterative solver, no float accumulation.
+    Units: slope and intercept are cents/month and cents."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("decimal(18,0)")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x")
+        )
+        .agg(F.sum(cents).alias("y"))
+    )
+    stats = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = (num / den_x).alias("slope")
+    return stats.select(
+        F.col("n").alias("n_months"),
+        slope,
+        (
+            (
+                F.col("sy").cast("double")
+                - (num / den_x) * F.col("sx").cast("double")
+            )
+            / F.col("n")
+        ).alias("intercept"),
+        ((num * num) / (den_x * den_y)).alias("r2"),
+    )
+
+
+@query("hybrid_search_rrf")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: Reciprocal Rank Fusion of the keyword leg
+    (integer TF-IDF, same scoring as `keyword_search`) and the vector
+    leg (exact cosine against doc 0's embedding — doc_id and vec_id are
+    the same key space) — the standard fusion serving stacks run when
+    neither lexical nor semantic recall alone suffices (Cormack et al.
+    RRF, K=60). rrf = 1/(K+rank_kw) + 1/(K+rank_vec), absent legs
+    contribute 0; the two-term double sum has a fixed addition order, so
+    the score is engine-identical.
+
+    Scale shape: each leg is a distributed top-50 (sort+limit —
+    TakeOrderedAndProject, never a global window over the corpus), the
+    50-row legs full-outer join on doc_id, and the final top-10 sorts 99
+    rows. The deliberate contrast with `cosine_topk`'s per-qid window:
+    a SINGLE-query retrieval must top-k first, rank after."""
+    ensure_deterministic(spark)
+    K = 60
+    TERMS = ["hash", "join", "stream"]
+    SCALE = 10**9
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens()).alias("tok")
+    ).filter(F.col("tok").isin(TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.withColumn(
+        "idf_int", F.expr(f"CAST({SCALE} AS BIGINT) * {n_docs} div df")
+    )
+    kw_top = (
+        tf.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_int")).alias("score_int"))
+        .orderBy(F.desc("score_int"), F.asc("doc_id"))
+        .limit(50)
+    )
+    kw = kw_top.withColumn(
+        "kw_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_int"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "kw_rank")
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = SIM._prepared(emb.filter(F.col("vec_id") == 0), "vec_id",
+                      "embedding", "q", 64)
+    c = SIM._prepared(emb.filter(F.col("vec_id") != 0), "vec_id",
+                      "embedding", "n", 64)
+    from ..functions.vectors import dot_unrolled
+
+    vec_top = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            dot_unrolled("qvec", "nvec", 64)
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+        .select(F.col("nid").alias("doc_id"), "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(50)
+    )
+    vec = vec_top.withColumn(
+        "vec_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "vec_rank")
+
+    fused = (
+        kw.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(K) + F.col("kw_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.col("kw_rank").cast("int").alias("kw_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            "rrf_score",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 continuation wave: CDC compaction, graph metrics, stream-static
 # enrichment, containment dedup, PQ codes, robust outlier screen.

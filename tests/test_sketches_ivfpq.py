@@ -223,3 +223,21 @@ class TestKMeansFixedPoint:
             asg, _ = KM.kmeans_fixed_point(emb, k=4, dims=16, iters=iters)
             tot.append(asg.agg(SF.sum("dist")).collect()[0][0])
         assert tot[1] <= tot[0]
+
+    def test_trained_ivf_recall_vs_exact(self, spark):
+        """Composition sanity: the kmeans-trained 2-probe IVF top-3 must
+        recall a healthy fraction of the exact cosine top-3 (cells are
+        trained on 16 of 64 dims, so perfect recall isn't expected —
+        but < 50% would mean the quantizer is broken)."""
+        from database_migration_engine_spark.io import read_table
+        from database_migration_engine_spark.operators import similarity as SIM
+        from database_migration_engine_spark.plans import QUERIES
+
+        got = QUERIES["similarity_ivf_trained"](spark, SF_DIR).collect()
+        emb = read_table(spark, SF_DIR, "embeddings")
+        exact = SIM.cosine_topk(
+            emb, emb.filter("vec_id < 10"), k=3, dim=64
+        ).collect()
+        g = {(r.qid, r.nid) for r in got}
+        e = {(r.qid, r.nid) for r in exact}
+        assert len(g & e) / len(e) >= 0.5
