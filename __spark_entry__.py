@@ -48,7 +48,10 @@ _RECHECK_FIRST = [
     "bpe_first_merges", "unigram_score", "jaccard_est_error",
     "mmr_rerank",
     # (2) new in round 4
-    "exact_substr_spans", "corpus_diff",
+    "exact_substr_spans", "strip_dup_spans", "corpus_diff",
+    "kmeans_embeddings", "hybrid_search_rrf", "similarity_ivf_trained",
+    "revenue_trend_ols", "events_chi2", "hourly_interpolate",
+    "user_first_last_events", "label_propagation_lang",
     # (3) r04 plan/runtime changes without semantic change
     "price_deciles", "orders_pareto", "priority_price_distribution",
     "events_attribution_stream", "events_copair_stream",

@@ -53,11 +53,18 @@ def extract_statements(migrations: DataFrame, sql_col: str = "up_sql") -> DataFr
 def analyze(migrations: DataFrame, pg_version: int = 14) -> DataFrame:
     """Full findings DataFrame for a migrations DataFrame.
 
-    The statements DataFrame is persisted: the 9-rule union would otherwise
-    re-run the whole parse subtree (including the Python UDF) once per
-    rule branch — at any scale that is 9 parses of every migration.
+    The statements DataFrame is persisted with a bounded lifetime
+    (session.persist_bounded — the previous analyze() call's cache is
+    released, so repeated calls don't leak): the 9-rule union would
+    otherwise re-run the whole parse subtree (including the Python UDF)
+    once per rule branch — at any scale that is 9 parses of every
+    migration.
     """
-    stmts = extract_statements(migrations).persist()
+    from ..session import persist_bounded
+
+    stmts = persist_bounded(
+        "analyzer.stmts", extract_statements(migrations)
+    )
     return apply_rules(stmts, pg_version=pg_version)
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable_hash import hex_bit_sql
 from ..functions.text import shingles, tokens
+from ..session import persist_bounded
 
 
 def dedup_exact(
@@ -108,9 +109,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_count") <= max_df)
         .select("shingle")
     )
-    # persisted: consumed three times (sizes + both self-join sides); the
-    # tokenize→shingle→hash subtree would otherwise recompute per consumer
-    sh = sh.join(rare, "shingle").persist()
+    # bounded persist: consumed three times (sizes + both self-join
+    # sides) — the tokenize→shingle→hash subtree would otherwise
+    # recompute per consumer; the helper unpersists the previous
+    # invocation's frame so the cache never grows past one dataset
+    # (r03 advice leak, without localCheckpoint's eager-job cost)
+    sh = persist_bounded("dedup.ngram_sh", sh.join(rare, "shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -204,10 +208,16 @@ def minhash_lsh_pairs(
     equal signature components. ``hash_fn="md5"`` makes signatures AND
     band hashes oracle-reproducible (see minhash_signatures).
     """
-    banded = _banded_signatures(
-        minhash_signatures(df, content_col, id_col, num_hashes, n, hash_fn),
-        num_hashes, bands, hash_fn,
-    ).persist()  # both self-join sides read it; signatures compute once
+    # bounded persist (see persist_bounded): both self-join sides read
+    # it; signatures compute once; previous invocation's cache released
+    banded = persist_bounded(
+        "dedup.lsh_banded",
+        _banded_signatures(
+            minhash_signatures(df, content_col, id_col, num_hashes, n,
+                               hash_fn),
+            num_hashes, bands, hash_fn,
+        ),
+    )
 
     candidates = (
         banded.toDF("doc_a", "band_id", "band_hash", "hs_a")
@@ -652,7 +662,9 @@ def containment_pairs(
         .filter(F.col("df_count") <= max_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle").persist()
+    # bounded persist (see persist_bounded) — r03 advice item: a plain
+    # persist here leaked one cached dataset per invocation
+    sh = persist_bounded("dedup.containment_sh", sh.join(rare, "shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")

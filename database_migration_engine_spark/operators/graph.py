@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -210,3 +210,68 @@ def connected_components_star(
         )
         labels.count()
         return labels
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "lbl",
+    shuffle_partitions: int | None = 16,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani's hard-label
+    variant, frontier-frozen): seeded nodes keep their label; an
+    UNLABELED node takes the MAJORITY label among its currently-labeled
+    neighbors (ties break to the lexicographically smallest label) and
+    then freezes — so the label frontier expands monotonically, round
+    count bounds the propagation radius, and the whole trajectory is
+    deterministic and oracle-replayable. Nodes with no labeled neighbor
+    within ``rounds`` hops stay NULL.
+
+    ``seeds``: (node_col, label_col) for EVERY node, label NULL where
+    unseeded. Per round: one join edges×labels + one count aggregate +
+    one argmax window per node — the same bounded-iteration shape as
+    connected_components, localCheckpoint per round."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    with _shuffle_width(edges.sparkSession, shuffle_partitions):
+        labels = seeds.select(
+            F.col(node_col).alias("node"),
+            F.col(label_col).alias("lbl"),
+            F.col(label_col).isNotNull().alias("seeded"),
+        ).localCheckpoint(eager=True)
+        for _ in range(rounds):
+            votes = (
+                sym.join(
+                    labels.filter(F.col("lbl").isNotNull()).select(
+                        F.col("node").alias("a"), "lbl"
+                    ),
+                    "a",
+                )
+                .groupBy(F.col("b").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            picked = (
+                votes.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("node").orderBy(
+                            F.desc("c"), F.asc("lbl")
+                        )
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("lbl").alias("voted"))
+            )
+            labels = (
+                labels.join(picked, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("lbl", "voted").alias("lbl"),
+                    "seeded",
+                )
+                .localCheckpoint(eager=True)
+            )
+    return labels

@@ -1650,6 +1650,208 @@ GROUP BY source
 ORDER BY source
 """
 
+# label_propagation_lang: three frontier-frozen majority rounds over
+# the jacc near-dup graph, unrolled (same freeze/tie rules as
+# operators/graph.py label_propagation).
+ORACLES["label_propagation_lang"] = f"""
+WITH {_JACC_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jacc
+    UNION ALL SELECT doc_b AS a, doc_a AS b FROM jacc
+),
+l0 AS (
+    SELECT doc_id AS node,
+           CASE WHEN doc_id % 5 = 0 THEN lang END AS lbl,
+           (doc_id % 5 = 0) AS seeded
+    FROM documents
+),
+v1 AS (
+    SELECT e.b AS node, l.lbl, COUNT(*) AS c
+    FROM edges e JOIN l0 l ON l.node = e.a
+    WHERE l.lbl IS NOT NULL
+    GROUP BY e.b, l.lbl
+),
+p1 AS (
+    SELECT node, lbl AS voted FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM v1
+    ) WHERE rn = 1
+),
+l1 AS (
+    SELECT l0.node, COALESCE(l0.lbl, p1.voted) AS lbl, l0.seeded
+    FROM l0 LEFT JOIN p1 USING (node)
+),
+v2 AS (
+    SELECT e.b AS node, l.lbl, COUNT(*) AS c
+    FROM edges e JOIN l1 l ON l.node = e.a
+    WHERE l.lbl IS NOT NULL
+    GROUP BY e.b, l.lbl
+),
+p2 AS (
+    SELECT node, lbl AS voted FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM v2
+    ) WHERE rn = 1
+),
+l2 AS (
+    SELECT l1.node, COALESCE(l1.lbl, p2.voted) AS lbl, l1.seeded
+    FROM l1 LEFT JOIN p2 USING (node)
+),
+v3 AS (
+    SELECT e.b AS node, l.lbl, COUNT(*) AS c
+    FROM edges e JOIN l2 l ON l.node = e.a
+    WHERE l.lbl IS NOT NULL
+    GROUP BY e.b, l.lbl
+),
+p3 AS (
+    SELECT node, lbl AS voted FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM v3
+    ) WHERE rn = 1
+),
+l3 AS (
+    SELECT l2.node, COALESCE(l2.lbl, p3.voted) AS lbl, l2.seeded
+    FROM l2 LEFT JOIN p3 USING (node)
+),
+final AS (
+    SELECT l3.node, l3.lbl, l3.seeded, d.lang
+    FROM l3 JOIN documents d ON d.doc_id = l3.node
+)
+SELECT COALESCE(lbl, '<unlabeled>') AS label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN seeded THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+       CAST(SUM(CASE WHEN NOT seeded AND lbl IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_propagated,
+       CAST(SUM(CASE WHEN NOT seeded AND lbl = lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_propagated_correct
+FROM final
+GROUP BY 1 ORDER BY label
+"""
+
+ORACLES["user_first_last_events"] = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type,
+       first_value(value) OVER w AS first_value,
+       last_value(value) OVER w AS last_value,
+       COUNT(*) OVER w AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id
+"""
+
+# hourly_interpolate: spine + IGNORE NULLS neighbor frames; the
+# interpolation expression tree mirrors Spark's operation order.
+ORACLES["hourly_interpolate"] = """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS d0,
+           date_trunc('hour', MAX(ts)) AS d1
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS _n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
+                AS DOUBLE) / COUNT(value) AS _v
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+),
+grid AS (
+    SELECT s.hour, t.event_type, h._n, h._v,
+           CAST(epoch(s.hour) AS BIGINT) // 3600 AS idx
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+),
+nb AS (
+    SELECT *,
+           last_value(CASE WHEN _v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS p_idx,
+           last_value(CASE WHEN _v IS NOT NULL THEN _v END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS p_v,
+           first_value(CASE WHEN _v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS n_idx,
+           first_value(CASE WHEN _v IS NOT NULL THEN _v END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS n_v
+    FROM grid
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COALESCE(_n, 0) AS BIGINT) AS n_events,
+       _v AS avg_value,
+       CASE WHEN _v IS NOT NULL THEN _v
+            ELSE p_v + (n_v - p_v)
+                 * CAST(idx - p_idx AS DOUBLE)
+                 / CAST(n_idx - p_idx AS DOUBLE)
+       END AS value_filled,
+       (_v IS NULL AND (CASE WHEN _v IS NOT NULL THEN _v
+            ELSE p_v + (n_v - p_v)
+                 * CAST(idx - p_idx AS DOUBLE)
+                 / CAST(n_idx - p_idx AS DOUBLE) END) IS NOT NULL)
+           AS is_interpolated
+FROM nb
+ORDER BY hour, event_type
+"""
+
+# events_chi2: per-cell doubles from integer cross-products, summed
+# order-free via decimal(38,18) staging. Spark dayofweek is 1-based
+# (Sunday=1), DuckDB 0-based — hence the +1.
+ORACLES["events_chi2"] = """
+WITH cells AS (
+    SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rm AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+cm AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY dow),
+tm AS (SELECT SUM(o) AS t FROM cells),
+staged AS (
+    SELECT ce.event_type, ce.dow,
+           CAST(ce.o * tm.t - rm.r * cm.c AS DOUBLE) AS num,
+           CAST(rm.r * cm.c AS DOUBLE) AS rc,
+           CAST(tm.t AS DOUBLE) AS td,
+           tm.t AS t
+    FROM cells ce
+    JOIN rm ON ce.event_type = rm.event_type
+    JOIN cm ON ce.dow = cm.dow
+    CROSS JOIN tm
+),
+terms AS (
+    SELECT event_type, dow, t, (num * num) / rc / td AS term FROM staged
+)
+-- double->decimal must route through VARCHAR: DuckDB's direct cast
+-- scales in floating point (drift ~1e-15 over 35 cells), while
+-- Spark's cast parses the shortest string repr with HALF_UP --
+-- the VARCHAR bridge reproduces exactly that
+SELECT CAST(CAST(SUM(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,18)))
+                 AS VARCHAR) AS DOUBLE)
+           AS chi2,
+       COUNT(*) AS n_cells,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1)
+            AS BIGINT) AS dof,
+       CAST(MAX(t) AS BIGINT) AS n_events
+FROM terms
+"""
+
 # revenue_trend_ols: sufficient statistics in integer cents (scale-0
 # decimals — exact), doubles only in the final expression tree, which
 # mirrors the Spark expression ORDER exactly (intercept re-derives
@@ -2698,10 +2900,8 @@ GROUP BY source ORDER BY source
 # between a candidate pair are (pa, pb) anchors; maximal consecutive
 # anchor runs on a diagonal (pb - pa) are exactly the maximal common
 # substrings (run_len = anchors + 7). Gaps-and-islands per (pair, diag).
-ORACLES["exact_substr_spans"] = f"""
-WITH {_JACC_CTES},
-toks8 AS (
-    SELECT doc_id, {_TOKS} AS t FROM documents
+_XSPAN_CTES = """toks8 AS (
+    SELECT doc_id, {toks} AS t FROM documents
 ),
 pos8 AS (
     SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS pos
@@ -2736,7 +2936,11 @@ best AS (
            ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
                               ORDER BY run_len DESC, start_a, start_b) AS rn
     FROM runs
-)
+)""".format(toks=_TOKS)
+
+ORACLES["exact_substr_spans"] = f"""
+WITH {_JACC_CTES},
+{_XSPAN_CTES}
 SELECT doc_a, doc_b,
        CAST(run_len AS BIGINT) AS run_len,
        CAST(start_a AS BIGINT) AS start_a,
@@ -2744,6 +2948,31 @@ SELECT doc_a, doc_b,
        CAST(n_runs AS BIGINT) AS n_runs
 FROM best WHERE rn = 1
 ORDER BY doc_a, doc_b
+"""
+
+ORACLES["strip_dup_spans"] = f"""
+WITH {_JACC_CTES},
+{_XSPAN_CTES},
+bspan AS (
+    SELECT doc_id, source_doc, span_len, start_b FROM (
+        SELECT doc_b AS doc_id, doc_a AS source_doc,
+               run_len AS span_len, start_b,
+               ROW_NUMBER() OVER (PARTITION BY doc_b
+                                  ORDER BY run_len DESC, doc_a, start_b)
+                   AS brn
+        FROM best WHERE rn = 1 AND run_len >= 12
+    ) WHERE brn = 1
+)
+SELECT b.doc_id, b.source_doc,
+       CAST(b.span_len AS BIGINT) AS span_len,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - b.span_len AS BIGINT) AS n_remaining,
+       md5(COALESCE(array_to_string(
+           list_slice(t.t, 1, b.start_b - 1)
+           || list_slice(t.t, b.start_b + b.span_len, len(t.t)), ' '), ''))
+           AS residual_fp
+FROM bspan b JOIN toks8 t ON t.doc_id = b.doc_id
+ORDER BY b.doc_id
 """
 
 ORACLES["pack_sequences"] = f"""

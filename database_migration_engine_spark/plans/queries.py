@@ -3644,6 +3644,68 @@ def exact_substr_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_substr_spans(docs, pairs, n=8).orderBy("doc_a", "doc_b")
 
 
+@query("strip_dup_spans")
+def strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of passage dedup (Lee et al. 2022 remove the
+    duplicated spans, not the documents): for every doc that appears as
+    the b-side of a candidate pair with a verbatim common run of ≥ 12
+    tokens, cut its single longest such span (ties: smallest doc_a,
+    then start) and emit the residual — token counts plus an md5
+    fingerprint of the remaining token stream, rebuilt by pure array
+    slicing (no explode, no Python). Composes `exact_substr_spans`'
+    extents; `clean_corpus` stays the doc-level variant."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _ngram_pairs_shared(spark, sf_dir)
+    spans = DD.exact_substr_spans(docs, pairs, n=8).filter(
+        F.col("run_len") >= 12
+    )
+    best = (
+        spans.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_b").orderBy(
+                    F.desc("run_len"), F.asc("doc_a"), F.asc("start_b")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("source_doc"),
+            F.col("run_len").alias("span_len"),
+            "start_b",
+        )
+    )
+    toks = docs.select("doc_id", TX.tokens("text").alias("t"))
+    return (
+        best.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "source_doc",
+            "span_len",
+            F.size("t").alias("n_tokens"),
+            (F.size("t") - F.col("span_len")).alias("n_remaining"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.concat(
+                        F.slice(F.col("t"), 1, F.col("start_b") - 1),
+                        F.slice(
+                            F.col("t"),
+                            F.col("start_b") + F.col("span_len"),
+                            F.size("t")
+                            - (F.col("start_b") + F.col("span_len"))
+                            + 1,
+                        ),
+                    ),
+                )
+            ).alias("residual_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("pack_sequences")
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents stream in doc_id order
@@ -4176,6 +4238,188 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("qid", "nid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("qid", "rnk")
+    )
+
+
+@query("label_propagation_lang")
+def label_propagation_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the near-dup graph
+    (operators/graph.py label_propagation): 20% of documents keep their
+    `lang` as a seed (doc_id % 5 == 0), three frontier-frozen majority
+    rounds spread labels along 3-gram-Jaccard edges — the
+    weak-supervision pattern for labeling a corpus from a small
+    annotated slice. Rolled up per propagated label; `accuracy`-style
+    agreement with the held-out true lang is exact integer counting."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _ngram_pairs_shared(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    seeds = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("lang")).alias("lbl"),
+    )
+    labels = GR.label_propagation(edges, seeds, rounds=3)
+    truth = docs.select(F.col("doc_id").alias("node"), "lang")
+    return (
+        labels.join(truth, "node")
+        .groupBy(F.coalesce("lbl", F.lit("<unlabeled>")).alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("seeded").cast("long")).alias("n_seeds"),
+            F.sum(
+                ((~F.col("seeded")) & F.col("lbl").isNotNull()).cast("long")
+            ).alias("n_propagated"),
+            # NULL lbl makes the equality NULL — count it as 0, not
+            # NULL (a sum over all-NULL conditions must be 0)
+            F.sum(
+                F.when(
+                    (~F.col("seeded")) & (F.col("lbl") == F.col("lang")),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("n_propagated_correct"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("user_first_last_events")
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface completeness: first_value / last_value /
+    nth_value over full-partition frames — the per-entity
+    journey-boundary features (acquisition event, latest event, second
+    touch) sessionization reports need. One row per user via DISTINCT
+    over the frame-constant columns; values pass through untouched (no
+    float arithmetic), so the hash match is structural."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+            F.first("value").over(w).alias("first_value"),
+            F.last("value").over(w).alias("last_value"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@query("hourly_interpolate")
+def hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series REPAIR: the gap-filled hourly spine with missing
+    hours linearly interpolated between the nearest observed neighbors
+    per event_type (edges stay NULL) — the imputation step between raw
+    telemetry and a model-ready series. Known values are exact-decimal
+    hourly averages; the interpolation weights are integer hour-index
+    deltas, so the double expression tree is fixed-order and
+    engine-identical. The IGNORE-NULLS frame windows run over the
+    AGGREGATED spine (hours × types), never the fact table — thousands
+    of rows regardless of corpus size."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("d0"),
+        F.date_trunc("HOUR", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 hour)")).alias("hour")
+    ).crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy(
+        F.date_trunc("HOUR", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("_n"), davg(F.col("value"), "_v"))
+    grid = (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .withColumn("idx", F.expr("unix_timestamp(hour) div 3600"))
+    )
+    w = Window.partitionBy("event_type").orderBy("idx")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    known_idx = F.when(F.col("_v").isNotNull(), F.col("idx"))
+    known_v = F.when(F.col("_v").isNotNull(), F.col("_v"))
+    filled = (
+        grid.withColumn("p_idx", F.last(known_idx, ignorenulls=True).over(wp))
+        .withColumn("p_v", F.last(known_v, ignorenulls=True).over(wp))
+        .withColumn("n_idx", F.first(known_idx, ignorenulls=True).over(wn))
+        .withColumn("n_v", F.first(known_v, ignorenulls=True).over(wn))
+        .withColumn(
+            "value_filled",
+            F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+                F.col("p_v")
+                + (F.col("n_v") - F.col("p_v"))
+                * (F.col("idx") - F.col("p_idx")).cast("double")
+                / (F.col("n_idx") - F.col("p_idx")).cast("double")
+            ),
+        )
+    )
+    return filled.select(
+        fmt_ts(F.col("hour"), "hour"),
+        "event_type",
+        F.coalesce("_n", F.lit(0)).alias("n_events"),
+        F.col("_v").alias("avg_value"),
+        "value_filled",
+        (F.col("_v").isNull() & F.col("value_filled").isNotNull()).alias(
+            "is_interpolated"
+        ),
+    ).orderBy("hour", "event_type")
+
+
+@query("events_chi2")
+def events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (event_type × day-of-week) — the
+    drift/association screen run before trusting a feature. Per-cell
+    statistic exactly: (O·T − R·C)²/(R·C·T) with the numerator built
+    from INTEGER cross-products (the KS/L1 trick), evaluated once per
+    cell in double, then summed ORDER-FREE by casting each term to
+    decimal(38,18) — summing the rounded doubles exactly instead of
+    accumulating doubles in shuffle order. 35 cells at any scale; one
+    aggregation pass plus two broadcast margins."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    terms = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "num",
+            (F.col("o") * F.col("t") - F.col("r") * F.col("c")).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "term",
+            (F.col("num") * F.col("num"))
+            / (F.col("r") * F.col("c")).cast("double")
+            / F.col("t").cast("double"),
+        )
+    )
+    return terms.agg(
+        F.sum(F.col("term").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+        F.max("t").alias("n_events"),
     )
 
 

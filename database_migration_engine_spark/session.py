@@ -137,3 +137,45 @@ def shuffle_width(spark: SparkSession, n: int | None):
             spark.conf.set(key, old)
 
     return _cm()
+
+
+from collections import OrderedDict as _OrderedDict
+
+_BOUNDED_CACHE: dict[str, "_OrderedDict"] = {}
+_BOUNDED_CACHE_CAP = 4
+
+
+def persist_bounded(key: str, df):
+    """persist() with a bounded lifetime per operator key.
+
+    Spark's CacheManager dedupes persisted plans STRUCTURALLY, so
+    re-invoking an operator on the same input reuses one cache entry —
+    repeated calls do NOT leak (and unpersisting between them, or
+    switching to eager localCheckpoint, forfeits that reuse: measured
+    at sf0.1, dedup_near_minhash 2.3 s → 6-8 s). What does grow without
+    bound is one entry per DISTINCT input under the same operator
+    (the r03 advice leak). This helper keeps the fast path — persist
+    and let the CacheManager dedupe — and bounds growth with a small
+    per-operator LRU keyed by ``semanticHash`` of the logical plan:
+    the same input re-persists for free, and only the
+    least-recently-used DISTINCT input is evicted past the cap.
+    Unpersisting a frame a concurrent job still reads is safe (Spark
+    recomputes); that job just loses the cache."""
+    lru = _BOUNDED_CACHE.setdefault(key, _OrderedDict())
+    try:
+        sem = df._jdf.queryExecution().logical().semanticHash()
+    except Exception:
+        sem = None
+    if sem is not None and sem in lru:
+        lru.move_to_end(sem)
+        return df.persist()  # CacheManager plan-matches the live entry
+    df = df.persist()
+    if sem is not None:
+        lru[sem] = df
+        while len(lru) > _BOUNDED_CACHE_CAP:
+            _, old = lru.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    return df

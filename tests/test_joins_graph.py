@@ -305,3 +305,58 @@ def test_star_cc_matches_propagation_and_converges_on_long_path(spark):
         ).collect()
     }
     assert star_path == {i: 0 for i in range(64)}
+
+
+class TestLabelPropagation:
+    def test_frontier_frozen_majority(self, spark):
+        """Chain 0-1-2-3-4 with seeds at the ends: node 1 takes 0's
+        label in round 1 and FREEZES; node 2 ties between the two
+        frontiers in round 2 and takes the lexicographically smaller
+        label; unreachable nodes stay NULL."""
+        from database_migration_engine_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = spark.sql(
+            "SELECT * FROM (VALUES (0,1),(1,2),(2,3),(3,4),(9,9)) "
+            "t(src, dst)"
+        )
+        seeds = spark.sql(
+            "SELECT * FROM (VALUES "
+            "(0, 'aa'), (4, 'zz'), (1, CAST(NULL AS STRING)), "
+            "(2, CAST(NULL AS STRING)), (3, CAST(NULL AS STRING)), "
+            "(7, CAST(NULL AS STRING)), (9, CAST(NULL AS STRING))) "
+            "t(node, lbl)"
+        )
+        # edges must be symmetric for propagation both ways
+        sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+        out = {
+            r.node: r.lbl
+            for r in label_propagation(sym, seeds, rounds=3).collect()
+        }
+        assert out[0] == "aa" and out[4] == "zz"  # seeds keep labels
+        assert out[1] == "aa" and out[3] == "zz"  # round-1 frontier
+        assert out[2] == "aa"  # tie at round 2 -> lexicographic min
+        assert out[7] is None  # disconnected: never labeled
+        assert out[9] is None  # self-loop only, no labeled neighbor
+
+    def test_rounds_bound_radius(self, spark):
+        from database_migration_engine_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = spark.sql(
+            "SELECT * FROM (VALUES (0,1),(1,2),(2,3)) t(src, dst)"
+        )
+        sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+        seeds = spark.sql(
+            "SELECT * FROM (VALUES (0, 'x'), (1, CAST(NULL AS STRING)),"
+            " (2, CAST(NULL AS STRING)), (3, CAST(NULL AS STRING)))"
+            " t(node, lbl)"
+        )
+        out = {
+            r.node: r.lbl
+            for r in label_propagation(sym, seeds, rounds=2).collect()
+        }
+        assert out[1] == "x" and out[2] == "x"
+        assert out[3] is None  # 3 hops away, only 2 rounds
