@@ -254,6 +254,41 @@ class TestAttributionStream:
         )
         assert tail > 0  # the flush-only rows arrived in the no-data batch
 
+    def test_heartbeat_staging_int64_ns_fixture(self, spark, tmp_path):
+        """ADVICE r03: fixtures whose parquet ts column is raw epoch-ns
+        int64 (the EVENTS_RAW shape) must stage a heartbeat in the same
+        unit instead of crashing on a timestamp-into-int64 pa.array."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from database_migration_engine_spark.streaming import events as SE
+
+        d = tmp_path / "nsfix"
+        d.mkdir()
+        base_ns = 1_600_000_000_000_000_000
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], type=pa.int64()),
+                "ts": pa.array(
+                    [base_ns, base_ns + 60_000_000_000], type=pa.int64()
+                ),
+                "user_id": pa.array([7, 7], type=pa.int64()),
+                "event_type": pa.array(["click", "purchase"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        staged = SE.heartbeat_stream_dir(str(d), app_id="ncitest")
+        hb = pq.read_table(os.path.join(staged, "zz_heartbeat_1.parquet"))
+        assert hb.schema.field("ts").type == pa.int64()
+        ns = hb.column("ts")[0].as_py()
+        # 2100-01-01 in epoch-ns, beyond every real row
+        assert ns > base_ns and ns == 4102444800 * 10**9
+        assert hb.column("event_type")[0].as_py() == "heartbeat"
+
 
 class TestCompactChangelogProperties:
     def test_random_changelogs_match_reference(self, spark):
