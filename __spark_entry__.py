@@ -52,6 +52,7 @@ _RECHECK_FIRST = [
     "kmeans_embeddings", "hybrid_search_rrf", "similarity_ivf_trained",
     "revenue_trend_ols", "events_chi2", "hourly_interpolate",
     "user_first_last_events", "label_propagation_lang",
+    "price_percentiles_cont",
     # (3) r04 plan/runtime changes without semantic change
     "price_deciles", "orders_pareto", "priority_price_distribution",
     "events_attribution_stream", "events_copair_stream",

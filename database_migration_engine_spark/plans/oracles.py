@@ -1813,6 +1813,55 @@ FROM nb
 ORDER BY hour, event_type
 """
 
+# price_percentiles_cont: explicit interpolation arithmetic (NOT the
+# engine's percentile_cont builtin) mirroring the Spark expression
+# order, over the same rank positions.
+ORACLES["price_percentiles_cont"] = """
+WITH ranked AS (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+classes AS (SELECT DISTINCT o_orderpriority, n FROM ranked),
+pv AS (
+    SELECT * FROM (VALUES
+        ('p25', CAST(0.25 AS DOUBLE)),
+        ('p50', CAST(0.5 AS DOUBLE)),
+        ('p75', CAST(0.75 AS DOUBLE))) v(p_label, p)
+),
+probes AS (
+    SELECT c.o_orderpriority, pv.p_label,
+           CAST(FLOOR(pv.p * CAST(c.n - 1 AS DOUBLE) + 1) AS BIGINT)
+               AS lo_rn,
+           LEAST(CAST(FLOOR(pv.p * CAST(c.n - 1 AS DOUBLE) + 1) AS BIGINT)
+                 + 1, c.n) AS hi_rn,
+           (pv.p * CAST(c.n - 1 AS DOUBLE) + 1)
+           - FLOOR(pv.p * CAST(c.n - 1 AS DOUBLE) + 1) AS frac
+    FROM classes c CROSS JOIN pv
+),
+hit AS (
+    SELECT pr.o_orderpriority, pr.p_label, pr.frac,
+           MIN(CASE WHEN r.rn = pr.lo_rn THEN r.o_totalprice END) AS v_lo,
+           MIN(CASE WHEN r.rn = pr.hi_rn THEN r.o_totalprice END) AS v_hi
+    FROM probes pr
+    JOIN ranked r ON r.o_orderpriority = pr.o_orderpriority
+               AND (r.rn = pr.lo_rn OR r.rn = pr.hi_rn)
+    GROUP BY pr.o_orderpriority, pr.p_label, pr.frac
+)
+SELECT o_orderpriority,
+       MIN(CASE WHEN p_label = 'p25'
+                THEN v_lo + (v_hi - v_lo) * frac END) AS p25,
+       MIN(CASE WHEN p_label = 'p50'
+                THEN v_lo + (v_hi - v_lo) * frac END) AS p50,
+       MIN(CASE WHEN p_label = 'p75'
+                THEN v_lo + (v_hi - v_lo) * frac END) AS p75
+FROM hit
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # events_chi2: per-cell doubles from integer cross-products, summed
 # order-free via decimal(38,18) staging. Spark dayofweek is 1-based
 # (Sunday=1), DuckDB 0-based — hence the +1.

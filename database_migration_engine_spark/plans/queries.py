@@ -4375,6 +4375,70 @@ def hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour", "event_type")
 
 
+@query("price_percentiles_cont")
+def price_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT(0.25/0.5/0.75) per priority class WITHOUT a
+    per-class single-task sort: the per-class global row_number comes
+    from the two-pass bucket rank (operators/ranks.py), the interpolation
+    positions pos = p·(n−1)+1 are computed driver-side from the tiny
+    per-class totals (quarter fractions are exact binary doubles), and
+    the answer touches only the ≤6 boundary rows per class. The final
+    v_lo + (v_hi − v_lo)·frac is one fixed-order double expression —
+    both engines interpolate identically, where built-in
+    percentile_cont implementations are free to differ."""
+    import math
+
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    ranked, totals = RK.with_global_ranks(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        ["o_orderkey"],
+        partition_cols=["o_orderpriority"],
+    )
+    probes = []
+    for (pri,), n in totals.items():
+        for label, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            pos = p * (n - 1) + 1
+            lo = math.floor(pos)
+            probes.append(
+                (pri, label, lo, min(lo + 1, n), pos - lo)
+            )
+    probe_df = RK.values_df(
+        spark, probes,
+        ["o_orderpriority", "p_label", "lo_rn", "hi_rn", "frac"],
+    )
+    hit = (
+        probe_df.join(
+            ranked.select("o_orderpriority", "rn", "o_totalprice"),
+            ["o_orderpriority"],
+        )
+        .filter(
+            (F.col("rn") == F.col("lo_rn")) | (F.col("rn") == F.col("hi_rn"))
+        )
+        .groupBy("o_orderpriority", "p_label", "frac")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("lo_rn"), F.col("o_totalprice"))
+            ).alias("v_lo"),
+            F.min(
+                F.when(F.col("rn") == F.col("hi_rn"), F.col("o_totalprice"))
+            ).alias("v_hi"),
+        )
+        .withColumn(
+            "v",
+            F.col("v_lo")
+            + (F.col("v_hi") - F.col("v_lo")) * F.col("frac").cast("double"),
+        )
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .pivot("p_label", ["p25", "p50", "p75"])
+        .agg(F.min("v"))
+        .orderBy("o_orderpriority")
+    )
+
+
 @query("events_chi2")
 def events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test (event_type × day-of-week) — the
