@@ -52,7 +52,9 @@ _RECHECK_FIRST = [
     "kmeans_embeddings", "hybrid_search_rrf", "similarity_ivf_trained",
     "revenue_trend_ols", "events_chi2", "hourly_interpolate",
     "user_first_last_events", "label_propagation_lang",
-    "price_percentiles_cont",
+    "price_percentiles_cont", "winnowing_fingerprints",
+    "semdedup_embeddings", "moss_matches", "fuzzy_name_pairs",
+    "bm25_search",
     # (3) r04 plan/runtime changes without semantic change
     "price_deciles", "orders_pareto", "priority_price_distribution",
     "events_attribution_stream", "events_copair_stream",

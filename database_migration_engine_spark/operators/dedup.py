@@ -691,3 +691,199 @@ def containment_pairs(
         .select("doc_a", "doc_b", "common", "n_a", "n_b",
                 "cont_a", "cont_b", "subsumed")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Robust winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm).
+
+    From every window of ``w`` consecutive k-gram hashes, select the
+    minimum hash, breaking ties by the RIGHTMOST position; the distinct
+    selected (position, hash) set is the document's fingerprint. The
+    guarantee: any shared substring of ``w + k - 1`` tokens or longer is
+    caught by at least one shared fingerprint, while storing only
+    ~2/(w+1) of all gram hashes — the storage/recall dial the
+    plagiarism-detection and near-dup literature standardized on.
+
+    Hashes are the portable signed-64 md5 head so a SQL oracle replays
+    the identical selection (same discipline as minhash_lsh_pairs'
+    hash_fn="md5" mode). Shape at scale: everything is per-document —
+    grams via positioned_shingles (per-doc window sort after a hash
+    shuffle on the doc id), window membership via a bounded ×w explode,
+    selection via row_number partitioned by (doc, window-start). No
+    global sort, no cross-doc join; a 10^9-doc corpus winnows
+    embarrassingly parallel. Docs shorter than ``k`` tokens produce no
+    grams and therefore no fingerprints (callers emit zero rows for
+    them, matching the paper's definition).
+
+    Returns (doc, pos, hval): 1-based gram start positions of the
+    selected fingerprints.
+    """
+    from ..functions.portable_hash import signed64_from_hex_sql
+
+    grams = positioned_shingles(df, id_col, content_col, n=k).select(
+        "doc", "pos", F.expr(signed64_from_hex_sql("h")).alias("hval")
+    )
+    ng = grams.groupBy("doc").agg(F.max("pos").alias("max_pos"))
+    members = grams.join(ng, "doc").select(
+        "doc",
+        "pos",
+        "hval",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(1)),
+                F.least(
+                    F.col("pos"),
+                    F.greatest(F.col("max_pos") - F.lit(w - 1), F.lit(1)),
+                ),
+            )
+        ).alias("s"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc", "s").orderBy(
+            F.col("hval").asc(), F.col("pos").desc()
+        )
+    )
+    return (
+        members.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc", "pos", "hval")
+        .distinct()
+    )
+
+
+def moss_match_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """The MOSS *match* step (Schleimer/Wilkerson/Aiken SIGMOD'03 §4) on
+    top of :func:`winnow_fingerprints`: document pairs ranked by how many
+    winnowed fingerprints they share.
+
+    Pipeline: winnow → distinct (doc, hval) → drop fingerprints appearing
+    in more than ``max_df`` docs (the hot-fingerprint cap — same
+    sub-quadratic discipline as ngram_jaccard_pairs: a boilerplate
+    passage shared by 10⁶ docs must never reach the self-join) →
+    self-join on hval (doc_a < doc_b) → shared counts + containment
+    ratios against each doc's capped fingerprint-set size.
+
+    Winnowing's guarantee makes this strictly stronger than uniform
+    sampling at the same storage: any shared run of ``w + k - 1`` tokens
+    is caught by at least one shared fingerprint. Sizes are counted
+    AFTER the cap so numerator and denominator live in the same filtered
+    space (the oracle replays the identical numbers). Generalizes the
+    reference's whole-file checksum identity
+    (internal/migration/migration.go:19-23) to partial-overlap ranking.
+    """
+    fp = (
+        winnow_fingerprints(df, id_col, content_col, k=k, w=w)
+        .select("doc", "hval")
+        .distinct()
+    )
+    rare = (
+        fp.groupBy("hval")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_df)
+        .select("hval")
+    )
+    fp = persist_bounded("dedup.moss_fp", fp.join(rare, "hval"))
+    sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), "hval")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed(
+                "n_fp", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed(
+                "n_fp", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (F.col("shared") / F.least("n_a", "n_b")).alias("match_ratio"),
+        )
+    )
+
+
+def fastss_pairs(
+    vocab: DataFrame,
+    term_col: str = "term",
+    min_len: int = 4,
+) -> DataFrame:
+    """Edit-distance-1 term pairs via the FastSS deletion neighborhood
+    (Bocek/Hunt/Stiller 2007; the SymSpell candidate scheme): two strings
+    are within Levenshtein distance 1 only if their delete-1
+    neighborhoods (each string plus every single-character deletion of
+    it) intersect — substitution meets at the shared deletion position,
+    insert/delete meets at the shorter string itself. Candidates come
+    from an equi-join on the signature, then exact ``levenshtein`` (the
+    same integer DP in Spark and DuckDB) verifies, discarding the
+    overgenerated transposition-style collisions.
+
+    Scale shape: O(Σ len) signature rows — each term emits len+1
+    signatures — hash-partitioned by signature string; NO all-pairs
+    join anywhere. ``min_len`` drops short tokens whose tiny signatures
+    would both flood the join (hot keys) and pair semantically unrelated
+    words. This is the fuzzy-join primitive entity resolution needs
+    (typo_distance is the scalar; this is the join).
+
+    Returns (term_a, term_b) with term_a < term_b and
+    levenshtein(term_a, term_b) == 1 (identical terms are impossible:
+    vocab is distinct).
+    """
+    t = (
+        vocab.select(F.col(term_col).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .distinct()
+    )
+    sigs = t.select(
+        "term",
+        F.explode(F.sequence(F.lit(0), F.length("term"))).alias("i"),
+    ).select(
+        "term",
+        F.when(F.col("i") == 0, F.col("term"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(term, 1, i - 1)"),
+                F.expr("substring(term, i + 1, length(term))"),
+            )
+        )
+        .alias("sig"),
+    )
+    return (
+        sigs.alias("a")
+        .join(sigs.alias("b"), "sig")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .select(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .distinct()
+        .filter(F.levenshtein("term_a", "term_b") == 1)
+    )

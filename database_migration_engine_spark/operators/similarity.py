@@ -962,3 +962,109 @@ def mmr_rerank(
     return selected.select(
         "qid", "nid", "rel", F.col("mmr_rank").cast("int").alias("mmr_rank")
     )
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    k: int = 4,
+    dims: int = 16,
+    iters: int = 2,
+    tau: float = 0.3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means clustering + exact cosine pruning WITHIN
+    clusters only.
+
+    1. Cluster on the first ``dims`` components with the fixed-point
+       Lloyd trainer (operators/kmeans.py) — bit-exact assignments, so
+       the whole pipeline keeps a cross-engine value oracle.
+    2. Inside each cluster, compute exact full-``dim`` cosine for every
+       (a < b) id pair — the clusters bound the quadratic blow-up, which
+       is the entire point of the algorithm: at corpus scale ``k`` is
+       chosen ~N/target_cluster_size so per-cluster pair counts stay
+       constant while the cluster join key fans out across executors.
+    3. A vector is REMOVED when some smaller-id vector in its cluster is
+       within cosine ``tau`` — the deterministic keep-the-earliest rule
+       (the paper keeps a random or centroid-far representative; an id
+       tiebreak is the reproducible variant of the same policy).
+
+    Returns (vec_id, cid, max_sim_prev, keep): max cosine to any
+    smaller-id cluster-mate (-1.0 when none) and the 0/1 keep flag.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..session import ensure_worker_imports
+    from . import kmeans as KM
+
+    ensure_worker_imports(emb.sparkSession)
+    asg, _ = KM.kmeans_fixed_point(
+        emb, k=k, dims=dims, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    # The within-cluster pair matrix is the hot loop: the JVM expression
+    # form costs ~10 µs/pair (the cosine_pairs_arrow lesson — 517k pairs
+    # at sf0.1 was ~5 s of dot_unrolled), so each cluster's all-pairs
+    # block runs as ONE vectorized numpy kernel via applyInPandas: only
+    # the vectors shuffle (grouped by cid), and dots accumulate
+    # left-to-right over dimensions — bit-identical to the oracle's
+    # sequential per-pair sums. The n² block per task is the algorithm's
+    # inherent cost and stays bounded because SemDeDup picks
+    # k ~ N/target_cluster_size; at 10⁵-vector clusters, chunk the
+    # column axis of the block instead of materializing n² at once.
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("max_sim_prev", T.DoubleType()),
+        ]
+    )
+
+    def cluster_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(
+            [np.asarray(v) for v in pdf["vec"]], dtype=np.float64
+        )[order]
+        n = ids.shape[0]
+        norms = _seq_norms(mat)
+        dots = np.zeros((n, n), dtype=np.float64)
+        for i in range(mat.shape[1]):
+            dots += np.multiply.outer(mat[:, i], mat[:, i])
+        cos = dots / np.multiply.outer(norms, norms)
+        # max over strictly-smaller-id cluster-mates: column j looks at
+        # rows i < j (ids ascending), -1.0 when there are none
+        upper = np.tri(n, n, -1, dtype=bool).T
+        masked = np.where(upper, cos, -np.inf)
+        mx = masked.max(axis=0) if n else np.array([])
+        prev = np.where(np.isfinite(mx), mx, -1.0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cid": np.full(n, int(pdf["cid"].iloc[0]), dtype=np.int32),
+                "max_sim_prev": prev,
+            }
+        )
+
+    blocks = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+        )
+        .join(asg.select(F.col("pid").alias("vec_id"), "cid"), "vec_id")
+        .groupBy("cid")
+        .applyInPandas(cluster_block, out_schema)
+    )
+    return blocks.select(
+        "vec_id",
+        "cid",
+        "max_sim_prev",
+        F.when(F.col("max_sim_prev") < F.lit(float(tau)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )

@@ -4189,3 +4189,340 @@ SELECT qid, nid, rel, CAST(mmr_rank AS INT) AS mmr_rank
 FROM sel5
 ORDER BY qid, mmr_rank
 """
+
+
+# --- winnowing_fingerprints (r04) ------------------------------------------
+# Robust winnowing replayed relationally: 4-gram md5 positions → signed-64
+# heads → window starts s ∈ [1, max(ng-3, 1)] → per-window argmin with
+# rightmost tie-break → distinct selected fingerprints → per-doc profile.
+# Gram strings match operators/dedup.positioned_shingles exactly
+# (array_to_string(list_slice) == concat_ws(slice)).
+from ..functions.portable_hash import signed64_from_hex_sql as _S64  # noqa: E402
+
+# Shared winnow-selection CTE chain (k=4, w=4) — used verbatim by
+# winnowing_fingerprints (per-doc profile) and moss_matches (pair join),
+# so both oracles replay the identical fingerprint selection.
+_WINNOW_SEL = f"""toks AS (
+    SELECT doc_id AS doc, {_TOKS} AS t FROM documents
+),
+g AS (
+    SELECT doc, unnest(generate_series(1, len(t) - 3)) AS pos, t
+    FROM toks WHERE len(t) >= 4
+),
+h AS (
+    SELECT doc, pos,
+           {_S64("md5(array_to_string(list_slice(t, pos, pos + 3), ' '))")}
+               AS hval
+    FROM g
+),
+ng AS (SELECT doc, MAX(pos) AS max_pos FROM h GROUP BY doc),
+starts AS (
+    SELECT h.doc, h.pos AS s
+    FROM h JOIN ng USING (doc)
+    WHERE h.pos <= GREATEST(ng.max_pos - 3, 1)
+),
+members AS (
+    SELECT st.doc, st.s, h.pos, h.hval
+    FROM starts st
+    JOIN h ON h.doc = st.doc AND h.pos BETWEEN st.s AND st.s + 3
+),
+sel AS (
+    SELECT DISTINCT doc, pos, hval FROM (
+        SELECT doc, s, pos, hval,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc, s ORDER BY hval, pos DESC) AS rn
+        FROM members
+    ) WHERE rn = 1
+)"""
+
+ORACLES["winnowing_fingerprints"] = f"""
+WITH {_WINNOW_SEL},
+agg AS (
+    SELECT doc,
+           COUNT(*) AS n_fps,
+           SUM(hval % 1000000007) AS fp_modsum,
+           MIN(hval) AS fp_min,
+           MAX(hval) AS fp_max
+    FROM sel GROUP BY doc
+)
+SELECT t.doc AS doc_id,
+       CAST(GREATEST(len(t.t) - 3, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_fps, 0) AS BIGINT) AS n_fps,
+       CASE WHEN len(t.t) - 3 > 0
+            THEN CAST(COALESCE(a.n_fps, 0) AS DOUBLE)
+                 / CAST(len(t.t) - 3 AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS fp_density,
+       CAST(COALESCE(a.fp_modsum, 0) AS BIGINT) AS fp_modsum,
+       CAST(COALESCE(a.fp_min, 0) AS BIGINT) AS fp_min,
+       CAST(COALESCE(a.fp_max, 0) AS BIGINT) AS fp_max
+FROM toks t LEFT JOIN agg a ON a.doc = t.doc
+ORDER BY doc_id
+"""
+
+
+# --- semdedup_embeddings (r04) ---------------------------------------------
+# The kmeans trajectory CTEs (same fragments as kmeans_embeddings) give the
+# final cluster assignment; pruning is a within-cluster (a < b) pair join
+# with sequential-fold cosine — max over a smaller-id cluster-mate, keep
+# iff below τ. COALESCE/τ constants are explicit DOUBLE casts so neither
+# engine parses them as DECIMAL (the mmr_rerank r03 lesson).
+ORACLES["semdedup_embeddings"] = f"""
+WITH pts AS (
+    SELECT vec_id AS pid, u.pos,
+           CAST(FLOOR(CAST(embedding[u.pos] AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ival
+    FROM embeddings, LATERAL generate_series(1, 16) AS u(pos)
+),
+seeds AS (
+    SELECT pid, ROW_NUMBER() OVER (ORDER BY pid) - 1 AS cid
+    FROM (SELECT pid FROM pts GROUP BY pid ORDER BY pid LIMIT 4)
+),
+c0 AS (
+    SELECT s.cid, p.pos, p.ival AS cval
+    FROM seeds s JOIN pts p ON s.pid = p.pid
+),
+a1 AS ({_KM_ASSIGN.format(cent="c0")}),
+c1 AS ({_KM_UPDATE.format(asg="a1")}),
+a2 AS ({_KM_ASSIGN.format(cent="c1")}),
+c2 AS ({_KM_UPDATE.format(asg="a2")}),
+af AS ({_KM_ASSIGN.format(cent="c2")}),
+p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+pc AS (
+    SELECT p.vec_id, a.cid, p.v, p.nrm
+    FROM p JOIN af a ON a.pid = p.vec_id
+),
+prev AS (
+    SELECT b.vec_id,
+           MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+               AS max_sim_prev
+    FROM pc a JOIN pc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    GROUP BY b.vec_id
+)
+SELECT pc.vec_id,
+       CAST(pc.cid AS INT) AS cid,
+       COALESCE(prev.max_sim_prev, CAST(-1 AS DOUBLE)) AS max_sim_prev,
+       CAST(CASE WHEN COALESCE(prev.max_sim_prev, CAST(-1 AS DOUBLE))
+                      < CAST(0.3 AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM pc LEFT JOIN prev ON prev.vec_id = pc.vec_id
+ORDER BY pc.vec_id
+"""
+
+
+# --- moss_matches (r04) ------------------------------------------------------
+# MOSS match step: the shared _WINNOW_SEL selection, distinct (doc, hval),
+# df cap at 50, (a < b) pair join, sizes counted after the cap, top-25 by
+# shared DESC with (doc_a, doc_b) tiebreak — mirrors dedup.moss_match_pairs.
+ORACLES["moss_matches"] = f"""
+WITH {_WINNOW_SEL},
+fp0 AS (SELECT DISTINCT doc, hval FROM sel),
+rare AS (
+    SELECT hval FROM fp0 GROUP BY hval HAVING COUNT(*) <= 50
+),
+fp AS (SELECT f.doc, f.hval FROM fp0 f JOIN rare USING (hval)),
+sizes AS (SELECT doc, COUNT(*) AS n_fp FROM fp GROUP BY doc),
+pairs AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+    FROM fp a JOIN fp b ON a.hval = b.hval AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT p.doc_a, p.doc_b, p.shared,
+       sa.n_fp AS n_a, sb.n_fp AS n_b,
+       CAST(p.shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp) AS match_ratio
+FROM pairs p
+JOIN sizes sa ON sa.doc = p.doc_a
+JOIN sizes sb ON sb.doc = p.doc_b
+ORDER BY p.shared DESC, p.doc_a ASC, p.doc_b ASC
+LIMIT 25
+"""
+
+
+# --- fuzzy_name_pairs (r04) --------------------------------------------------
+# FastSS delete-1 neighborhood: signature 0 is the term itself, signature i
+# deletes character i; candidate pairs share a signature, verification is
+# levenshtein == 1 (the same integer DP in both engines). The vocabulary is
+# the c_custkey < 1000 reconciliation batch of customer names.
+ORACLES["fuzzy_name_pairs"] = """
+WITH cust AS (
+    SELECT c_name, c_acctbal, c_mktsegment FROM customer
+    WHERE c_custkey < 1000
+),
+t AS (SELECT c_name AS term FROM cust WHERE LENGTH(c_name) >= 4),
+sigs AS (
+    SELECT term,
+           CASE WHEN i = 0 THEN term
+                ELSE SUBSTRING(term, 1, i - 1)
+                     || SUBSTRING(term, i + 1, LENGTH(term)) END AS sig
+    FROM (SELECT term, unnest(generate_series(0, LENGTH(term))) AS i FROM t)
+),
+cand AS (
+    SELECT DISTINCT a.term AS term_a, b.term AS term_b
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.term < b.term
+),
+pairs AS (
+    SELECT term_a, term_b FROM cand
+    WHERE levenshtein(term_a, term_b) = 1
+)
+SELECT p.term_a AS name_a, p.term_b AS name_b,
+       ca.c_acctbal AS bal_a, cb.c_acctbal AS bal_b,
+       CAST(CASE WHEN ca.c_mktsegment = cb.c_mktsegment
+                 THEN 1 ELSE 0 END AS INT) AS same_segment
+FROM pairs p
+JOIN cust ca ON ca.c_name = p.term_a
+JOIN cust cb ON cb.c_name = p.term_b
+ORDER BY name_a, name_b
+"""
+
+
+# --- bm25_search (r04) -------------------------------------------------------
+# Log-free BM25 (k1=1.2, b=0.75): integer idf = (10^9 * N) // df scaled back
+# by 1e9, per-term saturation ratio and the fixed-order 3-term sum written
+# with the exact literals and left-to-right order queries.bm25_search uses —
+# every double op identical, so scores are bit-equal. (1.2 + 1.0 == 2.2
+# exactly in binary64, so the 2.2 literal below IS Spark's F.lit(K1 + 1.0).)
+_BM25_NORM = (
+    "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)"
+    " / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+)
+
+
+def _bm25_term(t: str) -> str:
+    idf = (
+        f"CAST(COALESCE((SELECT idf_int FROM idf WHERE tok = '{t}'), 0)"
+        f" AS DOUBLE) / 1000000000.0"
+    )
+    return (
+        f"CASE WHEN tf_{t} > 0 THEN ({idf})"
+        f" * (CAST(tf_{t} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{t} AS DOUBLE) + {_BM25_NORM})"
+        f" ELSE 0.0 END"
+    )
+
+
+ORACLES["bm25_search"] = f"""
+WITH dl AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+    WHERE tok IN ('hash', 'join', 'stream') GROUP BY doc_id, tok
+),
+idf AS (
+    SELECT tok,
+           (CAST(1000000000 AS BIGINT)
+            * (SELECT n_docs FROM stats)) // COUNT(*) AS idf_int
+    FROM tf GROUP BY tok
+),
+wide AS (
+    SELECT doc_id,
+           SUM(CASE WHEN tok = 'hash' THEN tf ELSE 0 END) AS tf_hash,
+           SUM(CASE WHEN tok = 'join' THEN tf ELSE 0 END) AS tf_join,
+           SUM(CASE WHEN tok = 'stream' THEN tf ELSE 0 END) AS tf_stream
+    FROM tf GROUP BY doc_id
+),
+scored AS (
+    SELECT w.doc_id, d.dl,
+           CAST(w.tf_hash AS BIGINT) AS tf_hash,
+           CAST(w.tf_join AS BIGINT) AS tf_join,
+           CAST(w.tf_stream AS BIGINT) AS tf_stream,
+           {_bm25_term("hash")} + {_bm25_term("join")}
+               + {_bm25_term("stream")} AS bm25
+    FROM wide w JOIN dl d USING (doc_id), stats
+)
+SELECT doc_id, dl, tf_hash, tf_join, tf_stream, bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+# --- ann_recall_curve (r04) --------------------------------------------------
+# Recall@k of the LSH index vs exact top-10: the exact leg is the
+# similarity_topk oracle at k=10; the ANN leg replays the identical
+# md5-literal hyperplane buckets (same fragments as similarity_ann_lsh);
+# hits are exact integer counts per k; recall is one double division.
+ORACLES["ann_recall_curve"] = f"""
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+epairs AS (
+    SELECT q.vec_id AS qid, n.vec_id AS nid,
+           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+    FROM p q, p n
+    WHERE q.vec_id < 50 AND q.vec_id != n.vec_id
+),
+exact AS (
+    SELECT qid, nid, rnk AS e_rnk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, nid ASC) AS rnk
+        FROM epairs
+    ) WHERE rnk <= 10
+),
+ckeys AS (
+    SELECT vec_id, {_ann_bucket_sql(0)} AS bucket FROM p
+    UNION ALL
+    SELECT vec_id, {_ann_bucket_sql(1)} AS bucket FROM p
+),
+qbase AS (
+    SELECT vec_id, bucket FROM ckeys WHERE vec_id < 50
+),
+qkeys AS (
+    SELECT vec_id, bucket FROM qbase
+    UNION ALL
+    SELECT vec_id,
+           bucket + CASE WHEN bucket % 2 = 0 THEN 1 ELSE -1 END AS bucket
+    FROM qbase
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+    FROM qkeys q JOIN ckeys c USING (bucket)
+    WHERE c.vec_id != q.vec_id
+),
+ascored AS (
+    SELECT c.qid, c.nid,
+           list_dot_product(pq.v, pn.v) / (pq.nrm * pn.nrm) AS cos_sim
+    FROM cand c
+    JOIN p pq ON pq.vec_id = c.qid
+    JOIN p pn ON pn.vec_id = c.nid
+),
+ann AS (
+    SELECT qid, nid, rnk AS a_rnk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, nid ASC) AS rnk
+        FROM ascored
+    ) WHERE rnk <= 10
+),
+joined AS (
+    SELECT e.qid, e.nid, e.e_rnk, a.a_rnk
+    FROM exact e JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+),
+nqv AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM p WHERE vec_id < 50),
+hits AS (
+    SELECT k.k,
+           SUM(CASE WHEN j.e_rnk <= k.k AND j.a_rnk <= k.k
+                    THEN 1 ELSE 0 END) AS hits
+    FROM (VALUES (1), (5), (10)) k(k)
+    LEFT JOIN joined j ON TRUE
+    GROUP BY k.k
+)
+SELECT CAST(h.k AS INT) AS k,
+       CAST(h.hits AS BIGINT) AS hits,
+       CAST(n.n_queries AS BIGINT) AS n_queries,
+       CAST(h.hits AS DOUBLE) / CAST(n.n_queries * h.k AS DOUBLE) AS recall
+FROM hits h, nqv n
+ORDER BY k
+"""

@@ -5368,3 +5368,290 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mmr_rerank(emb, queries_df, k=5, pool=20).orderBy(
         "qid", "mmr_rank"
     )
+
+
+@query("winnowing_fingerprints")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style robust winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03)
+    over the corpus: per document, select the min-hash of every window
+    of w=4 consecutive 4-gram hashes (rightmost tie-break) and report
+    the fingerprint profile — count, density vs total grams, and exact
+    value digests (mod-sum / min / max of the selected signed-64 md5
+    heads) the oracle replays bit-for-bit. Generalizes the reference's
+    whole-file SHA-256 identity (internal/migration/migration.go:19-23)
+    to position-robust content fingerprints. Everything is per-document
+    (operators/dedup.py:winnow_fingerprints — hash shuffle on doc_id,
+    bounded ×w explode, no global sort), so the shape is
+    embarrassingly parallel at corpus scale."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    fps = DD.winnow_fingerprints(docs, k=4, w=4)
+    agg = fps.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum(F.col("hval") % F.lit(1000000007)).alias("fp_modsum"),
+        F.min("hval").alias("fp_min"),
+        F.max("hval").alias("fp_max"),
+    )
+    ngrams = docs.select(
+        "doc_id",
+        F.greatest(F.size(TX.tokens("text")) - F.lit(3), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return (
+        ngrams.join(agg.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_fps", F.lit(0)) / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fp_density"),
+            F.coalesce("fp_modsum", F.lit(0)).cast("long").alias("fp_modsum"),
+            F.coalesce("fp_min", F.lit(0)).cast("long").alias("fp_min"),
+            F.coalesce("fp_max", F.lit(0)).cast("long").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("semdedup_embeddings")
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = fixed-point k-means
+    clustering + exact 64-dim cosine pruning WITHIN clusters only — the
+    clusters bound the quadratic pair blow-up, which is why this scales
+    where dedup_embedding's LSH buckets trade recall for speed. Keeps
+    the smallest-id representative of every semantic duplicate set
+    (cosine ≥ τ=0.3 to a smaller-id cluster-mate → removed). The whole
+    trajectory (Lloyd iterations in integer arithmetic + sequential-fold
+    cosine) is bit-exact, so the oracle replays clustering AND pruning
+    (operators/similarity.py:semdedup_flags)."""
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup_flags(
+        emb, k=4, dims=16, iters=2, tau=0.3, dim=64
+    ).orderBy("vec_id")
+
+
+@query("moss_matches")
+def moss_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match step over the corpus: top-25 document pairs by
+    shared winnowed fingerprints (k=4, w=4, hot-fingerprint cap 50) with
+    containment ratio against the smaller fingerprint set. This is what
+    the winnowing_fingerprints profile exists FOR — ranking
+    partial-overlap pairs the way the plagiarism-detection service does
+    (Schleimer/Wilkerson/Aiken SIGMOD'03 §4). Candidate generation is an
+    equi-join on the 8-byte fingerprint value after the df cap — the same
+    sub-quadratic shape as ngram_jaccard_pairs, never all-pairs."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        DD.moss_match_pairs(docs, k=4, w=4, max_df=50)
+        .orderBy(
+            F.desc("shared"), F.asc("doc_a"), F.asc("doc_b")
+        )
+        .limit(25)
+    )
+
+
+@query("fuzzy_name_pairs")
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy SELF-JOIN via the FastSS deletion
+    neighborhood (operators/dedup.fastss_pairs): candidate duplicate
+    customer records whose names are ONE keystroke apart — the classic
+    entity-resolution reconciliation (typo_distance is the scalar; this
+    is the join). Candidates come from a delete-1 signature equi-join
+    (O(Σ len) signature rows, NO all-pairs anywhere), verification is
+    exact levenshtein == 1 — the same integer DP in both engines. Each
+    pair carries both balances and a same-segment flag (same-segment
+    near-identical names are the merge candidates). The query scopes to
+    the c_custkey < 1000 reconciliation batch for a bounded, sf-stable
+    result; the operator itself runs uncapped at corpus scale — at 10⁹
+    names it is still one hash join on 8-40-byte signature strings."""
+    ensure_deterministic(spark)
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 1000
+    )
+    pairs = DD.fastss_pairs(
+        cust.select(F.col("c_name").alias("term")), term_col="term",
+        min_len=4,
+    )
+    a = cust.select(
+        F.col("c_name").alias("term_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = cust.select(
+        F.col("c_name").alias("term_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    return (
+        pairs.join(a, "term_a")
+        .join(b, "term_b")
+        .select(
+            F.col("term_a").alias("name_a"),
+            F.col("term_b").alias("name_b"),
+            "bal_a",
+            "bal_b",
+            (F.col("seg_a") == F.col("seg_b")).cast("int").alias(
+                "same_segment"
+            ),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query("bm25_search")
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Walker, Okapi TREC-3) for the fixed
+    query ('hash', 'join', 'stream') with k1=1.2, b=0.75: adds the two
+    things keyword_search's raw TF-IDF lacks — tf saturation and document
+    -length normalization. Log-free idf (the unigram_score discipline):
+    idf = ((10^9·N) div df) / 10^9, an exact integer ratio, so no
+    engine's ln() is in the pipeline; every remaining double op (the
+    per-term saturation ratio, the fixed-order 3-term sum) is written
+    with identical literals and left-to-right order in Spark and the
+    oracle, keeping scores bit-identical. Shape: term filter prunes the
+    token stream to 3 terms immediately; df and the (N, avgdl) scalars
+    are 1-row broadcasts; one hash aggregation per doc — the standard
+    posting-list scan at 100 TB."""
+    ensure_deterministic(spark)
+    TERMS = ["hash", "join", "stream"]
+    SCALE = 10**9
+    K1, B = 1.2, 0.75
+    docs = read_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(TX.tokens("text")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    ).filter(F.col("tok").isin(TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc term columns in FIXED order so the 3-term sum is
+    # left-to-right identical on both engines
+    wide = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, F.col("tf")).otherwise(0)).alias(
+                f"tf_{t}"
+            )
+            for t in TERMS
+        ]
+    )
+    # 3 rows (one per query term) — a bounded driver-side lookup, same
+    # contract as keyword_search's n_docs scalar
+    idf = {
+        r["tok"]: r["idf_int"]
+        for r in df_t.join(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.expr(f"CAST({SCALE} AS BIGINT) * n_docs div df").alias(
+                "idf_int"
+            ),
+        )
+        .collect()
+    }
+    scored = wide.join(dl, "doc_id").join(F.broadcast(stats))
+
+    def term_score(t: str):
+        tfc = F.col(f"tf_{t}").cast("double")
+        norm = F.lit(K1) * (
+            F.lit(1.0)
+            - F.lit(B)
+            + F.lit(B)
+            * F.col("dl").cast("double")
+            / (
+                F.col("total_dl").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+        )
+        idf_d = F.lit(int(idf.get(t, 0))).cast("double") / F.lit(
+            float(SCALE)
+        )
+        return F.when(
+            F.col(f"tf_{t}") > 0,
+            idf_d * (tfc * F.lit(K1 + 1.0)) / (tfc + norm),
+        ).otherwise(F.lit(0.0))
+
+    s = term_score(TERMS[0])
+    for t in TERMS[1:]:
+        s = s + term_score(t)
+    return (
+        scored.withColumn("bm25", s)
+        .select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf_{t}").cast("long").alias(f"tf_{t}") for t in TERMS],
+            "bm25",
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query("ann_recall_curve")
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k calibration of the LSH ANN index against exact search —
+    the "measure, don't guess" loop for the similarity family (the ANN
+    twin of jaccard_est_error's MinHash calibration): for the same 50
+    queries and the same index parameters as similarity_ann_lsh (8 bits,
+    2 tables, 1 probe), what fraction of the TRUE top-k does the index
+    return at k = 1, 5, 10? Both legs are bit-exact (Arrow kernel
+    sequential-fold cosine on the exact leg, md5-literal hyperplanes on
+    the ANN leg), so even this meta-query has a full value oracle. Exact
+    integer hit counts; one double division at the end."""
+    from ..functions.portable_hash import lsh_component
+
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    exact = SIM.cosine_topk_arrow(emb, queries_df, k=10).select(
+        "qid", "nid", F.col("rnk").alias("e_rnk")
+    )
+    ann = SIM.ann_lsh_topk(
+        emb, queries_df, k=10, num_bits=8, num_probes=1,
+        components=lsh_component,
+    ).select("qid", "nid", F.col("rnk").alias("a_rnk"))
+    nq = queries_df.agg(
+        F.countDistinct("vec_id").alias("n_queries")
+    )
+    hits = exact.join(ann, ["qid", "nid"]).agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("e_rnk") <= kk) & (F.col("a_rnk") <= kk), 1
+                ).otherwise(0)
+            ).alias(f"h{kk}")
+            for kk in (1, 5, 10)
+        ]
+    )
+    curve = hits.join(F.broadcast(nq)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kk).alias("k"),
+                        F.col(f"h{kk}").cast("long").alias("hits"),
+                    )
+                    for kk in (1, 5, 10)
+                ]
+            )
+        ).alias("s"),
+        "n_queries",
+    )
+    return curve.select(
+        F.col("s.k").alias("k"),
+        F.col("s.hits").alias("hits"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (
+            F.col("s.hits").cast("double")
+            / (F.col("n_queries") * F.col("s.k")).cast("double")
+        ).alias("recall"),
+    ).orderBy("k")
