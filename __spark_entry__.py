@@ -42,7 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # (4) the rest of the r03 wave re-certifies behind if the window
 # stretches; earlier green rows stand otherwise.
 _RECHECK_FIRST = [
-    # (1) never inside a driver check window (r01 ∪ r02 ∪ r03)
+    # (0) r04 verdict item 1: the ONLY query with no driver/cert record
+    # (registered in the final r04 commit after the cert sweep) — first.
+    "ann_recall_curve",
+    # (0b) new in round 5
+    "retrieval_eval",
+    # (0c) r05 plan changes without semantic change (de-globalized
+    # windows per r04 verdict items 2-3) — must re-certify
+    "order_price_quartiles", "top_terms",
+    # (1) never inside a driver check window before r04 (r04-green)
     "forecast_revenue", "user_retention_cohorts", "dedup_consensus",
     "orders_nested", "events_copair_hourly_stream", "augment_dropout",
     "bpe_first_merges", "unigram_score", "jaccard_est_error",

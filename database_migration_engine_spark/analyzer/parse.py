@@ -67,7 +67,10 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
         if eol == -1:
             start = n
             return n
-        m = re.search(r"(?m)^\\\.[ \t]*$", sql[eol + 1:])
+        # \r? tolerates CRLF dumps: without it the '\.'‑terminator of a
+        # \r\n file never matches and everything after the first COPY
+        # block would silently vanish from analysis (r04 advice item)
+        m = re.search(r"(?m)^\\\.[ \t]*\r?$", sql[eol + 1:])
         if not m:
             start = n
             return n

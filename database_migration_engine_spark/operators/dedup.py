@@ -355,42 +355,25 @@ def simhash64(
         F.col(id_col).alias("doc"), F.explode(tokens(content_col)).alias("tok")
     )
     if hash_fn == "md5":
-        # nibbles materialize ONCE per token (16 substr/instr), then each
-        # bit probe is 3 integer ops — the per-bit hex_bit_sql form
-        # re-parsed its nibble inside all 64 aggregates (4× the parsing
-        # and much larger generated code; see the codegen-cache note in
-        # SCALE.md)
+        # The md5-derived 64-bit value materializes as ONE signed long
+        # (two conv'd 32-bit halves; the high half recentred before the
+        # 2^32 scale-up so no product leaves the signed-64 range even
+        # under ANSI overflow checks). Each bit probe is then a shift +
+        # mask on a register — same shape as the xxhash64 fast path.
+        # Earlier forms kept 16 nibble columns (r04) or re-parsed the
+        # nibble inside all 64 aggregates (r03); this is ~8× less string
+        # work per token and much smaller generated code.
+        hi = "cast(conv(substr(thx, 1, 8), 16, 10) as bigint)"
+        lo = "cast(conv(substr(thx, 9, 8), 16, 10) as bigint)"
         tok = tok.withColumn("thx", F.md5("tok")).select(
             "doc",
-            *[
-                F.expr(
-                    f"instr('0123456789abcdef', substr(thx, {c}, 1)) - 1"
-                ).alias(f"nib{c}")
-                for c in range(1, 17)
-            ],
+            F.expr(
+                f"(CASE WHEN {hi} >= 2147483648 THEN {hi} - 4294967296 "
+                f"ELSE {hi} END) * 4294967296 + {lo}"
+            ).alias("th"),
         )
-        bit_sums = [
-            F.sum(
-                F.when(
-                    F.expr(
-                        f"(nib{16 - b // 4} div {2 ** (b % 4)}) % 2"
-                    )
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
-        sums = tok.groupBy("doc").agg(*bit_sums)
-        fingerprint = None
-        for b in range(64):
-            bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            shifted = F.shiftleft(bit, b)
-            fingerprint = shifted if fingerprint is None else fingerprint + shifted
-        return sums.select("doc", fingerprint.alias("simhash"))
-    tok = tok.withColumn("th", F.xxhash64("tok"))
+    else:
+        tok = tok.withColumn("th", F.xxhash64("tok")).select("doc", "th")
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)

@@ -68,9 +68,12 @@ def quantized_points(
 def _floordiv(s, n):
     """Exact floored integer division for possibly-negative sums —
     identical in Spark and DuckDB because both '%' truncate and the
-    adjusted dividend divides exactly."""
-    pmod = ((s % n) + n) % n
-    return ((s - pmod) / n).cast("long")
+    adjusted dividend divides exactly. Uses SQL ``div`` (pure 64-bit
+    integer division) rather than ``/`` + cast: the double round-trip
+    is only exact below 2^53, and fixed-point coordinate sums of very
+    large clusters can exceed that (r04 advice item). ``s``/``n`` are
+    column NAMES (SQL ``div`` has no Column-API spelling)."""
+    return F.expr(f"({s} - ((({s} % {n}) + {n}) % {n})) div {n}").cast("long")
 
 
 def _assign(pts: DataFrame, cent: DataFrame, n_best: int = 1) -> DataFrame:
@@ -101,7 +104,7 @@ def _update(pts: DataFrame, asg: DataFrame) -> DataFrame:
         .groupBy("cid", "pos")
         .agg(F.sum("ival").alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
-            "cid", "pos", _floordiv(F.col("s"), F.col("n")).alias("cval")
+            "cid", "pos", _floordiv("s", "n").alias("cval")
         )
     )
 

@@ -45,13 +45,32 @@ def values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFr
     ``createDataFrame(list)`` whose Python-RDD plan costs seconds per
     evaluation (verify-skill gotcha)."""
 
+    import math
+
     def lit(v) -> str:
         if v is None:
             return "NULL"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
-        return repr(v)
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return repr(v)
+        if isinstance(v, float):
+            if not math.isfinite(v):
+                raise TypeError(
+                    f"values_df: non-finite float {v!r} has no SQL literal"
+                )
+            return repr(v)
+        raise TypeError(
+            f"values_df: unsupported literal type {type(v).__name__} "
+            "(accepted: None, str, bool, int, finite float)"
+        )
 
+    if not rows:
+        raise ValueError(
+            "values_df: need at least one row (VALUES () is invalid SQL)"
+        )
     vals = ", ".join(
         "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
     )
@@ -62,12 +81,19 @@ def _bucket_expr(
     col: Column, boundaries: list[float], ascending: bool
 ) -> Column:
     """0-based bucket index: #boundaries strictly before ``col`` in sort
-    order. A pure deterministic function of the row's own value."""
+    order. A pure deterministic function of the row's own value.
+
+    NULLs go where Spark's default null ordering puts them — first under
+    ``asc`` (bucket 0, where ``asc_nulls_first`` then sorts them ahead
+    of every value) and last under ``desc`` (the final bucket, where
+    ``desc_nulls_last`` sorts them behind every value) — so global ranks
+    of NULL rows agree with an unpartitioned ORDER BY."""
     b = F.lit(0)
     for v in boundaries:
         hit = (col > F.lit(v)) if ascending else (col < F.lit(v))
         b = b + F.when(hit, 1).otherwise(0)
-    return b
+    null_bucket = F.lit(0) if ascending else F.lit(len(boundaries))
+    return F.when(col.isNull(), null_bucket).otherwise(b)
 
 
 def bucket_boundaries(
@@ -128,6 +154,12 @@ def with_global_ranks(
         g = tuple(row[c] for c in pcols)
         offsets[(g, row["_bkt"])] = totals.get(g, 0)
         totals[g] = totals.get(g, 0) + row["_n"]
+    if not counts:  # empty input: no offsets to join; ranks are vacuous
+        out = dfb.drop("_bkt")
+        for c in (rn_col, rank_col, cume_cnt_col):
+            if c:
+                out = out.withColumn(c, F.lit(None).cast("int"))
+        return out, (0 if not pcols else {})
     spark = df.sparkSession
     off_rows = [
         (*g, bkt, off) for (g, bkt), off in offsets.items()

@@ -1029,7 +1029,7 @@ def semdedup_flags(
         ids = ids[order]
         mat = np.array(
             [np.asarray(v) for v in pdf["vec"]], dtype=np.float64
-        )[order]
+        )[order][:, :dim]
         n = ids.shape[0]
         norms = _seq_norms(mat)
         dots = np.zeros((n, n), dtype=np.float64)

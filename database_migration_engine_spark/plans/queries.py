@@ -1456,29 +1456,65 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile interpolation (Spark and DuckDB disagree on continuous
     quantile FP evaluation). q1/q3 are lower discrete quantiles (actual
     row values); the median averages the two middle rows (one IEEE
-    addition + halving, identical both engines)."""
+    addition + halving, identical both engines).
+
+    Scale shape (r04 verdict item 2): `o_orderpriority` has only 5
+    distinct values, so `Window.partitionBy(priority)` would funnel
+    ~20% of the fact table through ONE task's sort at 100×. The
+    per-class row_number instead comes from the two-pass bucketed rank
+    (operators/ranks.py) — every window is partitioned by (class,
+    price bucket) — and the quartile row indices are computed
+    driver-side from the tiny per-class totals, exactly as
+    `price_percentiles_cont` does for the same key."""
     ensure_deterministic(spark)
     orders = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    cw = Window.partitionBy("o_orderpriority")
-    staged = orders.select(
-        "o_orderpriority",
+    ranked, totals = RK.with_global_ranks(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cw).alias("n"),
+        ["o_orderkey"],
+        partition_cols=["o_orderpriority"],
     )
-    pick = lambda idx_expr: F.max(  # noqa: E731 — exactly one row matches
-        F.when(F.col("rn") == F.expr(idx_expr), F.col("o_totalprice"))
+    probes = [
+        (
+            pri,
+            n,
+            (n + 3) // 4,
+            (n + 1) // 2,
+            (n + 2) // 2,
+            (3 * n + 3) // 4,
+        )
+        for (pri,), n in totals.items()
+    ]
+    probe_df = RK.values_df(
+        spark, probes,
+        ["o_orderpriority", "n_orders", "q1_rn", "m1_rn", "m2_rn", "q3_rn"],
+    )
+    hit = (
+        ranked.select("o_orderpriority", "rn", "o_totalprice")
+        .join(F.broadcast(probe_df), "o_orderpriority")
+        .filter(
+            (F.col("rn") == F.col("q1_rn"))
+            | (F.col("rn") == F.col("m1_rn"))
+            | (F.col("rn") == F.col("m2_rn"))
+            | (F.col("rn") == F.col("q3_rn"))
+        )
+    )
+    pick = lambda c: F.max(  # noqa: E731 — exactly one row matches
+        F.when(F.col("rn") == F.col(c), F.col("o_totalprice"))
     )
     return (
-        staged.groupBy("o_orderpriority")
+        hit.groupBy("o_orderpriority", "n_orders")
         .agg(
-            F.max("n").alias("n_orders"),
-            pick("(n + 3) div 4").alias("q1_price"),
-            ((pick("(n + 1) div 2") + pick("(n + 2) div 2")) / 2).alias(
-                "median_price"
-            ),
-            pick("(3 * n + 3) div 4").alias("q3_price"),
+            pick("q1_rn").alias("q1_price"),
+            ((pick("m1_rn") + pick("m2_rn")) / 2).alias("median_price"),
+            pick("q3_rn").alias("q3_price"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "q1_price",
+            "median_price",
+            "q3_price",
         )
         .orderBy("o_orderpriority")
     )
@@ -1636,21 +1672,36 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(~F.col("token").isin(stops))
     )
-    ranked = (
-        tok.groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.desc("df"), F.asc("token")
-                )
-            ),
-        )
+    # Two-phase top-k (r04 verdict item 3): a per-source window over the
+    # full (source, token) frame holds vocab-size rows in ONE task at
+    # corpus scale. Instead each shuffle partition keeps its local top-5
+    # per source (any global top-5 term is in its partition's local
+    # top-5 under the same total order), then only ≤5×P candidate rows
+    # per source merge. Sort key struct(-df, token) makes sort_array's
+    # ascending order exactly (df DESC, token ASC); correctness never
+    # depends on which partition a token hashes to.
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    key = F.struct((-F.col("df")).alias("negdf"), F.col("token").alias("token"))
+    local = (
+        counts.withColumn("_pid", F.spark_partition_id())
+        .groupBy("source", "_pid")
+        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, 5).alias("top"))
+    )
+    merged = (
+        local.select("source", F.explode("top").alias("t"))
+        .groupBy("source")
+        .agg(F.slice(F.sort_array(F.collect_list("t")), 1, 5).alias("top"))
     )
     return (
-        ranked.filter(F.col("rnk") <= 5)
-        .select("source", "token", "df", F.col("rnk").cast("int").alias("rnk"))
+        merged.select("source", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "source",
+            F.col("t.token").alias("token"),
+            (-F.col("t.negdf")).alias("df"),
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+        )
         .orderBy("source", "rnk")
     )
 

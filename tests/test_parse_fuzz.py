@@ -435,3 +435,28 @@ def test_routine_bodies_do_not_leak_rule_triggers(routine, neighbor):
         P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
         n_exp,
     )
+
+
+@given(
+    ident_pair(),
+    st.lists(_PAYLOAD_ROW, min_size=1, max_size=4),
+    _ANY_STMT,
+    st.sampled_from(["\r\n", "\n"]),
+)
+@settings(max_examples=80, deadline=None)
+def test_copy_stdin_payload_skipped_with_crlf(table, rows, after, eol):
+    """r04 advice item (medium): a CRLF dump's terminator line is
+    '\\.\r\n' — the skipper must still find it, or every statement after
+    the first COPY block silently vanishes from analysis."""
+    traw, tnorm = table
+    a_sql, a_exp = after
+    text = eol.join(
+        [f"COPY {traw} (a, b) FROM STDIN;", *rows, "\\.", a_sql + ";", ""]
+    )
+    parsed = P.parse_sql(text)
+    expected = [{"stmt_type": "copy", "table": tnorm}, a_exp]
+    assert len(parsed) == len(expected), (text, parsed)
+    for row, exp in zip(parsed, expected):
+        _check_features(
+            P.classify_statement(row["stmt_index"], row["stmt_sql"]), exp
+        )

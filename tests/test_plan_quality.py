@@ -244,6 +244,26 @@ def test_orders_pareto_topk_before_window(spark):
     assert plan.count("SinglePartition") == 1
 
 
+def test_order_price_quartiles_no_low_cardinality_window(spark):
+    """r04 verdict item 2: the 5-value priority key made each window
+    partition ~20% of the fact table in one task. The bucketed-rank
+    rewrite partitions every window by (class, price bucket) — no
+    single-partition exchange may appear."""
+    plan = _plan(spark, "order_price_quartiles")
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # probe indices join by broadcast
+
+
+def test_top_terms_two_phase_no_vocab_window(spark):
+    """r04 verdict item 3: per-source row_number over the full vocab
+    holds tens of millions of rows in one window partition at corpus
+    scale. The two-phase top-k has no Window at all — partial top-5 per
+    shuffle partition, then a ≤5×P-row merge."""
+    plan = _plan(spark, "top_terms")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_kmeans_broadcasts_centroids_no_cartesian(spark):
     """Each Lloyd iteration joins the k·dims centroid table by
     broadcast; a shuffle or cartesian there would serialize training."""

@@ -97,3 +97,59 @@ def test_partitioned_groups_rank_independently(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_null_values_rank_like_spark_null_ordering(spark):
+    """r04 advice item: NULLs must land where Spark's default null
+    ordering puts them — first under asc, last under desc — in both
+    the bucket assignment AND the in-bucket window sort."""
+    rows = [(3.0, 0), (None, 1), (1.0, 2), (None, 3), (2.0, 4)]
+    df = spark.createDataFrame(rows, "val double, tie long")
+    asc, _ = RK.with_global_ranks(df, "val", ["tie"], buckets=2, rn_col="rn")
+    got_asc = {r.tie: r.rn for r in asc.collect()}
+    # asc_nulls_first: the two NULL rows (ties 1, 3) take rn 1-2
+    assert got_asc == {1: 1, 3: 2, 2: 3, 4: 4, 0: 5}
+    desc, _ = RK.with_global_ranks(
+        df, "val", ["tie"], ascending=False, buckets=2, rn_col="rn"
+    )
+    got_desc = {r.tie: r.rn for r in desc.collect()}
+    # desc_nulls_last: NULLs take the final ranks
+    assert got_desc == {0: 1, 4: 2, 2: 3, 1: 4, 3: 5}
+
+
+def test_empty_input_returns_empty_with_rank_columns(spark):
+    """r04 advice item: zero input rows used to render invalid
+    'VALUES ' SQL; now the helper short-circuits."""
+    df = spark.createDataFrame([], "val double, tie long")
+    out, total = RK.with_global_ranks(
+        df, "val", ["tie"], rn_col="rn", rank_col="rk"
+    )
+    assert total == 0
+    assert out.count() == 0
+    assert {"rn", "rk"} <= set(out.columns)
+    grouped, gtotals = RK.with_global_ranks(
+        df.withColumn("g", F.lit("x")), "val", ["tie"],
+        partition_cols=["g"], rn_col="rn",
+    )
+    assert gtotals == {}
+    assert grouped.count() == 0
+
+
+def test_values_df_rejects_unrenderable_literals(spark):
+    """r04 advice item: types repr() would render as invalid SQL must
+    raise a clear TypeError instead of failing at parse time."""
+    import datetime
+
+    import pytest
+
+    ok = RK.values_df(
+        spark, [(1, "a", 1.5, True, None)], ["i", "s", "f", "b", "n"]
+    )
+    row = ok.collect()[0]
+    assert (row.i, row.s, row.f, row.b, row.n) == (1, "a", 1.5, True, None)
+    with pytest.raises(ValueError):
+        RK.values_df(spark, [], ["x"])
+    with pytest.raises(TypeError):
+        RK.values_df(spark, [(datetime.date(2024, 1, 1),)], ["d"])
+    with pytest.raises(TypeError):
+        RK.values_df(spark, [(float("inf"),)], ["f"])
