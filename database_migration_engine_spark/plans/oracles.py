@@ -4526,3 +4526,129 @@ SELECT CAST(h.k AS INT) AS k,
 FROM hits h, nqv n
 ORDER BY k
 """
+
+
+# --- retrieval_eval (r05) ---------------------------------------------------
+# MRR/NDCG@10 of keyword / bm25 / hybrid-RRF vs exact-cosine relevance.
+# The NDCG discounts and IDCG are the SAME frozen Python integers the
+# Spark plan uses (functions/retrieval_metrics.py), so DCG is an exact
+# integer sum and each float is one division of exact integers.
+from ..functions.retrieval_metrics import (  # noqa: E402
+    DISCOUNTS_INT as _RE_DISC,
+    IDCG_INT as _RE_IDCG,
+    K_EVAL as _RE_K,
+)
+
+_RE_DISC_VALUES = ", ".join(
+    f"({pos}, {_RE_DISC[pos - 1]})" for pos in range(1, _RE_K + 1)
+)
+
+ORACLES["retrieval_eval"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hits_t AS (
+    SELECT doc_id, tok FROM toks WHERE tok IN ('hash', 'join', 'stream')
+),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM hits_t GROUP BY doc_id, tok
+),
+idf AS (
+    SELECT tok,
+           (CAST(1000000000 AS BIGINT)
+            * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS idf_int
+    FROM tf GROUP BY tok
+),
+kw_scored AS (
+    SELECT t.doc_id, CAST(SUM(t.tf * i.idf_int) AS BIGINT) AS score_int
+    FROM tf t JOIN idf i USING (tok) GROUP BY t.doc_id
+),
+kw50 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_int DESC, doc_id) AS rnk
+    FROM (SELECT * FROM kw_scored ORDER BY score_int DESC, doc_id LIMIT 50)
+),
+prepared AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+vpairs AS (
+    SELECT n.vec_id AS doc_id,
+           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+    FROM prepared q, prepared n
+    WHERE q.vec_id = 0 AND n.vec_id != 0
+),
+vec50 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+    FROM (SELECT * FROM vpairs ORDER BY cos_sim DESC, doc_id LIMIT 50)
+),
+rel AS (
+    SELECT doc_id, {_RE_K} + 1 - rnk AS gain FROM vec50 WHERE rnk <= {_RE_K}
+),
+dl AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+wide AS (
+    SELECT doc_id,
+           SUM(CASE WHEN tok = 'hash' THEN tf ELSE 0 END) AS tf_hash,
+           SUM(CASE WHEN tok = 'join' THEN tf ELSE 0 END) AS tf_join,
+           SUM(CASE WHEN tok = 'stream' THEN tf ELSE 0 END) AS tf_stream
+    FROM tf GROUP BY doc_id
+),
+bscored AS (
+    SELECT w.doc_id,
+           {_bm25_term("hash")} + {_bm25_term("join")}
+               + {_bm25_term("stream")} AS bm25
+    FROM wide w JOIN dl d USING (doc_id), stats
+),
+bm10 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM (SELECT * FROM bscored ORDER BY bm25 DESC, doc_id LIMIT {_RE_K})
+),
+fused AS (
+    SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + k.rnk), 0.0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + v.rnk), 0.0) AS rrf_score
+    FROM kw50 k FULL OUTER JOIN vec50 v ON k.doc_id = v.doc_id
+),
+hy10 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+    FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RE_K})
+),
+systems AS (
+    SELECT 'keyword' AS system, doc_id, rnk FROM kw50 WHERE rnk <= {_RE_K}
+    UNION ALL
+    SELECT 'bm25' AS system, doc_id, rnk FROM bm10
+    UNION ALL
+    SELECT 'hybrid_rrf' AS system, doc_id, rnk FROM hy10
+),
+disc (rnk, disc_int) AS (VALUES {_RE_DISC_VALUES}),
+joined AS (
+    SELECT s.system, s.rnk, r.gain, d.disc_int
+    FROM systems s
+    JOIN disc d USING (rnk)
+    LEFT JOIN rel r USING (doc_id)
+),
+per AS (
+    SELECT system,
+           SUM(CASE WHEN gain IS NOT NULL
+                    THEN gain * disc_int ELSE 0 END) AS dcg_int,
+           MIN(CASE WHEN gain IS NOT NULL THEN rnk END) AS first_rel,
+           SUM(CASE WHEN gain IS NOT NULL THEN 1 ELSE 0 END) AS hits
+    FROM joined GROUP BY system
+)
+SELECT system,
+       CAST(COALESCE(first_rel, 0) AS INT) AS first_rel_rank,
+       CAST(hits AS BIGINT) AS hits_at_k,
+       CASE WHEN first_rel IS NOT NULL
+            THEN CAST(1 AS DOUBLE) / first_rel ELSE 0.0 END AS mrr,
+       CAST(dcg_int AS BIGINT) AS dcg_int,
+       CAST(dcg_int AS DOUBLE) / CAST({_RE_IDCG} AS DOUBLE) AS ndcg
+FROM per ORDER BY system
+"""

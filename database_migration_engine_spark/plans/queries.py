@@ -5241,7 +5241,12 @@ def events_copair_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = SE.heartbeat_stream_dir(
         sf_dir, app_id=spark.sparkContext.applicationId
     )
-    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
+    # width 8 (not the single-stateful queries' 4): the join-state put
+    # path is this query's only data-dependent cost, and it halves with
+    # doubled state partitions while the extra 8 store commits stay on
+    # tmpfs (r05 measurements: w4 3.4-4.0 s, w8 3.25-3.4 s, w16 5.2 s
+    # at sf0.1 — beyond 8 the store-instance overhead wins)
+    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
         stream = SE.read_events_stream(
             spark, staged, max_files_per_trigger=2, glob="*.parquet"
         )
@@ -5706,3 +5711,231 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_queries") * F.col("s.k")).cast("double")
         ).alias("recall"),
     ).orderBy("k")
+
+
+@query("retrieval_eval")
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / NDCG@10 of the three lexical-side retrieval systems —
+    keyword (integer TF-IDF), BM25, hybrid RRF — against the exact
+    -cosine ranking as graded relevance (gain = 11 − cos_rank for the
+    top-10, 0 otherwise). The lexical twin of `ann_recall_curve`'s
+    vector-side calibration: "measure, don't guess" for the retrieval
+    family.
+
+    Determinism: NDCG discounts are frozen driver-side integers
+    (functions/retrieval_metrics.py), so DCG is an exact integer sum
+    and every emitted float is ONE division of exactly representable
+    integers. Scale shape: each system ranking is a distributed
+    top-k (TakeOrderedAndProject) with the rank window applied only
+    after the limit; gains/discounts join by broadcast; the metric
+    aggregation touches ≤30 rows."""
+    from ..functions.retrieval_metrics import DISCOUNTS_INT, IDCG_INT, K_EVAL
+    from ..functions.vectors import dot_unrolled
+
+    ensure_deterministic(spark)
+    TERMS = ["hash", "join", "stream"]
+    SCALE = 10**9
+    K1, B = 1.2, 0.75
+    RRF_K = 60
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # --- shared lexical statistics (keyword_search / bm25_search shapes)
+    dl = docs.select(
+        "doc_id", F.size(TX.tokens("text")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    ).filter(F.col("tok").isin(TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.withColumn(
+        "idf_int", F.expr(f"CAST({SCALE} AS BIGINT) * {n_docs} div df")
+    )
+
+    # --- keyword leg: integer TF-IDF, ranked top-50 (top-10 is a filter)
+    kw_scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_int")).alias("score_int"))
+    )
+    kw50 = (
+        kw_scored.orderBy(F.desc("score_int"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_int"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+
+    # --- vector leg: exact cosine vs doc 0 (also defines relevance)
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = SIM._prepared(
+        emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", "q", 64
+    )
+    c = SIM._prepared(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", "n", 64
+    )
+    cos = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            dot_unrolled("qvec", "nvec", 64)
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+        .select(F.col("nid").alias("doc_id"), "cos_sim")
+    )
+    vec50 = (
+        cos.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    rel = vec50.filter(F.col("rnk") <= K_EVAL).select(
+        "doc_id", (F.lit(K_EVAL + 1) - F.col("rnk")).alias("gain")
+    )
+
+    # --- bm25 leg (bm25_search scoring, ranked top-10)
+    wide = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, F.col("tf")).otherwise(0)).alias(
+                f"tf_{t}"
+            )
+            for t in TERMS
+        ]
+    )
+    idf_map = {
+        r["tok"]: r["idf_int"]
+        for r in idf.select("tok", "idf_int").collect()
+    }
+    bscored = wide.join(dl, "doc_id").join(F.broadcast(stats))
+
+    def term_score(t: str):
+        tfc = F.col(f"tf_{t}").cast("double")
+        norm = F.lit(K1) * (
+            F.lit(1.0)
+            - F.lit(B)
+            + F.lit(B)
+            * F.col("dl").cast("double")
+            / (
+                F.col("total_dl").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+        )
+        idf_d = F.lit(int(idf_map.get(t, 0))).cast("double") / F.lit(
+            float(SCALE)
+        )
+        return F.when(
+            F.col(f"tf_{t}") > 0,
+            idf_d * (tfc * F.lit(K1 + 1.0)) / (tfc + norm),
+        ).otherwise(F.lit(0.0))
+
+    s = term_score(TERMS[0])
+    for t in TERMS[1:]:
+        s = s + term_score(t)
+    bm10 = (
+        bscored.withColumn("bm25", s)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(K_EVAL)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+
+    # --- hybrid leg: RRF fusion of the two 50-deep legs, top-10
+    fused = (
+        kw50.withColumnRenamed("rnk", "kw_rank")
+        .join(
+            vec50.withColumnRenamed("rnk", "vec_rank"), "doc_id", "full_outer"
+        )
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+        )
+    )
+    hy10 = (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(K_EVAL)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+
+    systems = (
+        kw50.filter(F.col("rnk") <= K_EVAL)
+        .select(F.lit("keyword").alias("system"), "doc_id", "rnk")
+        .unionByName(
+            bm10.select(F.lit("bm25").alias("system"), "doc_id", "rnk")
+        )
+        .unionByName(
+            hy10.select(F.lit("hybrid_rrf").alias("system"), "doc_id", "rnk")
+        )
+    )
+    disc_df = RK.values_df(
+        spark,
+        [(pos, DISCOUNTS_INT[pos - 1]) for pos in range(1, K_EVAL + 1)],
+        ["rnk", "disc_int"],
+    )
+    per = (
+        systems.join(F.broadcast(disc_df), "rnk")
+        .join(F.broadcast(rel), "doc_id", "left")
+        .groupBy("system")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gain").isNotNull(),
+                    F.col("gain") * F.col("disc_int"),
+                ).otherwise(F.lit(0))
+            ).alias("dcg_int"),
+            F.min(
+                F.when(F.col("gain").isNotNull(), F.col("rnk"))
+            ).alias("first_rel"),
+            F.sum(F.col("gain").isNotNull().cast("int")).alias("hits"),
+        )
+    )
+    return (
+        per.select(
+            "system",
+            F.coalesce(F.col("first_rel"), F.lit(0))
+            .cast("int")
+            .alias("first_rel_rank"),
+            F.col("hits").cast("long").alias("hits_at_k"),
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.lit(1.0) / F.col("first_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+            F.col("dcg_int").cast("long").alias("dcg_int"),
+            (
+                F.col("dcg_int").cast("double")
+                / F.lit(IDCG_INT).cast("double")
+            ).alias("ndcg"),
+        )
+        .orderBy("system")
+    )

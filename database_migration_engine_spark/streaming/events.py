@@ -115,16 +115,34 @@ def run_to_memory(
     table_name: str | None = None,
 ) -> DataFrame:
     """Execute a streaming plan with availableNow into a memory sink and
-    return the result table (drains all available input, then stops)."""
+    return the result table (drains all available input, then stops).
+
+    The checkpoint (offset WAL + state-store deltas, committed once per
+    micro-batch per state partition) goes to tmpfs when available: a
+    memory-sink drain is non-durable BY DESIGN, so a RAM checkpoint
+    loses nothing while cutting the per-commit fsync tail (r04 verdict
+    item 4 — measured ~0.2-0.4 s per chained-stateful query at sf0.1).
+    Production writeStream sinks use durable checkpoint locations; this
+    helper is the drain-and-stop test/serving harness."""
+    import os
+    import shutil
+    import tempfile
+
     name = table_name or f"stream_result_{uuid.uuid4().hex[:8]}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ck = os.path.join(base, f"dbmig_ck_{name}")
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
