@@ -460,3 +460,81 @@ def test_copy_stdin_payload_skipped_with_crlf(table, rows, after, eol):
         _check_features(
             P.classify_statement(row["stmt_index"], row["stmt_sql"]), exp
         )
+
+
+# r05 fuzz round 3: nested dollar-quote tags + positional parameters.
+# PostgreSQL lexing: inside a $tag$ string the content is RAW until the
+# first exactly-matching close tag — differently-tagged "nested" quotes
+# and $$ sequences have no meaning there; `$` followed by a digit is a
+# positional parameter, never a dollar-quote opener.
+_INNER_DOLLAR = st.sampled_from([
+    "EXECUTE $$DROP TABLE users;$$;",
+    "PERFORM $q$VACUUM FULL;$q$;",
+    "x := $$ semicolon ; inside $$;",
+    "y := 'quote '' and ; semi';",
+    "EXECUTE format($fmt$CREATE INDEX i ON t (c);$fmt$);",
+    "w := $tagx$ raw $ text $tagx$;",
+])
+
+
+@given(
+    st.sampled_from(["$outer$", "$fn_1$", "$b0dy$"]),
+    st.lists(_INNER_DOLLAR, min_size=1, max_size=3),
+    _ANY_STMT,
+)
+@settings(max_examples=120, deadline=None)
+def test_nested_dollar_quotes_stay_one_statement(outer, inner, neighbor):
+    """A routine body holding $$-quoted snippets (with semicolons and
+    rule-trigger DDL) inside a differently-tagged outer quote is ONE
+    'other' statement; the next real statement still parses."""
+    n_sql, n_exp = neighbor
+    body = " BEGIN " + " ".join(inner) + " END; "
+    sql = (
+        f"CREATE FUNCTION nested() RETURNS void LANGUAGE plpgsql AS "
+        f"{outer}{body}{outer};\n{n_sql};"
+    )
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 2, (sql, parsed)
+    _check_features(
+        P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]),
+        {"stmt_type": "other", "table": None, "tables": []},
+    )
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
+
+
+@given(_ANY_STMT)
+@settings(max_examples=60, deadline=None)
+def test_positional_params_do_not_open_dollar_quotes(neighbor):
+    """$1/$2 are parameters: they must not be lexed as a dollar-quote
+    start (which would swallow every following statement)."""
+    n_sql, n_exp = neighbor
+    sql = f"PREPARE p (int) AS SELECT * FROM t WHERE id = $1 AND x > $2;\n{n_sql};"
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 2, (sql, parsed)
+    _check_features(
+        P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]),
+        {"stmt_type": "other", "table": None, "tables": []},
+    )
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
+
+
+@given(st.sampled_from(["$fn$", "$a$"]), _ANY_STMT)
+@settings(max_examples=60, deadline=None)
+def test_unterminated_dollar_quote_swallows_to_eof(tag, neighbor):
+    """An unterminated dollar quote runs to EOF (PostgreSQL would raise;
+    the recognizer's conservative behavior is one 'other' statement) —
+    locked in so a refactor can't silently change it to resplitting."""
+    n_sql, _ = neighbor
+    sql = f"CREATE FUNCTION broken() AS {tag} BEGIN SELECT 1; END;\n{n_sql};"
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 1, (sql, parsed)
+    _check_features(
+        P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]),
+        {"stmt_type": "other", "table": None, "tables": []},
+    )
