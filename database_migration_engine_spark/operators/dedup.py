@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.portable_hash import hex_bit_sql
 from ..functions.text import shingles, tokens
 from ..session import persist_bounded
+from .joins import corpus_join
 
 
 def dedup_exact(
@@ -114,18 +115,17 @@ def ngram_jaccard_pairs(
     # recompute per consumer; the helper unpersists the previous
     # invocation's frame so the cache never grows past one dataset
     # (r03 advice leak, without localCheckpoint's eager-job cost)
-    sh = persist_bounded("dedup.ngram_sh", sh.join(rare, "shingle"))
+    sh = persist_bounded("dedup.ngram_sh", corpus_join(sh, rare, "shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        corpus_join(sh.alias("a"), sh.alias("b"), "shingle")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        pairs.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        corpus_join(pairs, sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.hint("merge").withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -220,9 +220,11 @@ def minhash_lsh_pairs(
     )
 
     candidates = (
-        banded.toDF("doc_a", "band_id", "band_hash", "hs_a")
-        .join(banded.toDF("doc_b", "band_id", "band_hash", "hs_b"),
-              ["band_id", "band_hash"])
+        corpus_join(
+            banded.toDF("doc_a", "band_id", "band_hash", "hs_a"),
+            banded.toDF("doc_b", "band_id", "band_hash", "hs_b"),
+            ["band_id", "band_hash"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -317,9 +319,9 @@ def lsh_join_presigned(
     share their source text's signature) skip an entire
     tokenize→shingle→hash pass."""
     candidates = (
-        _banded_signatures(sig_new, num_hashes, bands, hash_fn)
-        .toDF("new_doc", "band_id", "band_hash", "hs_a")
-        .join(
+        corpus_join(
+            _banded_signatures(sig_new, num_hashes, bands, hash_fn)
+            .toDF("new_doc", "band_id", "band_hash", "hs_a"),
             _banded_signatures(sig_idx, num_hashes, bands, hash_fn)
             .toDF("index_doc", "band_id", "band_hash", "hs_b"),
             ["band_id", "band_hash"],
@@ -531,9 +533,8 @@ def exact_substr_spans(
         F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h"
     )
     anchors = (
-        pairs.select("doc_a", "doc_b")
-        .join(a, "doc_a")
-        .join(b, ["doc_b", "h"])
+        corpus_join(pairs.select("doc_a", "doc_b"), a, "doc_a")
+        .join(b.hint("merge"), ["doc_b", "h"])
         .withColumn("diag", F.col("pb") - F.col("pa"))
     )
     w_diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
@@ -602,7 +603,7 @@ def span_coverage(
         .select("h")
     )
     covered = (
-        sh.join(dup, "h")
+        corpus_join(sh, dup, "h")
         .select(
             id_col,
             F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("idx"),
@@ -612,8 +613,7 @@ def span_coverage(
         .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
     )
     return (
-        base.select(id_col, "n_tokens")
-        .join(covered, id_col, "left")
+        corpus_join(base.select(id_col, "n_tokens"), covered, id_col, "left")
         .withColumn("n_dup_tokens", F.coalesce("n_dup_tokens", F.lit(0)))
     )
 
@@ -647,22 +647,23 @@ def containment_pairs(
     )
     # bounded persist (see persist_bounded) — r03 advice item: a plain
     # persist here leaked one cached dataset per invocation
-    sh = persist_bounded("dedup.containment_sh", sh.join(rare, "shingle"))
+    sh = persist_bounded("dedup.containment_sh", corpus_join(sh, rare, "shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        corpus_join(sh.alias("a"), sh.alias("b"), "shingle")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        pairs.join(
+        corpus_join(
+            pairs,
             sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"),
             "doc_a",
         )
         .join(
-            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            sizes.hint("merge")
+            .withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
             "doc_b",
         )
         .withColumn("cont_a", F.col("common") / F.col("n_a"))
@@ -715,7 +716,7 @@ def winnow_fingerprints(
         "doc", "pos", F.expr(signed64_from_hex_sql("h")).alias("hval")
     )
     ng = grams.groupBy("doc").agg(F.max("pos").alias("max_pos"))
-    members = grams.join(ng, "doc").select(
+    members = corpus_join(grams, ng, "doc").select(
         "doc",
         "pos",
         "hval",
@@ -782,24 +783,25 @@ def moss_match_pairs(
         .filter(F.col("df_count") <= max_df)
         .select("hval")
     )
-    fp = persist_bounded("dedup.moss_fp", fp.join(rare, "hval"))
+    fp = persist_bounded("dedup.moss_fp", corpus_join(fp, rare, "hval"))
     sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     pairs = (
-        fp.alias("a")
-        .join(fp.alias("b"), "hval")
+        corpus_join(fp.alias("a"), fp.alias("b"), "hval")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
-        pairs.join(
+        corpus_join(
+            pairs,
             sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed(
                 "n_fp", "n_a"
             ),
             "doc_a",
         )
         .join(
-            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed(
+            sizes.hint("merge")
+            .withColumnRenamed("doc", "doc_b").withColumnRenamed(
                 "n_fp", "n_b"
             ),
             "doc_b",
@@ -861,8 +863,7 @@ def fastss_pairs(
         .alias("sig"),
     )
     return (
-        sigs.alias("a")
-        .join(sigs.alias("b"), "sig")
+        corpus_join(sigs.alias("a"), sigs.alias("b"), "sig")
         .filter(F.col("a.term") < F.col("b.term"))
         .select(
             F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")

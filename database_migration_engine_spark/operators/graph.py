@@ -31,6 +31,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .joins import corpus_join
+
 
 @contextmanager
 def _shuffle_width(spark, n: int | None):
@@ -95,7 +97,7 @@ def connected_components(
         prev_sum = None
         for _ in range(max_iter):
             propagated = sym.join(
-                labels, sym["a"] == labels["node"]
+                labels.hint("merge"), sym["a"] == labels["node"]
             ).select(F.col("b").alias("node"), F.col("label"))
             # localCheckpoint, not persist: each round references the
             # previous labels TWICE (union + join), so an uncheckpointed
@@ -131,7 +133,7 @@ def _star_round(sym: DataFrame, large: bool) -> DataFrame:
     """One large-star (attach strictly-greater neighbors to the
     neighborhood min) or small-star (attach ≤ neighbors) pass over a
     symmetric edge list; returns the new symmetric edge list."""
-    nb = sym.join(_neighborhood_min(sym), "a")
+    nb = corpus_join(sym, _neighborhood_min(sym), "a")
     if large:
         emitted = nb.filter(F.col("b") > F.col("a")).select(
             F.col("b").alias("x"), F.col("m").alias("y")
@@ -202,7 +204,7 @@ def connected_components_star(
         )
         labels = (
             nodes.select(F.col(node_col).alias("node"))
-            .join(roots, F.col("node") == roots["a"], "left")
+            .join(roots.hint("merge"), F.col("node") == roots["a"], "left")
             .select(
                 "node", F.coalesce("root", F.col("node")).alias("label")
             )
@@ -244,7 +246,8 @@ def label_propagation(
         ).localCheckpoint(eager=True)
         for _ in range(rounds):
             votes = (
-                sym.join(
+                corpus_join(
+                    sym,
                     labels.filter(F.col("lbl").isNotNull()).select(
                         F.col("node").alias("a"), "lbl"
                     ),
@@ -266,7 +269,7 @@ def label_propagation(
                 .select("node", F.col("lbl").alias("voted"))
             )
             labels = (
-                labels.join(picked, "node", "left")
+                corpus_join(labels, picked, "node", "left")
                 .select(
                     "node",
                     F.coalesce("lbl", "voted").alias("lbl"),

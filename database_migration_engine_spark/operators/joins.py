@@ -33,6 +33,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def corpus_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join two CORPUS-DERIVED frames with the join strategy pinned
+    to sort-merge — never broadcast.
+
+    Catalyst's size estimate for an explode→aggregate→filter subtree can
+    be arbitrarily wrong, and a wrong small estimate turns a corpus-sized
+    side into a BroadcastHashJoin build — fine at sf0.1, driver-OOM at
+    10× (observed: the banded-LSH self-join planned as a ~0.5 GB
+    broadcast in the r05 ×10 scale sweep), fatal at 100 TB. Every join in
+    the dedup/similarity family whose BOTH sides scale with the corpus
+    routes through this helper. MERGE (not SHUFFLE_HASH) because
+    sort-merge is the only strategy that spills BOTH sides: the same ×10
+    sweep drove shuffle-hash's per-partition build map out of execution
+    memory once the persisted signature cache had claimed the storage
+    pool. AQE skew-split still applies to SMJ, and the sorts feed the
+    (a<b)/groupBy stages that follow every candidate join here. Bounded
+    sides (centroids, probe lists, per-query top-k) keep using
+    ``F.broadcast`` explicitly — the inverse declaration."""
+    return left.join(right.hint("merge"), on, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

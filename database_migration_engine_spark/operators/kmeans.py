@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .joins import corpus_join
+
 SCALE = 1_000_000
 
 
@@ -100,7 +102,7 @@ def _assign(pts: DataFrame, cent: DataFrame, n_best: int = 1) -> DataFrame:
 def _update(pts: DataFrame, asg: DataFrame) -> DataFrame:
     """(cid, pos, cval): exact integer-mean centroids of each cluster."""
     return (
-        pts.join(asg.select("pid", "cid"), "pid")
+        corpus_join(pts, asg.select("pid", "cid"), "pid")
         .groupBy("cid", "pos")
         .agg(F.sum("ival").alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
@@ -136,7 +138,7 @@ def kmeans_fixed_point(
         )
     )
     cent = (
-        pts.join(seeds, "pid")
+        corpus_join(pts, seeds, "pid")
         .select("cid", "pos", F.col("ival").alias("cval"))
         .localCheckpoint(eager=True)
     )

@@ -28,6 +28,7 @@ from ..functions.vectors import (
     norm,
     norm_unrolled,
 )
+from .joins import corpus_join
 
 # cosine_pairs_arrow collects its query side to the driver; refuse
 # anything larger than a bounded re-rank/QA batch (see its docstring)
@@ -503,7 +504,8 @@ def ivf_topk(
     data-adaptive when the centroids come from a clustering pass."""
     c_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1)
     q_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
-    c = _prepared(corpus, id_col, vec_col, "n", dim).join(
+    c = corpus_join(
+        _prepared(corpus, id_col, vec_col, "n", dim),
         c_cells.withColumnRenamed("vid", "nid"), "nid"
     )
     q = _prepared(queries, id_col, vec_col, "q", dim).join(
@@ -778,8 +780,10 @@ def ivfpq_topk(
     q_cells = assign_ivf_cells(queries, centroids, id_col, vec_col,
                                nprobe=nprobe)
     cand = (
-        q_cells.withColumnRenamed("vid", "qid")
-        .join(c_cells.withColumnRenamed("vid", "nid"), "cell")
+        c_cells.withColumnRenamed("vid", "nid")
+        .join(
+            F.broadcast(q_cells.withColumnRenamed("vid", "qid")), "cell"
+        )
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
@@ -808,7 +812,7 @@ def ivfpq_topk(
         dist = dist + term
     per_sub = (
         cand.join(q_sub, "qid")
-        .join(codes, ["nid", "s"])
+        .join(codes.hint("merge"), ["nid", "s"])
         .join(F.broadcast(cb_sub), ["j", "s"])
         .withColumn("sdist", dist)
     )
@@ -838,7 +842,7 @@ def ivfpq_topk(
     n = _prepared(corpus, id_col, vec_col, "n", dim)
     return (
         shortlist.join(q, "qid")
-        .join(n, "nid")
+        .join(n.hint("merge"), "nid")
         .withColumn(
             "cos_sim",
             dot_unrolled("qvec", "nvec", dim)
@@ -1055,7 +1059,11 @@ def semdedup_flags(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vec"),
         )
-        .join(asg.select(F.col("pid").alias("vec_id"), "cid"), "vec_id")
+        .join(
+            asg.select(F.col("pid").alias("vec_id"), "cid")
+            .hint("merge"),
+            "vec_id",
+        )
         .groupBy("cid")
         .applyInPandas(cluster_block, out_schema)
     )
