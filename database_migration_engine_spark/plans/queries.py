@@ -119,7 +119,9 @@ def revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way equi-join + agg + top-k (TPC-H Q3 shape).
 
-    customer is the small side → explicit broadcast; orders⋈lineitem is the
+    customer joins unhinted — Catalyst auto-broadcasts it while it fits
+    the size threshold, and falls back to shuffle at SFs where it would
+    not (a hard hint would pin an SF-scaled table onto every executor); orders⋈lineitem is the
     large shuffle join on l_orderkey (uniformly distributed → no salting
     needed; AQE would split a skewed key). Top-k ties broken by o_orderkey
     so the limit is deterministic.
@@ -136,7 +138,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.expr(DISC_PRICE), "revenue"))
         .select(
@@ -268,8 +270,9 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the local-supplier constraint c_nationkey = s_nationkey, plus the
     nation⋈region dimension chain) → revenue per nation.
 
-    The big fact-fact join (orders⋈lineitem) shuffles on orderkey; every
-    dimension side is broadcast; Catalyst orders the joins from the
+    The big fact-fact join (orders⋈lineitem) shuffles on orderkey; nation/region
+    are forced broadcasts (bounded); customer/supplier join unhinted so
+    the size check stays in charge; Catalyst orders the joins from the
     pushed-down region filter outward."""
     ensure_deterministic(spark)
     cust = read_table(spark, sf_dir, "customer")
@@ -285,9 +288,9 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -1851,7 +1854,7 @@ def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "o_orderkey",
             "o_custkey",
@@ -1872,7 +1875,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     return (
         joined.agg(
             dsum(
@@ -2039,7 +2042,7 @@ def top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .join(part, F.col("l_partkey") == part["p_partkey"])
         .select(
             "p_partkey",
             "p_brand",
@@ -2079,7 +2082,8 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 10 by numwait. The per-order exists/not-exists pair collapses to
     one aggregation (two conditional COUNT DISTINCTs) instead of two
     correlated self-joins — same result, one shuffle on orderkey, then a
-    broadcast-sized supplier join."""
+    supplier join Catalyst auto-broadcasts at this
+    scale (unhinted — supplier grows with SF)."""
     ensure_deterministic(spark)
     cutoff = F.lit("1997-06-30").cast("timestamp")
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -2103,7 +2107,7 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            supplier.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_name", "numwait")
@@ -2576,7 +2580,8 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("profit_by_nation_year")
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep join tree (TPC-H Q9 shape): lineitem⋈orders fact-fact shuffle
-    with part/supplier/nation broadcast dims, year extraction, and exact
+    with nation forced-broadcast and part/supplier joined unhinted
+    (size-based broadcast vs shuffle), year extraction, and exact
     decimal profit arithmetic (price·(1-disc) − cost·qty, all decimal —
     no double product ever rounds)."""
     ensure_deterministic(spark)
@@ -2594,8 +2599,8 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2622,7 +2627,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .filter(F.col("n_regionkey") == 0)
     )
@@ -2782,7 +2787,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     clause1 = (
         (F.col("p_brand") == "Brand#1")
         & (F.col("p_size") <= 10)
@@ -2852,8 +2857,8 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nkey"))
         .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -3331,7 +3336,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("returned_items")
 def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
-    customer and nation broadcast; orders⋈lineitem is the one big
+    nation is a forced broadcast, customer joins unhinted (SF-scaled);
+    orders⋈lineitem is the one big
     shuffle; deterministic top-k tie-break on c_custkey."""
     ensure_deterministic(spark)
     cust = read_table(spark, sf_dir, "customer")
@@ -3345,7 +3351,7 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.expr(DISC_PRICE), "revenue"))
@@ -3415,7 +3421,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -3439,7 +3445,7 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(
@@ -3466,7 +3472,7 @@ def promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     qualifying = (
-        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        li.join(red_parts, li.l_partkey == red_parts.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(dsum(F.col("l_quantity"), "ship_qty"))
         .filter(F.col("ship_qty") > 50)
@@ -4991,7 +4997,7 @@ def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = AP.bloom_probe(ev, bits, "user_id")
     member = flagged.distinct().withColumn("is_member", F.lit(True))
     return (
-        probed.join(F.broadcast(member), "user_id", "left")
+        probed.join(member, "user_id", "left")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -5120,8 +5126,9 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     week, weeks-since) cell counts the distinct users active that many
     weeks later. Two shuffles total: the first-event argmin (map-side
     combinable min) and the distinct-count aggregate over the
-    cohort-joined activity; the cohort dimension broadcasts back onto
-    the event stream. Weeks are epoch-aligned 7-day buckets (UTC), so
+    cohort-joined activity; the cohort frame joins back on user_id unhinted —
+    auto-broadcast while it fits, a key shuffle at real user
+    cardinality. Weeks are epoch-aligned 7-day buckets (UTC), so
     bucketing is pure integer arithmetic — portable and
     partition-prunable at 100 TB."""
     ensure_deterministic(spark)
@@ -5131,7 +5138,7 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (
-        ev.join(F.broadcast(first), "user_id")
+        ev.join(first, "user_id")
         .groupBy(
             "cohort_wk",
             (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),

@@ -271,3 +271,27 @@ def test_kmeans_broadcasts_centroids_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sf_scaled_dims_join_without_forced_broadcast(spark):
+    """r05: customer/part/supplier and per-user aggregates grow with SF,
+    so their joins must NOT carry a hard broadcast hint — the hint
+    overrides Catalyst's size check and would pin a multi-TB table onto
+    every executor at production scale. With auto-broadcast disabled,
+    these plans must therefore contain no BroadcastHashJoin at all
+    (bounded dims like nation/region keep explicit F.broadcast and are
+    absent from these particular queries)."""
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("topk_orders", "user_retention_cohorts",
+                     "suppliers_kept_waiting"):
+            plan = _plan(spark, name)
+            assert "BroadcastHashJoin" not in plan, name
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
