@@ -46,7 +46,8 @@ _RECHECK_FIRST = [
     # (registered in the final r04 commit after the cert sweep) — first.
     "ann_recall_curve",
     # (0b) new in round 5
-    "retrieval_eval",
+    "retrieval_eval", "dedup_aware_split", "entity_canonicalize",
+    "mad_outliers",
     # (0c) r05 plan changes without semantic change (de-globalized
     # windows per r04 verdict items 2-3) — must re-certify
     "order_price_quartiles", "top_terms",

@@ -4652,3 +4652,126 @@ SELECT system,
        CAST(dcg_int AS DOUBLE) / CAST({_RE_IDCG} AS DOUBLE) AS ndcg
 FROM per ORDER BY system
 """
+
+
+# --- dedup_aware_split (r05) -------------------------------------------------
+# Cluster-level split: the dedup_clusters component replay feeds the same
+# md5-prefix bucketing train_val_test_split uses, keyed on cluster_id.
+ORACLES["dedup_aware_split"] = f"""
+WITH RECURSIVE {_JACC_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jacc
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jacc
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS root FROM documents
+    UNION
+    SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'test'
+            WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '34'
+            THEN 'val'
+            ELSE 'train' END AS split
+FROM comp
+ORDER BY doc_id
+"""
+
+
+# --- entity_canonicalize (r05) -----------------------------------------------
+# FastSS pair replay (fuzzy_name_pairs CTEs) + recursive min-root components
+# over the distance-1 name graph; canonical form = min name per component.
+ORACLES["entity_canonicalize"] = """
+WITH RECURSIVE t AS (
+    SELECT c_custkey AS k, c_name AS term FROM customer
+    WHERE c_custkey < 1000 AND LENGTH(c_name) >= 4
+),
+sigs AS (
+    SELECT term,
+           CASE WHEN i = 0 THEN term
+                ELSE SUBSTRING(term, 1, i - 1)
+                     || SUBSTRING(term, i + 1, LENGTH(term)) END AS sig
+    FROM (SELECT term, unnest(generate_series(0, LENGTH(term))) AS i FROM t)
+),
+cand AS (
+    SELECT DISTINCT a.term AS term_a, b.term AS term_b
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.term < b.term
+),
+pairs AS (
+    SELECT term_a, term_b FROM cand
+    WHERE levenshtein(term_a, term_b) = 1
+),
+kp AS (
+    SELECT ta.k AS ka, tb.k AS kb
+    FROM pairs
+    JOIN t ta ON ta.term = pairs.term_a
+    JOIN t tb ON tb.term = pairs.term_b
+),
+edges AS (
+    SELECT ka AS a, kb AS b FROM kp
+    UNION ALL
+    SELECT kb AS a, ka AS b FROM kp
+),
+reach AS (
+    SELECT k AS node, k AS root FROM t
+    UNION
+    SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node, MIN(root) AS label FROM reach GROUP BY node
+)
+SELECT tn.term AS name, tc.term AS canon_name,
+       COUNT(*) OVER (PARTITION BY comp.label) AS cluster_size
+FROM comp
+JOIN t tn ON tn.k = comp.node
+JOIN t tc ON tc.k = comp.label
+ORDER BY name
+"""
+
+
+# --- mad_outliers (r05) ------------------------------------------------------
+# Nearest-rank lower median and MAD per event_type, (value|dev, event_id)
+# total order - exact row values, so the double arithmetic downstream is the
+# identical IEEE tree in both engines.
+ORACLES["mad_outliers"] = """
+WITH e AS (SELECT event_id, event_type, value FROM events),
+r1 AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM e
+),
+med AS (
+    SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2
+),
+d AS (
+    SELECT e.event_id, e.event_type, e.value, m.med,
+           ABS(e.value - m.med) AS dev
+    FROM e JOIN med m USING (event_type)
+),
+r2 AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM d
+),
+mad AS (
+    SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       MAX(d.med) AS median_value,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""

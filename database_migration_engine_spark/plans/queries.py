@@ -5158,8 +5158,13 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     this: lexical screens miss paraphrases, embedding screens miss
     verbatim-but-short overlaps, and the union with provenance flags is
     what a reviewer or a downstream keep-one pass consumes. Each
-    generator keeps its own sub-quadratic shape; the merge is a
-    three-way union + broadcast flag joins on 8-byte id pairs."""
+    generator keeps its own sub-quadratic shape; the merge is a flagged
+    union + ONE pair-keyed max-aggregate — no joins. (The first form
+    left-joined each pair set back onto the union, which evaluated the
+    MinHash subtree twice and dragged three pair-sized sort-merge
+    joins behind it; at the ×10 sweep those joins spilled tens of GB
+    before the aggregate form replaced them. Provenance merging is an
+    OR per method — an aggregation, not a join.)"""
     ensure_deterministic(spark)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     mh = (
@@ -5174,17 +5179,24 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _emb_pairs_shared(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    allp = mh.unionByName(ng).unionByName(em).distinct()
-    flag = lambda df, name: df.withColumn(name, F.lit(True))  # noqa: E731
-    out = (
-        allp.join(flag(mh, "by_minhash"), ["doc_a", "doc_b"], "left")
-        .join(flag(ng, "by_ngram"), ["doc_a", "doc_b"], "left")
-        .join(flag(em, "by_embedding"), ["doc_a", "doc_b"], "left")
-        .select(
+
+    def tagged(df: DataFrame, which: str) -> DataFrame:
+        return df.select(
             "doc_a", "doc_b",
-            F.coalesce("by_minhash", F.lit(False)).alias("by_minhash"),
-            F.coalesce("by_ngram", F.lit(False)).alias("by_ngram"),
-            F.coalesce("by_embedding", F.lit(False)).alias("by_embedding"),
+            F.lit(which == "mh").alias("by_minhash"),
+            F.lit(which == "ng").alias("by_ngram"),
+            F.lit(which == "em").alias("by_embedding"),
+        )
+
+    out = (
+        tagged(mh, "mh")
+        .unionByName(tagged(ng, "ng"))
+        .unionByName(tagged(em, "em"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("by_minhash").alias("by_minhash"),
+            F.max("by_ngram").alias("by_ngram"),
+            F.max("by_embedding").alias("by_embedding"),
         )
         .withColumn(
             "n_methods",
@@ -5945,4 +5957,156 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
         .orderBy("system")
+    )
+
+
+@query("dedup_aware_split")
+def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test split: the split key is the
+    near-dup CLUSTER, not the document, so verbatim/near copies of one
+    text can never straddle train and eval (the leakage
+    `contamination_check` measures after the fact, prevented by
+    construction). Clusters come from the session-shared connected
+    components over the n-gram Jaccard pair graph; the assignment is
+    the same md5-prefix bucketing as `train_val_test_split` applied to
+    the cluster id — deterministic, stable under corpus growth, and
+    shuffle-free past the cluster labels themselves (the hash is a
+    narrow projection). At 100 TB the pair graph + CC already run at
+    dedup scale; this query adds one md5 per doc."""
+    ensure_deterministic(spark)
+    labels = _dedup_labels_shared(spark, sf_dir)
+    h2 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train")
+    )
+    return labels.select(
+        "doc_id", "cluster_id", split.alias("split")
+    ).orderBy("doc_id")
+
+
+@query("entity_canonicalize")
+def entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, closed loop: FastSS delete-1 candidate pairs
+    (`fuzzy_name_pairs`'s join) → connected components over the
+    distance-1 name graph → every variant maps to its cluster's
+    canonical form (min name) with the cluster size — the
+    merge-and-survivorship step that turns pairwise matches into a
+    usable crosswalk table. Same scale shape as the dedup clusters:
+    signature equi-join candidates (O(Σ len) rows), min-label
+    propagation over pair participants only, singletons attached by one
+    anti-join. Labels propagate as the 8-byte c_custkey, never the
+    18-char name — CC rounds shuffle ints, and the crosswalk
+    re-attaches both names once at the end."""
+    ensure_deterministic(spark)
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1000)
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("term"))
+        .filter(F.length("term") >= 4)
+    )
+    pairs = DD.fastss_pairs(cust, term_col="term", min_len=4)
+    keyed = (
+        pairs.join(
+            cust.select(F.col("term").alias("term_a"), F.col("k").alias("ka")),
+            "term_a",
+        )
+        .join(
+            cust.select(F.col("term").alias("term_b"), F.col("k").alias("kb")),
+            "term_b",
+        )
+        .select("ka", "kb")
+    )
+    participants = (
+        keyed.select(F.col("ka").alias("k"))
+        .unionByName(keyed.select(F.col("kb").alias("k")))
+        .distinct()
+    )
+    labels = GR.connected_components(
+        keyed, src="ka", dst="kb",
+        nodes=participants, node_col="k",
+        dedupe_edges=False,  # fastss_pairs is already distinct
+        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
+    )
+    singles = cust.select("k").join(
+        labels, cust["k"] == labels["node"], "left_anti"
+    ).select(F.col("k").alias("node"), F.col("k").alias("label"))
+    return (
+        labels.unionByName(singles)
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("label")),
+        )
+        .join(
+            cust.select(F.col("k").alias("node"), F.col("term").alias("name")),
+            "node",
+        )
+        .join(
+            cust.select(
+                F.col("k").alias("label"), F.col("term").alias("canon_name")
+            ),
+            "label",
+        )
+        .select("name", "canon_name", "cluster_size")
+        .orderBy("name")
+    )
+
+
+@query("mad_outliers")
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen: median / MAD (median absolute
+    deviation) per event_type by exact nearest-rank selection — the
+    heavy-tail-safe alternative to the z-score screen (`value_outliers`
+    is the IQR cousin). Both medians come from the two-pass bucketed
+    rank machinery (operators/ranks.py), so no window ever sees more
+    than ~1/buckets of a group — the 5-value partition key never
+    becomes a single-task sort. Selected values are exact row values
+    (no interpolation), so |x − med|, the MAD pick, and the 3×MAD fence
+    are the identical IEEE trees in both engines."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ranked, totals = RK.with_global_ranks(
+        ev, "value", ["event_id"], partition_cols=["event_type"],
+        rn_col="rn",
+    )
+    med_rn = RK.values_df(
+        spark,
+        [(g[0], (n + 1) // 2) for g, n in sorted(totals.items())],
+        ["event_type", "med_rn"],
+    )
+    med = (
+        ranked.join(F.broadcast(med_rn), "event_type")
+        .filter(F.col("rn") == F.col("med_rn"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    ranked2, totals2 = RK.with_global_ranks(
+        dev, "dev", ["event_id"], partition_cols=["event_type"],
+        rn_col="rn",
+    )
+    mad_rn = RK.values_df(
+        spark,
+        [(g[0], (n + 1) // 2) for g, n in sorted(totals2.items())],
+        ["event_type", "mad_rn"],
+    )
+    mad = (
+        ranked2.join(F.broadcast(mad_rn), "event_type")
+        .filter(F.col("rn") == F.col("mad_rn"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("dev") > F.lit(3.0) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
     )
