@@ -3851,14 +3851,17 @@ mbands AS (
            md5(string_agg(h, ',' ORDER BY i)) AS band_hash
     FROM msigs GROUP BY doc, i // 4
 ),
-mh AS (
+mh AS MATERIALIZED (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM mbands a JOIN mbands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc < b.doc
 ),
-ng AS (SELECT doc_a, doc_b FROM jacc),
-em AS (
+ng AS MATERIALIZED (SELECT doc_a, doc_b FROM jacc),
+-- CTE (not inline subquery) so DuckDB materializes the embedding-LSH
+-- chain ONCE for its two references below; at the ×10 sweep scale the
+-- doubly-evaluated subquery form spilled past the sandbox disk.
+em AS MATERIALIZED (
     SELECT id_a AS doc_a, id_b AS doc_b FROM ({ORACLES["dedup_embedding"]})
 ),
 allp AS (
@@ -4774,4 +4777,126 @@ SELECT d.event_type,
 FROM d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type
+"""
+
+
+# minhash_band_scurve: truth = unthresholded capped-shingle pair graph
+# (prs/sizes from the shared chain); candidates = the md5 banded index
+# (same chain as jaccard_est_error, mcand); analytic curve built by the
+# same explicit-squaring IEEE tree as the Spark plan.
+ORACLES["minhash_band_scurve"] = f"""
+WITH {_JACC_CTES},
+mtoks AS (SELECT doc_id AS doc, {TX.sql_tokens("text")} AS t FROM documents),
+msh AS (
+    SELECT doc, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [] END) AS shingle
+    FROM mtoks
+),
+mshx AS (SELECT doc, md5(shingle) AS shex FROM msh),
+mseeded AS (
+    SELECT doc, i, md5(CAST(i AS VARCHAR) || ':' || shex) AS hx
+    FROM mshx CROSS JOIN range(32) r(i)
+),
+msigs AS (
+    SELECT doc, i, MIN(substr(hx, 1, 16)) AS h
+    FROM mseeded GROUP BY doc, i
+),
+mbands AS (
+    SELECT doc, CAST(i // 4 AS INTEGER) AS band_id,
+           md5(string_agg(h, ',' ORDER BY i)) AS band_hash
+    FROM msigs GROUP BY doc, i // 4
+),
+mcand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM mbands a JOIN mbands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc < b.doc
+),
+truth AS (
+    SELECT p.doc_a, p.doc_b, p.common,
+           sa.n_sh + sb.n_sh - p.common AS u
+    FROM prs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+),
+per_pair AS (
+    SELECT LEAST(9, CAST((10 * t.common) // t.u AS INT)) AS bucket,
+           CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM truth t
+    LEFT JOIN mcand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+agg AS (
+    SELECT bucket, COUNT(*) AS n_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_detected
+    FROM per_pair GROUP BY bucket
+)
+SELECT bucket, n_pairs, n_detected,
+       CAST(n_detected AS DOUBLE) / n_pairs AS detection_rate,
+       1.0 - q4 * q4 AS analytic_rate
+FROM (
+    SELECT *, q2 * q2 AS q4 FROM (
+        SELECT *, q * q AS q2 FROM (
+            SELECT *, 1.0 - m4 AS q FROM (
+                SELECT *, m2 * m2 AS m4 FROM (
+                    SELECT *, m * m AS m2 FROM (
+                        SELECT *,
+                               (CAST(bucket AS DOUBLE) + 0.5) / 10.0 AS m
+                        FROM agg))))))
+ORDER BY bucket
+"""
+
+
+# vocab_coverage: rank + running sum over the FULL vocabulary is fine in
+# the single-node oracle; the Spark plan bounds the window to the
+# distributed top-1000 — identical rows at k in (10, 100, 1000).
+ORACLES["vocab_coverage"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS k,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS covered_tokens
+    FROM counts
+)
+SELECT k, covered_tokens, total_tokens,
+       CAST(covered_tokens AS DOUBLE) / total_tokens AS coverage
+FROM ranked, total
+WHERE k IN (5, 10, 25)
+ORDER BY k
+"""
+
+
+# dedup_rate_by_source: exact leg = sha256 text identity (same function
+# family the ledger checksum oracle uses); near leg = the shared jacc
+# pair graph (threshold 0.1) projected to member ids.
+ORACLES["dedup_rate_by_source"] = f"""
+WITH {_JACC_CTES},
+hx AS (SELECT doc_id, source, sha256(text) AS h FROM documents),
+hn AS (SELECT h, COUNT(*) AS n FROM hx GROUP BY h),
+near_ids AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM jacc
+        UNION ALL
+        SELECT doc_b AS doc_id FROM jacc
+    )
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hn.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dup,
+       CAST(SUM(CASE WHEN ni.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_near_dup,
+       CAST(SUM(CASE WHEN hn.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS exact_dup_rate,
+       CAST(SUM(CASE WHEN ni.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*) AS near_dup_rate
+FROM hx
+JOIN hn USING (h)
+LEFT JOIN near_ids ni USING (doc_id)
+GROUP BY source
+ORDER BY source
 """

@@ -6110,3 +6110,147 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("minhash_band_scurve")
+def minhash_band_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding calibration: the measured detection probability of
+    the 32-perm / 8-band / 4-row MinHash index per TRUE-Jaccard decile,
+    next to the analytic S-curve 1 − (1 − j⁴)⁸ at the decile midpoint.
+    This is THE graph that justifies a banding configuration before
+    pointing it at 100 TB (Leskovec/Rajaraman/Ullman, MMDS §3.4) —
+    `jaccard_est_error` calibrates the ESTIMATOR, this calibrates the
+    CANDIDATE RECALL. Truth = the capped-shingle exact pair graph
+    (threshold 0, so every co-shingled pair counts); candidates = the
+    banded index (md5 permutations, oracle-reproducible). Decile from
+    integer division (10·common div u, clamped to 9); the analytic curve
+    is built from the midpoint by explicit squarings (m²·m², three
+    squarings of 1−m⁴) so both engines evaluate the identical IEEE tree.
+    Scale shape: two already-certified sub-quadratic chains + one
+    pair-keyed merge join + a 10-group aggregate."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    truth = DD.ngram_jaccard_pairs(
+        docs, threshold=0.0, keep_sizes=True
+    ).select(
+        "doc_a", "doc_b", "common",
+        (F.col("n_a") + F.col("n_b") - F.col("common")).alias("u"),
+    )
+    cand = DD.minhash_lsh_pairs(docs, hash_fn="md5").select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    per_pair = JN.corpus_join(truth, cand, ["doc_a", "doc_b"], "left").select(
+        F.least(
+            F.lit(9), F.expr("CAST((10 * common) div u AS INT)")
+        ).alias("bucket"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    agg = per_pair.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hit").alias("n_detected"),
+    )
+    m = (F.col("bucket").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    m2 = m * m
+    m4 = m2 * m2
+    q = F.lit(1.0) - m4
+    q2 = q * q
+    q4 = q2 * q2
+    return agg.select(
+        "bucket", "n_pairs", "n_detected",
+        (F.col("n_detected").cast("double") / F.col("n_pairs")).alias(
+            "detection_rate"
+        ),
+        (F.lit(1.0) - q4 * q4).alias("analytic_rate"),
+    ).orderBy("bucket")
+
+
+@query("vocab_coverage")
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: what fraction of all corpus
+    token OCCURRENCES the top-k most frequent token types cover, at
+    k = 5 / 10 / 25. The dataset-card number every tokenizer and
+    vocab-size decision starts from (Zipf coverage). Scale shape: one
+    token-count shuffle, then a DISTRIBUTED top-1000 (orderBy + limit =
+    per-partition partial top-k, merged on one reducer); the rank +
+    running-sum window runs strictly AFTER the limit, over ≤1000 rows —
+    never over the full vocabulary (the r04-verdict `top_terms` lesson,
+    applied by construction). Ties break on the token string for
+    cross-engine determinism; the grand total rides in on a 1-row
+    broadcast."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(1000)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("k"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("covered_tokens"),
+    )
+    return (
+        ranked.filter(F.col("k").isin(5, 10, 25))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k", "covered_tokens", "total_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@query("dedup_rate_by_source")
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card dedup statistics: document count, exact
+    duplicates (SHA-256 text identity appearing >1×, the reference's
+    checksum semantic — internal/migration/migration.go:19-23 — turned
+    into a corpus metric), near-duplicates (membership in the capped
+    3-gram Jaccard ≥ 0.1 pair graph), and both as rates. The first table
+    any 100 TB ingest review asks for. Scale shape: hash-groupBy for the
+    exact leg, the certified sub-quadratic pair graph for the near leg,
+    pair→id projection, then merge joins back to docs and ONE per-source
+    aggregate (groupBy on a low-cardinality key is map-side combinable —
+    unlike a window, it never serializes a source into one task)."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    hx = docs.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    hn = hx.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    near_ids = (
+        DD.ngram_jaccard_pairs(docs)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    flagged = JN.corpus_join(
+        JN.corpus_join(hx, hn, "h"), near_ids, "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n") > 1).cast("long")).alias("n_exact_dup"),
+            F.sum(F.coalesce(F.col("is_near"), F.lit(0)).cast("long")).alias(
+                "n_near_dup"
+            ),
+        )
+        .select(
+            "source", "n_docs", "n_exact_dup", "n_near_dup",
+            (F.col("n_exact_dup").cast("double") / F.col("n_docs")).alias(
+                "exact_dup_rate"
+            ),
+            (F.col("n_near_dup").cast("double") / F.col("n_docs")).alias(
+                "near_dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )

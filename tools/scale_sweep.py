@@ -31,6 +31,13 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 con = duckdb.connect()
+# Spill discipline for the ×10 oracles: a bounded memory budget (the
+# Spark JVM shares the box), an explicit temp dir on the big partition,
+# and no insertion-order guarantee (vhash sorts anyway). Without these
+# the composed dedup_consensus oracle exhausted the sandbox disk.
+con.execute("SET memory_limit='40GB'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
+con.execute("SET preserve_insertion_order=false")
 for t in [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
