@@ -295,3 +295,33 @@ def test_sf_scaled_dims_join_without_forced_broadcast(spark):
             conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_vocab_coverage_window_only_after_limit(spark):
+    """The coverage curve's rank/cumsum window runs strictly over the
+    distributed top-1000 (TakeOrderedAndProject), never the full
+    vocabulary — the `top_terms` lesson applied by construction."""
+    plan = _plan(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    # the limit's single-partition exchange is the only one feeding the
+    # window; the token-count aggregate below stays hash-partitioned
+    assert plan.count("SinglePartition") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total attach
+
+
+def test_scurve_merge_joins_no_cartesian(spark):
+    """Truth x candidate pair-graph join is a pair-keyed sort-merge —
+    both sides corpus-scaled, so no broadcast and no cartesian."""
+    plan = _plan(spark, "minhash_band_scurve")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin LeftOuter" in plan or (
+        "SortMergeJoin" in plan and "LeftOuter" in plan
+    )
+
+
+def test_dedup_rate_no_window_one_aggregate(spark):
+    """Per-source rates come from a groupBy (map-side combinable), not a
+    source-partitioned window."""
+    plan = _plan(spark, "dedup_rate_by_source")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
