@@ -253,3 +253,50 @@ class TestCorpus:
         for version, _name, up_sql, *_ in MIGRATION_ROWS:
             feats = P.parse_sql(up_sql)
             assert len(feats) == 1, f"V{version}: expected single statement"
+
+
+def test_splitter_pg_string_and_comment_corners():
+    """r05 fuzz round 4 probes, frozen as regressions: PG-semantics
+    corners that a naive splitter gets wrong — standard_conforming
+    strings (backslash is LITERAL in '...'), E-string escapes, nested
+    block comments, quoted identifiers holding semicolons, $ inside an
+    identifier not opening a dollar quote, and -- at EOF."""
+    from database_migration_engine_spark.analyzer.parse import (
+        split_statements,
+    )
+
+    def texts(sql):
+        return [t for _, t in split_statements(sql)]
+
+    # backslash literal in standard strings: '\' is a COMPLETE string
+    assert texts(r"SELECT '\'; DROP TABLE t; SELECT 'x'") == [
+        "SELECT '\\'", "DROP TABLE t", "SELECT 'x'",
+    ]
+    # E-string: backslash DOES escape the quote
+    assert texts(r"INSERT INTO t VALUES (E'a\';b'); DROP TABLE t;") == [
+        "INSERT INTO t VALUES (E'a\\';b')", "DROP TABLE t",
+    ]
+    # doubled quote inside standard string
+    assert texts("INSERT INTO t VALUES ('a''b;c'); DROP TABLE t;") == [
+        "INSERT INTO t VALUES ('a''b;c')", "DROP TABLE t",
+    ]
+    # quoted identifier with semicolon
+    assert texts('CREATE TABLE "a;b" (x int); DROP TABLE t;') == [
+        'CREATE TABLE "a;b" (x int)', "DROP TABLE t",
+    ]
+    # nested block comment hides BOTH semicolons
+    assert texts(
+        "CREATE TABLE t (x int) /* o /* i ; */ still ; */; DROP TABLE u;"
+    ) == [
+        "CREATE TABLE t (x int) /* o /* i ; */ still ; */", "DROP TABLE u",
+    ]
+    # line comment hides the semicolon; EOF without newline is fine
+    assert texts("CREATE TABLE t (x int) -- ; not a split\n; DROP TABLE u;") \
+        == ["CREATE TABLE t (x int) -- ; not a split", "DROP TABLE u"]
+    assert texts("CREATE TABLE t (x int) -- eof") == [
+        "CREATE TABLE t (x int) -- eof",
+    ]
+    # $ inside an identifier does not open a dollar quote
+    assert texts("CREATE TABLE a$b (x int); DROP TABLE c;") == [
+        "CREATE TABLE a$b (x int)", "DROP TABLE c",
+    ]
