@@ -48,7 +48,7 @@ _RECHECK_FIRST = [
     # (0b) new in round 5
     "retrieval_eval", "dedup_aware_split", "entity_canonicalize",
     "mad_outliers", "minhash_band_scurve", "vocab_coverage",
-    "dedup_rate_by_source",
+    "dedup_rate_by_source", "bigram_novelty", "key_skew_histogram",
     # (0c) r05 plan changes without semantic change (de-globalized
     # windows per r04 verdict items 2-3) — must re-certify
     "order_price_quartiles", "top_terms",

@@ -4900,3 +4900,51 @@ LEFT JOIN near_ids ni USING (doc_id)
 GROUP BY source
 ORDER BY source
 """
+
+
+# bigram_novelty: DuckDB lists are 1-based — range(1, len(t)) yields the
+# len-1 adjacent positions; same rational-integer shape as unigram_score.
+ORACLES["bigram_novelty"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+big AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1])
+             ELSE [] END) AS bigram
+    FROM toks
+),
+freq AS (SELECT bigram, COUNT(*) AS cf FROM big GROUP BY bigram),
+tot AS (SELECT COUNT(*) AS n FROM big)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(f.cf) AS BIGINT) AS cf_sum,
+       CAST(SUM(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(SUM(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS novel_rate,
+       CAST(CAST(SUM(f.cf) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * (SELECT n FROM tot) AS DOUBLE) AS avg_bigram_p
+FROM big b JOIN freq f USING (bigram)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+# key_skew_histogram: floor(log2 n) = length(bin(n)) - 1, exact in the
+# integer domain in both engines (no libm).
+ORACLES["key_skew_histogram"] = """
+WITH per_key AS (
+    SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket,
+       COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_key_rows,
+       CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+           / (SELECT CAST(n AS DOUBLE) FROM tot) AS pct_rows
+FROM per_key
+GROUP BY 1
+ORDER BY 1
+"""

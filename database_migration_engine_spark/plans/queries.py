@@ -6254,3 +6254,85 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("bigram_novelty")
+def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM scoring without logarithms (the bigram twin of
+    `unigram_score`, same rational-arithmetic trick): per document, the
+    integer sum of its positional bigrams' corpus frequencies normalized
+    once at the end, PLUS the novelty signal an LLM-data pipeline
+    actually filters on — the share of bigram positions whose corpus
+    count is exactly 1 (this occurrence is the only one anywhere: high
+    novel_rate = fresh text, low = boilerplate/memorized). libm logs are
+    not bit-portable, so every aggregate stays in exact integers and the
+    only floats are two final divisions. Two hash-groupBys + one
+    corpus-scaled equi-join on the bigram — embarrassingly parallel."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens().alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform("
+                "  sequence(0, size(t) - 2),"
+                "  i -> concat(t[i], ' ', t[i + 1])"
+                ") ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    freq = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cf"))
+    n_total = big.count()
+    return (
+        JN.corpus_join(big, freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cf").alias("cf_sum"),
+            F.sum((F.col("cf") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "cf_sum", "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_bigrams")).alias(
+                "novel_rate"
+            ),
+            (
+                F.col("cf_sum").cast("double")
+                / (F.col("n_bigrams") * F.lit(n_total)).cast("double")
+            ).alias("avg_bigram_p"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("key_skew_histogram")
+def key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the log2 histogram of per-key
+    row counts for events.user_id — how many keys sit in each
+    2^b ≤ count < 2^(b+1) bucket and what share of ALL rows they carry.
+    THE table to read before picking salting factors or AQE skew
+    thresholds at 100 TB (a key in bucket 20 holds ~1M rows in one
+    shuffle partition). floor(log2 n) is computed exactly in the integer
+    domain as length(bin(n)) − 1 — identical in both engines, no libm.
+    One count aggregate + one 30-ish-group aggregate; nothing global."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = ev.count()
+    return (
+        per_key.withColumn(
+            "log2_bucket", (F.length(F.bin(F.col("cnt"))) - 1).cast("int")
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_key_rows"),
+        )
+        .withColumn(
+            "pct_rows",
+            F.col("n_rows").cast("double") / F.lit(float(total)),
+        )
+        .orderBy("log2_bucket")
+    )

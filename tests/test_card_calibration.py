@@ -81,3 +81,33 @@ def test_dedup_rates_reconcile_with_direct_counts(spark):
         assert 0.0 <= row.exact_dup_rate <= 1.0
         assert 0.0 <= row.near_dup_rate <= 1.0
         assert row.n_near_dup <= row.n_docs
+
+
+def test_bigram_novelty_bounds_and_reconciliation(spark):
+    rows = QUERIES["bigram_novelty"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_bigrams for r in rows)
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_bigrams
+        assert 0.0 <= r.novel_rate <= 1.0
+        # cf_sum >= n_bigrams (every bigram occurs at least once: itself)
+        assert r.cf_sum >= r.n_bigrams
+        assert 0.0 < r.avg_bigram_p <= 1.0
+    # a bigram with corpus count 1 contributes exactly 1 to cf_sum
+    # => n_novel <= cf_sum always holds strictly through the join
+    assert all(r.n_novel <= r.cf_sum for r in rows)
+    assert total > 0
+
+
+def test_key_skew_histogram_partitions_all_rows(spark):
+    from database_migration_engine_spark.io import read_table
+
+    rows = QUERIES["key_skew_histogram"](spark, SF_DIR).collect()
+    ev_total = read_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_rows for r in rows) == ev_total
+    assert abs(sum(r.pct_rows for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        # bucket b holds keys with 2^b <= count < 2^(b+1)
+        assert (1 << r.log2_bucket) <= r.max_key_rows < (
+            1 << (r.log2_bucket + 1)
+        )
