@@ -4948,3 +4948,30 @@ FROM per_key
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# events_late_audit: the relational replay of the watermark drop rule —
+# batch-1 (even users) rows always count; a batch-2 (odd users) row
+# counts iff its hour window's end is after the batch-1 watermark.
+ORACLES["events_late_audit"] = f"""
+WITH wm AS (
+    SELECT max(ts) - INTERVAL 1801 SECOND AS w
+    FROM events WHERE user_id % 2 = 0
+),
+accepted AS (
+    SELECT ts, event_type, value FROM events WHERE user_id % 2 = 0
+    UNION ALL
+    SELECT e.ts, e.event_type, e.value
+    FROM events e, wm
+    WHERE e.user_id % 2 = 1
+      AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w
+)
+SELECT
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+    event_type,
+    COUNT(*) AS n_events,
+    {_dsum('value', 'sum_value')}
+FROM accepted
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour_bucket, event_type
+"""

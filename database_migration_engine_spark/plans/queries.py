@@ -6336,3 +6336,37 @@ def key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@query("events_late_audit")
+def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DROP semantics, evidenced: the events fixture is
+    staged as a deterministic out-of-order arrival
+    (streaming/events.py:late_stream_dir — batch 1 = even users across
+    the full time range, batch 2 = odd users, so most of batch 2 is late
+    behind the batch-1 watermark, batch 3 = the flush heartbeat), and a
+    tumbling hourly aggregate with a 1801-second watermark must DROP
+    every batch-2 row whose window already closed. Every other streaming
+    query here drains with the watermark only ever advancing past
+    end-of-stream (nothing late by construction); this is the missing
+    half of the watermark contract. The oracle replays the drop rule
+    relationally: watermark = max(batch-1 ts) − 1801 s; a batch-2 row
+    counts iff its hour window's END is strictly after that watermark
+    (1801 not 1800 so the comparison can never land exactly on an hour
+    boundary). Append mode; heartbeat group filtered post-sink."""
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    staged = SE.late_stream_dir(
+        sf_dir, app_id=spark.sparkContext.applicationId
+    )
+    stream = SE.read_events_stream(
+        spark, staged, max_files_per_trigger=1, glob="*.parquet"
+    )
+    out = SE.run_to_memory(
+        SE.tumbling_counts(stream, watermark="1801 seconds"),
+        output_mode="append",
+    )
+    return out.filter(F.col("event_type") != "heartbeat").orderBy(
+        "hour_bucket", "event_type"
+    )

@@ -272,36 +272,6 @@ def heartbeat_stream_dir(
     os.makedirs(out, exist_ok=True)
     shutil.copyfile(src, dst)
     schema = pq.read_schema(src)
-    ts_type = schema.field("ts").type
-    import pandas as pd
-
-    def hb_table(day: str):
-        moment = pd.to_datetime([day]).tz_localize("UTC")
-        if pa.types.is_integer(ts_type):
-            # EVENTS_RAW fixtures store ts as epoch-ns int64; emit the
-            # horizon in the same unit so pa.array doesn't reject a
-            # timestamp array against an integer field
-            ts_arr = pa.array(
-                [int(moment.asi8[0])], type=ts_type
-            )
-        else:
-            ts_arr = pa.array(
-                moment.tz_localize(None)
-                if getattr(ts_type, "tz", None) is None
-                else moment,
-                type=ts_type,
-            )
-        return pa.table(
-            {
-                "event_id": pa.array([-1], type=schema.field("event_id").type),
-                "ts": ts_arr,
-                "user_id": pa.array([-1], type=schema.field("user_id").type),
-                "event_type": pa.array(["heartbeat"], type=pa.string()),
-                "value": pa.array([0.0], type=schema.field("value").type),
-                "props": pa.array(["{}"], type=pa.string()),
-            },
-            schema=schema,
-        )
 
     # ONE heartbeat: it rides the data file's micro-batch (co-read is
     # safe — the watermark only advances AFTER a batch) and pushes the
@@ -313,7 +283,131 @@ def heartbeat_stream_dir(
     # carry the flush — one full state-store commit cycle per query the
     # no-data batch makes redundant (~0.6 s per streaming query at
     # sf0.1).
-    pq.write_table(hb_table(horizon), hb)
+    pq.write_table(_heartbeat_table(schema, horizon), hb)
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
+    return _touch_order()
+
+
+def _heartbeat_table(schema, day: str | None, ts_value=None):
+    """One heartbeat row matching the events file's exact arrow schema
+    (EVENTS_RAW fixtures store ts as epoch-ns int64; emit the horizon in
+    the same unit so pa.array doesn't reject a timestamp array against an
+    integer field). event_type='heartbeat' / event_id=-1 so every
+    consumer's type filter drops it from results. Pass ``ts_value`` (a
+    raw value of the file's own ts type) instead of ``day`` to punctuate
+    at an exact existing event time."""
+    import pandas as pd
+    import pyarrow as pa
+
+    ts_type = schema.field("ts").type
+    if ts_value is not None:
+        ts_arr = pa.array([ts_value], type=ts_type)
+    else:
+        moment = pd.to_datetime([day]).tz_localize("UTC")
+        if pa.types.is_integer(ts_type):
+            ts_arr = pa.array([int(moment.asi8[0])], type=ts_type)
+        else:
+            ts_arr = pa.array(
+                moment.tz_localize(None)
+                if getattr(ts_type, "tz", None) is None
+                else moment,
+                type=ts_type,
+            )
+    return pa.table(
+        {
+            "event_id": pa.array([-1], type=schema.field("event_id").type),
+            "ts": ts_arr,
+            "user_id": pa.array([-1], type=schema.field("user_id").type),
+            "event_type": pa.array(["heartbeat"], type=pa.string()),
+            "value": pa.array([0.0], type=schema.field("value").type),
+            "props": pa.array(["{}"], type=pa.string()),
+        },
+        schema=schema,
+    )
+
+
+def late_stream_dir(sf_dir: str, app_id: str | None = None) -> str:
+    """Stage the events fixture as a DETERMINISTIC out-of-order arrival:
+    batch 0 = the even-user rows (full time range — establishes the
+    watermark), batch 1 = a BRIDGE punctuation row at the even max event
+    time, batch 2 = the odd-user rows (same range, so most arrive LATE
+    and must be dropped), batch 3 = the far-future heartbeat that
+    flushes remaining state. File mtimes ascend so FileStreamSource
+    (oldest-first) pins the batch order; consumers read with
+    maxFilesPerTrigger=1.
+
+    The bridge batch exists because of Spark's TWO-watermark contract:
+    the late-events filter of batch N uses batch N−1's EVICTION
+    watermark — i.e. event times through batch N−2 (verified on this
+    engine via numRowsDroppedByWatermark: evens→odds back-to-back drops
+    NOTHING, the odd batch still filters against the initial 1970
+    watermark). With the bridge in between, the odd batch's late filter
+    is max(even ts) − delay, and lateness is by construction. This is
+    the one watermark semantic the heartbeat staging cannot exercise —
+    there the watermark only ever advances PAST end-of-stream, so
+    nothing is ever late. The DuckDB oracle replays the identical drop
+    rule (an odd row counts iff its window closes after that
+    watermark)."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + "-late"
+    if app_id:
+        tag = f"{tag}-{app_id}"
+    out = os.path.join("/tmp", "dbmig_heartbeat_stream", tag)
+    src = os.path.join(sf_dir, "events.parquet")
+    f_ontime = os.path.join(out, "aa_ontime.parquet")
+    f_bridge = os.path.join(out, "bb_bridge.parquet")
+    f_late = os.path.join(out, "mm_late.parquet")
+    f_hb = os.path.join(out, "zz_heartbeat_1.parquet")
+    stamp_path = os.path.join(out, ".src_stamp")
+    st = os.stat(src)
+    stamp = f"v2:{st.st_mtime_ns}:{st.st_size}"
+
+    def _stamp_fresh() -> bool:
+        try:
+            with open(stamp_path) as fh:
+                return fh.read() == stamp
+        except OSError:
+            return False
+
+    def _touch_order() -> str:
+        now = time.time()
+        os.utime(f_ontime, (now - 180, now - 180))
+        os.utime(f_bridge, (now - 120, now - 120))
+        os.utime(f_late, (now - 60, now - 60))
+        os.utime(f_hb, (now, now))
+        return out
+
+    if (
+        os.path.exists(f_ontime)
+        and os.path.exists(f_bridge)
+        and os.path.exists(f_late)
+        and os.path.exists(f_hb)
+        and _stamp_fresh()
+    ):
+        return _touch_order()
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    tbl = pq.read_table(src)
+    even = pc.equal(pc.bit_wise_and(tbl["user_id"], 1), 0)
+    even_tbl = tbl.filter(even)
+    pq.write_table(even_tbl, f_ontime)
+    # bridge punctuation AT the even max event time: advances nothing,
+    # but turns the even watermark into the odd batch's LATE filter
+    pq.write_table(
+        _heartbeat_table(
+            tbl.schema, None, ts_value=pc.max(even_tbl["ts"]).as_py()
+        ),
+        f_bridge,
+    )
+    pq.write_table(tbl.filter(pc.invert(even)), f_late)
+    pq.write_table(_heartbeat_table(tbl.schema, "2100-01-01"), f_hb)
     with open(stamp_path, "w") as fh:
         fh.write(stamp)
     return _touch_order()
