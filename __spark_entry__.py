@@ -49,7 +49,7 @@ _RECHECK_FIRST = [
     "retrieval_eval", "dedup_aware_split", "entity_canonicalize",
     "mad_outliers", "minhash_band_scurve", "vocab_coverage",
     "dedup_rate_by_source", "bigram_novelty", "key_skew_histogram",
-    "events_late_audit",
+    "events_late_audit", "zorder_locality",
     # (0c) r05 plan changes without semantic change (de-globalized
     # windows per r04 verdict items 2-3) — must re-certify
     "order_price_quartiles", "top_terms",

@@ -4975,3 +4975,52 @@ FROM accepted
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY hour_bucket, event_type
 """
+
+
+# zorder_locality: the Morton interleave written out as 16 shift/and/or
+# terms (bits=8, cols=(custkey, day)) — identical bit placement to
+# sources/layout.py:zorder_key (bit b of column i -> position b*2+i).
+_MORTON = " | ".join(
+    f"((({c} >> {b}) & 1) << {b * 2 + i})"
+    for i, c in enumerate(("ca", "cb"))
+    for b in range(8)
+)
+ORACLES["zorder_locality"] = f"""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+               AS day
+    FROM orders
+),
+stats AS (
+    SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+           min(day) AS mn_d, max(day) AS mx_d
+    FROM base
+),
+scaled AS (
+    SELECT o_custkey, day,
+           LEAST(255, CAST(floor(
+               CAST(o_custkey - mn_c AS DOUBLE) * 256.0
+               / (CASE WHEN CAST(mx_c - mn_c AS DOUBLE) = 0.0
+                       THEN 1.0 ELSE CAST(mx_c - mn_c AS DOUBLE) END)
+           ) AS BIGINT)) AS ca,
+           LEAST(255, CAST(floor(
+               CAST(day - mn_d AS DOUBLE) * 256.0
+               / (CASE WHEN CAST(mx_d - mn_d AS DOUBLE) = 0.0
+                       THEN 1.0 ELSE CAST(mx_d - mn_d AS DOUBLE) END)
+           ) AS BIGINT)) AS cb
+    FROM base, stats
+),
+keyed AS (
+    SELECT o_custkey, day, ({_MORTON}) AS zkey FROM scaled
+)
+SELECT zkey >> 8 AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS cust_min,
+       MAX(o_custkey) AS cust_max,
+       MIN(day) AS day_min,
+       MAX(day) AS day_max
+FROM keyed
+GROUP BY zkey >> 8
+ORDER BY zbucket
+"""

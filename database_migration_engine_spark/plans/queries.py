@@ -6370,3 +6370,63 @@ def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("event_type") != "heartbeat").orderBy(
         "hour_bucket", "event_type"
     )
+
+
+@query("zorder_locality")
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve (Morton) clustering locality audit — the registry face of
+    sources/layout.py's zorder machinery (the layout Delta's OPTIMIZE
+    ZORDER builds; here pure shift/and/or expressions, no UDF). Orders
+    are keyed on the bit-interleave of (o_custkey, days-since-epoch),
+    both affinely scaled to 8 bits off a 1-row min/max broadcast (no
+    driver collect), then grouped by the key's top byte — each of the
+    ≤256 coarse Z-buckets reports how TIGHT both dimensions are inside
+    it (min/max per dim). Banded spans on BOTH columns at once is the
+    property that makes parquet footer stats prune scans for filters on
+    EITHER column at 100 TB. All arithmetic is exact-integer or single
+    correctly-rounded double ops — bit-identical in DuckDB."""
+    from ..sources.layout import zorder_key
+
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    stats = orders.agg(
+        F.min("o_custkey").alias("mn_c"), F.max("o_custkey").alias("mx_c"),
+        F.min("day").alias("mn_d"), F.max("day").alias("mx_d"),
+    )
+    top = F.lit(255).cast("long")
+
+    def scaled(c, mn, mx):
+        span = (F.col(mx) - F.col(mn)).cast("double")
+        span = F.when(span == 0.0, F.lit(1.0)).otherwise(span)
+        return F.least(
+            top,
+            F.floor(
+                (F.col(c) - F.col(mn)).cast("double")
+                * F.lit(256.0) / span
+            ).cast("long"),
+        )
+
+    keyed = orders.crossJoin(F.broadcast(stats)).select(
+        "o_custkey", "day",
+        zorder_key(
+            [scaled("o_custkey", "mn_c", "mx_c"),
+             scaled("day", "mn_d", "mx_d")],
+            bits=8,
+        ).alias("zkey"),
+    )
+    return (
+        keyed.groupBy(F.shiftright(F.col("zkey"), 8).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("cust_min"),
+            F.max("o_custkey").alias("cust_max"),
+            F.min("day").alias("day_min"),
+            F.max("day").alias("day_max"),
+        )
+        .orderBy("zbucket")
+    )

@@ -111,3 +111,19 @@ def test_key_skew_histogram_partitions_all_rows(spark):
         assert (1 << r.log2_bucket) <= r.max_key_rows < (
             1 << (r.log2_bucket + 1)
         )
+
+
+def test_zorder_buckets_band_both_dimensions(spark):
+    """The point of the Z-curve: inside a coarse bucket BOTH dimensions
+    are tight. Assert the row-weighted mean per-bucket span of each dim
+    is well under half its global span (random assignment would sit at
+    ~the global span for both)."""
+    rows = QUERIES["zorder_locality"](spark, SF_DIR).collect()
+    assert rows and sum(r.n_rows for r in rows) > 0
+    g_cust = max(r.cust_max for r in rows) - min(r.cust_min for r in rows)
+    g_day = max(r.day_max for r in rows) - min(r.day_min for r in rows)
+    n = sum(r.n_rows for r in rows)
+    w_cust = sum((r.cust_max - r.cust_min) * r.n_rows for r in rows) / n
+    w_day = sum((r.day_max - r.day_min) * r.n_rows for r in rows) / n
+    assert w_cust < 0.5 * g_cust
+    assert w_day < 0.5 * g_day
