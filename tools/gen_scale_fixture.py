@@ -121,11 +121,42 @@ def main() -> None:
 
     for t in [
         "region", "nation", "supplier", "part", "orders", "lineitem",
-        "events",
     ]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
 
-    for t in ["documents", "embeddings", "customer"]:
+    # events (v2): replicate through pyarrow, NOT DuckDB — the fixture
+    # stores ts as parquet timestamp[ns] (int64) and a DuckDB COPY would
+    # rewrite it as microseconds, silently un-exercising the ns-sniffing
+    # read path. Copy k shifts event ids by k*N and user ids by
+    # k*(max_user+1): a fresh user population with the SAME temporal
+    # patterns, so per-user windows, sessionizers, interval-join state,
+    # and the rank machinery all scale ×COPIES while every per-user
+    # answer stays the shape the sf0.1 oracles certified.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    n_ev = ev.num_rows
+    u_stride = pc.max(ev["user_id"]).as_py() + 1
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            pa.table(
+                {
+                    "event_id": pc.add(ev["event_id"], k * n_ev),
+                    "ts": ev["ts"],
+                    "user_id": pc.add(ev["user_id"], k * u_stride),
+                    "event_type": ev["event_type"],
+                    "value": ev["value"],
+                    "props": ev["props"],
+                },
+                schema=ev.schema,
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), f"{OUT}/events.parquet")
+
+    for t in ["documents", "embeddings", "customer", "events"]:
         n = con.sql(
             f"SELECT COUNT(*) FROM read_parquet('{OUT}/{t}.parquet')"
         ).fetchone()[0]
