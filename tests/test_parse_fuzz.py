@@ -544,3 +544,43 @@ def test_unterminated_dollar_quote_swallows_to_eof(tag, neighbor):
         P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]),
         {"stmt_type": "other", "table": None, "tables": []},
     )
+
+
+# --- fuzz round 5: comment decoration noise ----------------------------
+# The r05 probe corners generalized into a generator. Only comments and
+# whitespace are legal BETWEEN statements (a bare string literal before
+# a statement head is invalid SQL and rightly classifies as 'other' —
+# the first generator draft asserted otherwise and Hypothesis caught
+# it), so inter-statement noise draws from comment forms whose bodies
+# hide semicolons, quotes, and nested block openers; the
+# string/identifier corners live as exact-output regressions in
+# test_parse.py (test_splitter_pg_string_and_comment_corners).
+
+_NOISE_ATOM = st.sampled_from([
+    "/* ; */",
+    "/* outer /* inner ; */ tail ; */",
+    "/* 'unclosed quote inside comment */",
+    "-- line ; comment\n",
+    "-- E'\\'; still a comment\n",
+    " \t\n ",
+])
+
+
+@st.composite
+def _decorated_stmt(draw):
+    sql, expected = draw(_ANY_STMT)
+    pre = "".join(draw(st.lists(_NOISE_ATOM, max_size=3)))
+    if pre and not pre[-1].isspace() and not pre.endswith("*/"):
+        pre += " "
+    return pre + sql, expected
+
+
+@given(st.lists(_decorated_stmt(), min_size=1, max_size=4))
+@settings(max_examples=250, deadline=None)
+def test_split_survives_decoration_noise(cases):
+    migration = ";".join(sql for sql, _ in cases) + ";"
+    parsed = P.parse_sql(migration)
+    assert len(parsed) == len(cases), (migration, parsed)
+    for row, (_, expected) in zip(parsed, cases):
+        feats = P.classify_statement(row["stmt_index"], row["stmt_sql"])
+        _check_features(feats, expected)
