@@ -6354,19 +6354,24 @@ def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts iff its hour window's END is strictly after that watermark
     (1801 not 1800 so the comparison can never land exactly on an hour
     boundary). Append mode; heartbeat group filtered post-sink."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
     staged = SE.late_stream_dir(
         sf_dir, app_id=spark.sparkContext.applicationId
     )
-    stream = SE.read_events_stream(
-        spark, staged, max_files_per_trigger=1, glob="*.parquet"
-    )
-    out = SE.run_to_memory(
-        SE.tumbling_counts(stream, watermark="1801 seconds"),
-        output_mode="append",
-    )
+    # 5 micro-batches (the most of any drain here) × one state-store
+    # commit per shuffle partition: pin the state width like every other
+    # single-stateful drain (session.shuffle_width rationale)
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(
+            spark, staged, max_files_per_trigger=1, glob="*.parquet"
+        )
+        out = SE.run_to_memory(
+            SE.tumbling_counts(stream, watermark="1801 seconds"),
+            output_mode="append",
+        )
     return out.filter(F.col("event_type") != "heartbeat").orderBy(
         "hour_bucket", "event_type"
     )
