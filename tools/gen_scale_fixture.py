@@ -119,9 +119,7 @@ def main() -> None:
         """
     )
 
-    for t in [
-        "region", "nation", "supplier", "part", "orders", "lineitem",
-    ]:
+    for t in ["region", "nation", "supplier", "part"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
 
     # events (v2): replicate through pyarrow, NOT DuckDB — the fixture
@@ -135,6 +133,44 @@ def main() -> None:
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    # orders + lineitem (v3): replicate with JOIN-CONSISTENT strides —
+    # o_orderkey and l_orderkey shift by k*N_orders together, and
+    # o_custkey shifts by k*N_cust, the same stride the customer block
+    # above used — so every FK edge (lineitem→orders→customer) holds in
+    # every copy and the whole TPC-H-shaped relational family can be
+    # value-certified at ×COPIES (≈ sf1). Values/dates unchanged:
+    # per-copy answers keep the certified shape, global aggregates
+    # scale. pyarrow (not DuckDB COPY) so timestamp storage units
+    # survive byte-for-byte.
+    def _replicate(src_path, out_path, shifts):
+        t = pq.read_table(src_path)
+        parts = []
+        for k in range(COPIES):
+            cols = {}
+            for name in t.column_names:
+                col = t[name]
+                if name in shifts and k:
+                    col = pc.add(col, k * shifts[name])
+                cols[name] = col
+            parts.append(pa.table(cols, schema=t.schema))
+        pq.write_table(pa.concat_tables(parts), out_path)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n_ord = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchone()[0]
+    _replicate(
+        f"{SRC}/orders.parquet", f"{OUT}/orders.parquet",
+        {"o_orderkey": n_ord, "o_custkey": n_cust},
+    )
+    _replicate(
+        f"{SRC}/lineitem.parquet", f"{OUT}/lineitem.parquet",
+        {"l_orderkey": n_ord},
+    )
 
     ev = pq.read_table(f"{SRC}/events.parquet")
     n_ev = ev.num_rows
