@@ -75,10 +75,22 @@ def salted_join(
     the dim side across all salt values (explode), join on (key, salt).
     The hot fact key spreads over `salts` partitions at the cost of a
     `salts`× dim replication — use when dim is mid-sized (too big to
-    broadcast, far smaller than fact)."""
+    broadcast, far smaller than fact).
+
+    The join is PINNED to sort-merge: Catalyst's size estimate for a
+    scan→explode subtree stays at the pre-explode size, so it happily
+    plans the `salts`×-replicated dim as a BroadcastHashJoin build —
+    fine at fixture scale, driver-OOM at the ×10 sweep (observed:
+    orders×8 salts = 12M rows "broadcast" into a 1 GB driver). A dim
+    small enough to broadcast would never need salting in the first
+    place, so broadcast is never the right strategy here; SMJ spills
+    both sides and still gets AQE skew-split on top of the salting."""
     salted_fact = with_salt(fact, salts)
     replicated_dim = dim.withColumn(
         "_salt",
         F.explode(F.array(*[F.lit(i) for i in range(salts)])),
     )
-    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+    return (
+        salted_fact.join(replicated_dim.hint("merge"), [key, "_salt"])
+        .drop("_salt")
+    )
