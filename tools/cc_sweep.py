@@ -1,19 +1,22 @@
-"""×10 scale verification for the connected-components family.
+"""×10 scale verification for the connected-components-LABEL family.
 
-The registry oracle for dedup_clusters / dedup_clusters_star computes CC
-by recursive REACHABILITY (every (node, seed-root) pair) — exact and
-fine at the driver's sf0.01, but Σ s² state per component: at the ×10
-fixture (~1M edges) DuckDB 1.0 needs a >16 GiB single allocation and
-dies (key-based recursion that would make it O(N) landed only in
-DuckDB 1.3). So at sweep scale the value oracle is computed
-INDEPENDENTLY instead: the edge list comes from the same certified
-_JACC_CTES SQL pair graph, and the min-label components come from a
-plain union-find here — a different algorithm and engine than BOTH the
-Spark large/small-star implementation and the recursive SQL, agreeing
-on the identical output contract (doc_id, cluster_id = min member,
-cluster_size).
+The registry oracles for dedup_clusters / dedup_clusters_star /
+clean_corpus / dedup_aware_split compute CC by recursive REACHABILITY
+(every (node, seed-root) pair) — exact and fine at the driver's sf0.01,
+but Σ s² state per component: at the ×10 fixture (~1M edges) DuckDB 1.0
+needs a >16 GiB single allocation and dies, or grinds indefinitely
+(key-based recursion that would make it O(N) landed only in DuckDB
+1.3). So at sweep scale the `comp(doc_id, cluster_id)` relation is
+computed INDEPENDENTLY: the edge list comes from the same certified
+_JACC_CTES SQL pair graph, min-label components from a plain union-find
+here, and each query's REMAINING oracle SQL (quality ranking, retention
+rollup, split hashing — lifted verbatim from plans/oracles.py) runs in
+DuckDB over that temp table. A third algorithm and engine agreeing on
+the identical output contract.
 
-Usage: python tools/cc_sweep.py <sf_dir>
+Usage: python tools/cc_sweep.py <sf_dir> [query ...]
+Default queries: dedup_clusters_star dedup_clusters dedup_aware_split
+clean_corpus
 """
 
 import hashlib
@@ -27,10 +30,61 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e  # noqa: E402
 from database_migration_engine_spark.plans.oracles import (  # noqa: E402
+    ORACLES,
     _JACC_CTES,
+    _QF_CTES,
+    _QF_PASS,
 )
 
 sf = sys.argv[1]
+names = sys.argv[2:] or [
+    "dedup_clusters_star", "dedup_clusters", "dedup_aware_split",
+    "clean_corpus",
+]
+
+# the post-`comp` remainder of each registry oracle, verbatim
+_FINAL_SQL = {
+    "dedup_clusters": """
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY doc_id
+""",
+    "dedup_aware_split": """
+SELECT doc_id, cluster_id,
+       CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'test'
+            WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '34'
+            THEN 'val'
+            ELSE 'train' END AS split
+FROM comp
+ORDER BY doc_id
+""",
+    "clean_corpus": f"""
+, quality AS ({ORACLES["quality_score"]}),
+ranked AS (
+    SELECT c.cluster_id, q.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.score DESC, q.doc_id ASC) AS rnk
+    FROM comp c JOIN quality q USING (doc_id)
+),
+reps AS (SELECT doc_id FROM ranked WHERE rnk = 1),
+{_QF_CTES},
+perdoc AS (
+    SELECT f.doc_id, f.source,
+           {_QF_PASS} AS passes,
+           CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rep
+    FROM qf_flags f LEFT JOIN reps r USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_rep) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(is_rep * passes) AS BIGINT) AS n_retained,
+       CAST(SUM(is_rep * passes) AS DOUBLE) / COUNT(*) AS retention_rate
+FROM perdoc GROUP BY source ORDER BY source
+""",
+}
+_FINAL_SQL["dedup_clusters_star"] = _FINAL_SQL["dedup_clusters"]
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -57,11 +111,8 @@ def vhash(df: pd.DataFrame) -> str:
     ).hexdigest()[:12]
 
 
-t0 = time.perf_counter()
-got = e.queries()["dedup_clusters_star"](spark, sf).toPandas()
-t_spark = time.perf_counter() - t0
-
-t0 = time.perf_counter()
+# --- union-find comp over the certified SQL edge list ----------------
+t_uf = time.perf_counter()
 edges = con.sql(
     f"WITH {_JACC_CTES} SELECT doc_a, doc_b FROM jacc"
 ).fetchall()
@@ -86,27 +137,37 @@ for a, b in edges:
         lo, hi = (ra, rb) if ra < rb else (rb, ra)
         parent[hi] = lo
 
-label = {d: find(d) for d in all_docs}
-sizes: dict[int, int] = {}
-for lab in label.values():
-    sizes[lab] = sizes.get(lab, 0) + 1
-want = pd.DataFrame(
-    {
-        "doc_id": all_docs,
-        "cluster_id": [label[d] for d in all_docs],
-        "cluster_size": [sizes[label[d]] for d in all_docs],
-    }
+comp = pd.DataFrame(
+    {"doc_id": all_docs, "cluster_id": [find(d) for d in all_docs]}
 )
-t_duck = time.perf_counter() - t0
+con.register("comp_py", comp)
+con.execute("CREATE TEMP TABLE comp AS SELECT * FROM comp_py")
+t_uf = time.perf_counter() - t_uf
 
-ok_cols = sorted(got.columns) == sorted(want.columns)
-ok_rows = len(got) == len(want)
-ok_vals = vhash(got) == vhash(want) if ok_cols and ok_rows else False
-status = "OK" if (ok_cols and ok_rows and ok_vals) else "MISMATCH"
-print(
-    f"dedup_clusters_star: {status} rows={len(got)}/{len(want)} "
-    f"vals_ok={ok_vals} spark={t_spark:.2f}s "
-    f"oracle={t_duck:.2f}s (edges={len(edges)}, union-find)"
-)
+qs = e.queries()
+fails = []
+for name in names:
+    t0 = time.perf_counter()
+    got = qs[name](spark, sf).toPandas()
+    t_spark = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    final = _FINAL_SQL[name]
+    # a remainder starting with "," continued the original WITH chain
+    # after `comp`; with comp now a temp table it opens its own WITH
+    sql = "WITH " + final.lstrip()[1:].lstrip() if final.lstrip().startswith(",") else final
+    want = con.sql(sql).df()
+    t_duck = time.perf_counter() - t0 + (t_uf if name == names[0] else 0)
+    ok_cols = sorted(got.columns) == sorted(want.columns)
+    ok_rows = len(got) == len(want)
+    ok_vals = vhash(got) == vhash(want) if ok_cols and ok_rows else False
+    status = "OK" if (ok_cols and ok_rows and ok_vals) else "MISMATCH"
+    if status != "OK":
+        fails.append(name)
+    print(
+        f"{name}: {status} rows={len(got)}/{len(want)} "
+        f"vals_ok={ok_vals} spark={t_spark:.2f}s "
+        f"oracle={t_duck:.2f}s (edges={len(edges)}, union-find)"
+    )
+print("FAILS:", fails or "none")
 spark.stop()
-sys.exit(0 if status == "OK" else 1)
+sys.exit(1 if fails else 0)
