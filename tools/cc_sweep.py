@@ -83,6 +83,18 @@ SELECT source,
        CAST(SUM(is_rep * passes) AS DOUBLE) / COUNT(*) AS retention_rate
 FROM perdoc GROUP BY source ORDER BY source
 """,
+    "cluster_representatives": f"""
+, quality AS ({ORACLES["quality_score"]}),
+ranked AS (
+    SELECT c.cluster_id, q.doc_id, q.score,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.score DESC, q.doc_id ASC) AS rnk
+    FROM comp c JOIN quality q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, score AS rep_score
+FROM ranked WHERE rnk = 1
+ORDER BY cluster_id
+""",
 }
 _FINAL_SQL["dedup_clusters_star"] = _FINAL_SQL["dedup_clusters"]
 
