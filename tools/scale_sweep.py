@@ -26,6 +26,11 @@ names = sys.argv[2:]
 spark = (
     SparkSession.builder.master("local[8]")
     .appName("scale-sweep")
+    # resource allocation, not a plan conf: local-mode's default 1 GB
+    # heap is sf0.01-sized; at the ×10 fixture the embedding-LSH chain
+    # OOMs it. Plans stay vanilla (default shuffle partitions, no
+    # engine confs) — a real executor has tens of GB.
+    .config("spark.driver.memory", "8g")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
