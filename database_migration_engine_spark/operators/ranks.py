@@ -61,7 +61,12 @@ def values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFr
                 raise TypeError(
                     f"values_df: non-finite float {v!r} has no SQL literal"
                 )
-            return repr(v)
+            # A bare decimal literal (e.g. '0.1') parses as DECIMAL in
+            # Spark SQL, silently changing type AND value vs the binary64
+            # the caller held. CAST from the shortest repr string goes
+            # through Double.parseDouble — exact round-trip by
+            # construction.
+            return f"CAST('{v!r}' AS DOUBLE)"
         raise TypeError(
             f"values_df: unsupported literal type {type(v).__name__} "
             "(accepted: None, str, bool, int, finite float)"

@@ -1477,6 +1477,12 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         partition_cols=["o_orderpriority"],
     )
+    if not totals:  # empty input: VALUES () is invalid SQL (r05 advice)
+        return spark.createDataFrame(
+            [],
+            "o_orderpriority string, n_orders bigint, q1_price double,"
+            " median_price double, q3_price double",
+        )
     probes = [
         (
             pri,
@@ -2326,6 +2332,12 @@ def priority_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="_rank",
         cume_cnt_col="_cume_cnt",
     )
+    if not totals:  # empty input: VALUES () is invalid SQL (r05 advice)
+        return spark.createDataFrame(
+            [],
+            "o_orderpriority string, o_orderkey bigint,"
+            " o_totalprice double, pct_rank double, cume double",
+        )
     n_class = RK.values_df(
         spark,
         [(g[0], n) for g, n in totals.items()],
@@ -4453,6 +4465,11 @@ def price_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         partition_cols=["o_orderpriority"],
     )
+    if not totals:  # empty input: VALUES () is invalid SQL (r05 advice)
+        return spark.createDataFrame(
+            [],
+            "o_orderpriority string, p25 double, p50 double, p75 double",
+        )
     probes = []
     for (pri,), n in totals.items():
         for label, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
@@ -6070,6 +6087,12 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", ["event_id"], partition_cols=["event_type"],
         rn_col="rn",
     )
+    if not totals:  # empty input: VALUES () is invalid SQL (r05 advice)
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events bigint, median_value double,"
+            " mad double, n_outliers bigint",
+        )
     med_rn = RK.values_df(
         spark,
         [(g[0], (n + 1) // 2) for g, n in sorted(totals.items())],

@@ -130,7 +130,10 @@ def run_to_memory(
 
     name = table_name or f"stream_result_{uuid.uuid4().hex[:8]}"
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    ck = os.path.join(base, f"dbmig_ck_{name}")
+    # uuid component independent of table_name: two concurrent drains
+    # passing the same explicit name must never share (and finally-rmtree)
+    # each other's live checkpoint (r05 advice item 3)
+    ck = os.path.join(base, f"dbmig_ck_{name}_{uuid.uuid4().hex[:8]}")
     try:
         query = (
             stream_df.writeStream.format("memory")
