@@ -6,16 +6,35 @@ Output contract (driver-parseable — VERDICT.md r01 item 1):
 
 * stdout carries EXACTLY ONE compact JSON line:
   ``{"metric": "total_query_time", "value": N, "unit": "sec",
-  "sf": 0.1, "n_queries": 105, "median_sec": M,
+  "sf": 0.1, "n_queries": 182, "median_sec": M,
   "queries": {<slowest 15>}, "detail_file": "BENCH_DETAIL.json"}``
   The driver's capture buffer held ~2000 chars in round 1, so the full
-  105-entry per-query map (~4 KB) is written to ``BENCH_DETAIL.json``
-  instead of stdout, and only the slowest 15 ride inline.
+  per-query map (~4 KB) is written to ``BENCH_DETAIL.json`` instead of
+  stdout, and only the slowest 15 ride inline.
 * Everything else — Spark/JVM banners, warmup noise, progress — goes to
   stderr. The JVM writes to fd 1 directly, so fd 1 is redirected to fd 2
   at the OS level for the whole run and restored only for the final line.
 * ``BENCH_HISTORY.md`` gets an appended per-run summary row so later
   rounds can diff per-query regressions at a glance.
+
+Drift-proofing (VERDICT.md r05 item 2 — a ±15% host swing must not
+masquerade as a plan regression):
+
+* **Multi-sample estimator.** Every query is timed up to 3 times
+  (slowest-first on the later passes, stopping at the time budget); the
+  recorded number is the MEDIAN of 3 samples, or the MIN when budget
+  only allowed 1-2 — an outlier-resistant estimate either way.
+* **Calibration probe.** A fixed, fixture-independent Spark job runs
+  before each pass; its three times quantify how fast THIS box is THIS
+  run. The summary carries ``calib_sec`` (median) and ``calib_spread``
+  (max/min of the probes) so a cross-round delta can first be divided
+  by the calibration ratio before anyone calls it a regression.
+* **Per-family decomposition.** Queries are bucketed into stable
+  families (relational / text / dedup / similarity / streaming / ...)
+  and the per-family subtotals — plus a diff against the previous run's
+  ``BENCH_DETAIL.json`` — are appended to ``BENCH_HISTORY.md``
+  automatically (the r05 forensics, mechanized): a host-drift swing
+  moves every family uniformly; a plan regression is family-local.
 
 Each query is materialized via ``df.collect()`` (every registered query
 returns an aggregate or bounded top-k), so the measured time covers scan →
@@ -29,6 +48,7 @@ import datetime
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -37,6 +57,57 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 INLINE_SLOWEST = 15
+MAX_SAMPLES = 3
+
+# Stable query families for the decomposition. First match wins; rules are
+# on NAME ONLY so a query never silently changes family across rounds.
+_FAMILY_RULES: list[tuple[str, str]] = [
+    (r"_stream$|^user_profiles_stream$", "streaming"),
+    (r"^(ledger|pending|applied|checksum|rollback|after_version|upsert"
+     r"|findings|severity|rule_catalog)", "ledger"),
+    (r"^(dedup|simhash|minhash|ngram_jaccard|winnowing|moss|containment"
+     r"|duplicate_spans|exact_substr|strip_dup|contamination|jaccard"
+     r"|entity_canonicalize|fuzzy_name)", "dedup"),
+    (r"^(similarity|ann_|semdedup|pq_codes|hash_embed|embedding|kmeans"
+     r"|label_centroids|mmr|retrieval|bm25|keyword_search|hybrid_search"
+     r"|label_propagation)", "similarity"),
+    (r"^(text|token|quality|lang|doc_|vocab|bigram|unigram|bpe|top_terms"
+     r"|corpus|repetition|pii|clean|pack_sequences|augment|typo"
+     r"|multimodal|source_)", "text"),
+    (r"^(pagerank|triangle)", "graph"),
+    (r"^(events|funnel|user_|hourly|latest_event|zscore|value_outliers"
+     r"|mad_outliers|count_min|scd2|cdc)", "events"),
+    (r"^(approx|sampled_quantiles|bloom|key_skew|zorder|forecast"
+     r"|deterministic_sample|stratified|weighted_sample|train_val)", "ops"),
+]
+
+
+def family(name: str) -> str:
+    for pat, fam in _FAMILY_RULES:
+        if re.search(pat, name):
+            return fam
+    return "relational"
+
+
+def calibration_probe(spark) -> float:
+    """Fixed fixture-independent job: generate → hash → shuffle-agg →
+    collect. Measures JVM+shuffle+host speed, never the fixtures."""
+    from pyspark.sql import functions as F
+
+    start = time.perf_counter()
+    (
+        spark.range(0, 8_000_000, 1, 32)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            # pmod keeps the ANSI-mode sum far from long overflow
+            F.pmod(F.xxhash64(F.col("id")), F.lit(1000003)).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+        .collect()
+    )
+    return time.perf_counter() - start
 
 
 def run_query(fn, spark, sf_dir: str) -> float:
@@ -46,7 +117,14 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
-def bench(sf_dir: str) -> dict[str, float]:
+def estimate(samples: list[float]) -> float:
+    """Median of 3 samples; min below that (both outlier-resistant)."""
+    if len(samples) >= MAX_SAMPLES:
+        return statistics.median(samples)
+    return min(samples)
+
+
+def bench(sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]], list[float]]:
     from database_migration_engine_spark.plans import QUERIES
     from database_migration_engine_spark.session import build_session
 
@@ -60,36 +138,51 @@ def bench(sf_dir: str) -> dict[str, float]:
             fn(spark, WARMUP_SF_DIR).collect()
         except Exception:
             pass
+    calibration_probe(spark)  # warm the probe's codegen too
 
-    # Two passes, keep the per-query MIN: first execution pays one-shot
-    # JIT/page-cache costs; the second pass re-measures slowest-first and
-    # stops when the time budget runs out.
     bench_start = time.perf_counter()
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    calib: list[float] = []
+
+    # Pass 1: one sample for every query (never budget-skipped — a
+    # missing number is worse than a noisy one). Passes 2..MAX_SAMPLES:
+    # slowest-first re-measures until the budget runs out, so the heavy
+    # queries — where drift hurts most — get their median first.
+    calib.append(round(calibration_probe(spark), 4))
     for name, fn in QUERIES.items():
         try:
-            timings[name] = round(run_query(fn, spark, sf_dir), 4)
+            samples[name] = [round(run_query(fn, spark, sf_dir), 4)]
         except Exception as exc:  # pragma: no cover - report, don't die
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-    for name in sorted(timings, key=lambda n: -timings[n]):
-        if timings[name] < 0:
-            continue
+            samples[name] = [-1.0]
+    for _pass in range(1, MAX_SAMPLES):
         if time.perf_counter() - bench_start > budget_s:
             break
-        try:
-            timings[name] = min(
-                timings[name],
-                round(run_query(QUERIES[name], spark, sf_dir), 4),
-            )
-        except Exception:  # pragma: no cover
-            pass
+        calib.append(round(calibration_probe(spark), 4))
+        order = sorted(samples, key=lambda n: -min(samples[n]))
+        for name in order:
+            if samples[name][0] < 0:
+                continue
+            if time.perf_counter() - bench_start > budget_s:
+                break
+            try:
+                samples[name].append(
+                    round(run_query(QUERIES[name], spark, sf_dir), 4)
+                )
+            except Exception:  # pragma: no cover
+                pass
     spark.stop()
-    return timings
+    timings = {
+        name: (-1.0 if s[0] < 0 else round(estimate(s), 4))
+        for name, s in samples.items()
+    }
+    return timings, samples, calib
 
 
-def summarize(timings: dict[str, float], sf: float | None) -> dict:
+def summarize(
+    timings: dict[str, float], sf: float | None, calib: list[float]
+) -> dict:
     ok = sorted(t for t in timings.values() if t >= 0)
     total = round(sum(ok), 4)
     median = round(ok[len(ok) // 2], 4) if ok else None
@@ -107,12 +200,38 @@ def summarize(timings: dict[str, float], sf: float | None) -> dict:
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "median_sec": median,
+        "calib_sec": round(statistics.median(calib), 3) if calib else None,
+        "calib_spread": (
+            round(max(calib) / min(calib), 3) if calib and min(calib) > 0
+            else None
+        ),
         "queries": {n: round(t, 2) for n, t in slowest.items()},
         "detail_file": "BENCH_DETAIL.json",
     }
 
 
-def append_history(summary: dict, timings: dict[str, float]) -> None:
+def family_totals(timings: dict[str, float]) -> dict[str, float]:
+    fams: dict[str, float] = {}
+    for name, t in timings.items():
+        if t < 0:
+            continue
+        fams[family(name)] = round(fams.get(family(name), 0.0) + t, 2)
+    return fams
+
+
+def load_previous_detail() -> dict | None:
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def append_history(
+    summary: dict,
+    timings: dict[str, float],
+    prev: dict | None,
+) -> None:
     path = os.path.join(REPO, "BENCH_HISTORY.md")
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
         "%Y-%m-%dT%H:%M:%SZ"
@@ -127,9 +246,53 @@ def append_history(summary: dict, timings: dict[str, float]) -> None:
     slow = ", ".join(f"{n} {t:.2f}s" for n, t in summary["queries"].items())
     lines.append(
         f"\n## {stamp} — sf={summary['sf']} total={summary['value']}s "
-        f"n={summary['n_queries']} median={summary['median_sec']}s\n"
+        f"n={summary['n_queries']} median={summary['median_sec']}s "
+        f"calib={summary['calib_sec']}s spread={summary['calib_spread']}\n"
         f"Slowest: {slow}\n"
     )
+    fams = family_totals(timings)
+    prev_t = (prev or {}).get("queries", {})
+    prev_fams = family_totals(
+        {n: t for n, t in prev_t.items() if isinstance(t, (int, float))}
+    )
+    prev_calib = (prev or {}).get("calib_sec")
+    ratio = (
+        summary["calib_sec"] / prev_calib
+        if summary["calib_sec"] and prev_calib
+        else None
+    )
+    fam_cells = []
+    for fam in sorted(fams):
+        cell = f"{fam} {fams[fam]:.1f}s"
+        if fam in prev_fams and prev_fams[fam] > 0:
+            cell += f" ({fams[fam] / prev_fams[fam]:+.0%})".replace("+", "Δ")
+        fam_cells.append(cell)
+    lines.append("Families: " + ", ".join(fam_cells) + "\n")
+    if ratio is not None:
+        lines.append(
+            f"Host-drift ratio vs previous run (calib/calib): {ratio:.2f} — "
+            "family deltas near this ratio are drift, not regressions.\n"
+        )
+    if prev_t:
+        regs = sorted(
+            (
+                (n, t, prev_t[n])
+                for n, t in timings.items()
+                if t > 0.5
+                and isinstance(prev_t.get(n), (int, float))
+                and prev_t[n] > 0
+                and t / prev_t[n] > max(1.3, (ratio or 1.0) * 1.15)
+            ),
+            key=lambda x: -(x[1] / x[2]),
+        )[:8]
+        if regs:
+            lines.append(
+                "Per-query regressions beyond drift: "
+                + ", ".join(f"{n} {p:.2f}→{t:.2f}s" for n, t, p in regs)
+                + "\n"
+            )
+        else:
+            lines.append("Per-query regressions beyond drift: none\n")
     with open(path, "a") as f:
         f.writelines(lines)
 
@@ -147,21 +310,28 @@ def main() -> None:
     os.dup2(2, 1)
     sys.stdout = os.fdopen(os.dup(1), "w")
     try:
-        timings = bench(sf_dir)
+        prev = load_previous_detail()
+        timings, samples, calib = bench(sf_dir)
     finally:
         sys.stdout.flush()
         os.dup2(saved_stdout, 1)
         sys.stdout = os.fdopen(saved_stdout, "w")
 
-    summary = summarize(timings, sf)
+    summary = summarize(timings, sf, calib)
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
-            {**summary, "queries": timings},
+            {
+                **summary,
+                "queries": timings,
+                "samples": samples,
+                "calib_samples": calib,
+                "families": family_totals(timings),
+            },
             f,
             indent=1,
             sort_keys=True,
         )
-    append_history(summary, timings)
+    append_history(summary, timings, prev)
     line = json.dumps(summary, separators=(",", ":"))
     # Belt and braces: the driver's round-1 capture held ~2000 chars.
     assert len(line) < 1900, f"bench summary line too long: {len(line)}"

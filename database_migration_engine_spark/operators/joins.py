@@ -33,6 +33,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Below this many bytes of backing parquet per side, the merge pin is
+# waived and AQE/Catalyst pick the strategy (incl. broadcast). 2 MiB sits
+# between the sf0.1 corpus tables (~0.6-0.8 MB, where broadcast is both
+# safe and measurably faster) and the ×10 fixture (~6-8 MB, where the
+# exploded shingle frames drove a ~0.5 GB mis-broadcast in the r05
+# sweep). Worst-case in-memory amplification of a shingle/signature
+# explode over ≤2 MiB of compressed text is bounded well inside even a
+# default 1 GiB driver. Override per-session with
+# ``spark.dbme.corpusJoin.smallBytes`` (0 = always pin).
+CORPUS_SMALL_BYTES = 2 << 20
+
+
+def _backing_bytes(df: DataFrame) -> int | None:
+    """Total size of the parquet files backing ``df``'s plan, or None
+    when unknown (non-file source, unreadable path). Unlike Catalyst's
+    post-explode row estimate — which can be arbitrarily wrong-small —
+    leaf file sizes are exact, and corpus amplification (explode,
+    self-join) only ever makes the real data LARGER than this number,
+    so a "big" verdict here is never a false negative."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in set(files):
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None  # remote storage: size unknown from here
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+    return total
+
+
 def corpus_join(
     left: DataFrame,
     right: DataFrame,
@@ -40,7 +80,7 @@ def corpus_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join two CORPUS-DERIVED frames with the join strategy pinned
-    to sort-merge — never broadcast.
+    to sort-merge unless BOTH sides are provably tiny.
 
     Catalyst's size estimate for an explode→aggregate→filter subtree can
     be arbitrarily wrong, and a wrong small estimate turns a corpus-sized
@@ -55,7 +95,30 @@ def corpus_join(
     pool. AQE skew-split still applies to SMJ, and the sorts feed the
     (a<b)/groupBy stages that follow every candidate join here. Bounded
     sides (centroids, probe lists, per-query top-k) keep using
-    ``F.broadcast`` explicitly — the inverse declaration."""
+    ``F.broadcast`` explicitly — the inverse declaration.
+
+    Size-adaptivity (r05 verdict item 3): the unconditional pin taxed
+    fixture-scale runs (dedup_incremental 1.90→2.94 s at sf0.1) for a
+    safety margin only corpus-scale inputs need. The pin is now gated on
+    the exact BACKING-FILE size of both sides — when every parquet leaf
+    behind both plans totals under ``spark.dbme.corpusJoin.smallBytes``
+    (default 2 MiB) per side, AQE/Catalyst choose freely; any big or
+    unknown-size side keeps the pin. At 100 TB every corpus side is far
+    past the threshold, so the production plan is identical to the
+    always-pinned form."""
+    try:
+        thr = int(
+            left.sparkSession.conf.get(
+                "spark.dbme.corpusJoin.smallBytes", str(CORPUS_SMALL_BYTES)
+            )
+        )
+    except Exception:
+        thr = CORPUS_SMALL_BYTES
+    if thr > 0:
+        lb = _backing_bytes(left)
+        rb = _backing_bytes(right)
+        if lb is not None and rb is not None and lb <= thr and rb <= thr:
+            return left.join(right, on, how)
     return left.join(right.hint("merge"), on, how)
 
 

@@ -212,12 +212,146 @@ def parse_gif_header(data: bytes) -> tuple[int, int]:
     return int(w), int(h)
 
 
-def make_bmp(width: int, height: int) -> bytes:
-    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, no pixel data
-    (header-parse scope)."""
-    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
-    file_header = struct.pack("<2sIHHI", b"BM", 14 + len(info), 0, 0, 14 + len(info))
-    return file_header + info
+def bmp_pixel(x: int, y: int) -> tuple[int, int, int]:
+    """The deterministic (b, g, r) value of synthetic pixel (x, y) —
+    the generative formula the DuckDB oracle recomputes analytically,
+    so full pixel decode is value-checkable without a reference image
+    library."""
+    return ((x * 7 + y * 13) % 256, (x * 11 + y * 3) % 256, (x * 5 + y * 17) % 256)
+
+
+def make_bmp(width: int, height: int, pixels: bool = False) -> bytes:
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, optionally with
+    a real uncompressed 24bpp BI_RGB pixel array (bottom-up rows, 4-byte
+    row padding per the DIB spec; values from ``bmp_pixel``)."""
+    row_size = (width * 3 + 3) & ~3
+    data = b""
+    if pixels:
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up storage order
+            row = bytearray()
+            for x in range(width):
+                row += bytes(bmp_pixel(x, y))
+            row += b"\x00" * (row_size - len(row))
+            rows.append(bytes(row))
+        data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(info) + len(data), 0, 0, 14 + len(info)
+    )
+    return file_header + info + data
+
+
+def decode_bmp_pixels(data: bytes) -> dict:
+    """FULL pixel decode of an uncompressed 24bpp BI_RGB BMP — stdlib
+    struct only, no PIL. Returns integer per-channel statistics
+    (sum/min/max for b, g, r) plus the pixel count: integers are
+    oracle-exact where float means would invite rounding drift.
+    Raises ValueError for BMPs outside the 24bpp/BI_RGB envelope."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24bpp BI_RGB supported")
+    height = abs(int(h))
+    top_down = h < 0
+    width = int(w)
+    row_size = (width * 3 + 3) & ~3
+    sums = [0, 0, 0]
+    mins = [255, 255, 255]
+    maxs = [0, 0, 0]
+    for r in range(height):
+        base = pixel_off + r * row_size
+        row = data[base : base + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel array")
+        for c in range(3):
+            ch = row[c::3]
+            sums[c] += sum(ch)
+            mins[c] = min(mins[c], min(ch))
+            maxs[c] = max(maxs[c], max(ch))
+    # (row order never affects the stats, so top-down vs bottom-up DIBs
+    # decode identically here)
+    del top_down
+    n = width * height
+    return {
+        "n_units": n,
+        "sum_b": sums[0], "min_b": mins[0], "max_b": maxs[0],
+        "sum_g": sums[1], "min_g": mins[1], "max_g": maxs[1],
+        "sum_r": sums[2], "min_r": mins[2], "max_r": maxs[2],
+    }
+
+
+def resize_bmp(data: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize of an uncompressed 24bpp BMP — a REAL
+    resize with stdlib only (decode → resample → re-encode). Source
+    pixel for target (tx, ty) is (tx*sw // tw, ty*sh // th), the
+    standard floor-mapped nearest-neighbor kernel."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    sw, sh_raw = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24bpp BI_RGB supported")
+    sh = abs(int(sh_raw))
+    src_row = (sw * 3 + 3) & ~3
+
+    def src_px(x: int, y: int) -> bytes:
+        # storage is bottom-up for positive heights
+        r = (sh - 1 - y) if sh_raw > 0 else y
+        base = pixel_off + r * src_row + x * 3
+        return data[base : base + 3]
+
+    dst_row_size = (target_w * 3 + 3) & ~3
+    rows = []
+    for ty in range(target_h - 1, -1, -1):  # write bottom-up
+        row = bytearray()
+        sy = ty * sh // target_h
+        for tx in range(target_w):
+            row += src_px(tx * sw // target_w, sy)
+        row += b"\x00" * (dst_row_size - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, target_w, target_h, 1, 24, 0, len(pixels),
+        0, 0, 0, 0,
+    )
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(info) + len(pixels), 0, 0, 14 + len(info)
+    )
+    return file_header + info + pixels
+
+
+def decode_wav_samples(data: bytes) -> dict:
+    """FULL PCM sample decode of a WAV — stdlib ``wave`` + ``struct``.
+    8-bit PCM decodes as unsigned [0, 255]; 16-bit as signed little-endian.
+    Returns integer sample statistics (sum/min/max over all channels
+    interleaved) plus the frame count."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        n_frames = wv.getnframes()
+        sampwidth = wv.getsampwidth()
+        raw = wv.readframes(n_frames)
+    if sampwidth == 1:
+        samples = list(raw)
+    elif sampwidth == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    else:
+        raise ValueError("only 8/16-bit PCM supported")
+    if not samples:
+        raise ValueError("empty WAV")
+    return {
+        "n_units": n_frames,
+        "sum_b": sum(samples), "min_b": min(samples), "max_b": max(samples),
+        "sum_g": None, "min_g": None, "max_g": None,
+        "sum_r": None, "min_r": None, "max_r": None,
+    }
 
 
 def parse_bmp_header(data: bytes) -> tuple[int, int]:
@@ -380,9 +514,99 @@ def _decode_real(b: bytes) -> tuple[int, int]:
         return int(w), int(h)
     raise NotImplementedError(
         "only PNG, JPEG, GIF, BMP, WAV, AVI and MP4 headers are parseable"
-        " without media libraries; full pixel/sample decode (MP3, video"
-        " frames, pixel data) needs PIL/ffmpeg — use mode='fake' for"
-        " format-agnostic plumbing"
+        " without media libraries; FULL decode is real for uncompressed"
+        " formats (24bpp BMP pixels via decode_bmp_pixels, 8/16-bit WAV"
+        " PCM via decode_wav_samples) — compressed formats (JPEG/PNG"
+        " pixels, MP3, video frames) need PIL/ffmpeg; use mode='fake'"
+        " for format-agnostic plumbing"
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # bmp | wav
+        T.StructField("n_units", T.LongType()),  # pixels | frames
+        # all-BIGINT stats: uniform integer typing keeps the cross-engine
+        # value hash trivially stable (no int32/int64 pandas dtype drift)
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("min_b", T.LongType()),
+        T.StructField("max_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("min_g", T.LongType()),
+        T.StructField("max_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("min_r", T.LongType()),
+        T.StructField("max_r", T.LongType()),
+    ]
+)
+
+
+def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
+    """Deterministic FULLY-DECODABLE assets: even ids → 24bpp BMP with a
+    real pixel array (``bmp_pixel`` pattern), odd ids → 8-bit PCM WAV
+    (``make_wav`` ramp pattern). Distributed Arrow-batched generation,
+    same shape as ``synth_real_assets``."""
+    ensure_worker_imports(spark)
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    payload = make_bmp(5 + i % 13, 3 + i % 7, pixels=True)
+                    modality, mime = "image", "image/bmp"
+                else:
+                    payload = make_wav(40 + i % 160, amplitude=1 + i % 9)
+                    modality, mime = "audio", "audio/wav"
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "modality": modality,
+                        "payload": payload,
+                        "meta": {
+                            "mime": mime,
+                            "n_bytes": len(payload),
+                            "source_uri": f"synthetic://pixel/{i}",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(build, schema=ASSET_SCHEMA)
+
+
+def pixel_stats(assets: DataFrame) -> DataFrame:
+    """FULL-decode statistics over binary payloads: per-channel integer
+    sum/min/max for uncompressed 24bpp BMPs, interleaved PCM sample
+    stats for 8/16-bit WAVs. Arrow-batched ``mapInPandas`` — the decode
+    loop sees whole record batches, and the per-asset work is O(payload)
+    with no cross-row state, so the operator scales with executors."""
+    ensure_worker_imports(assets.sparkSession)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"BM":
+                    stats = decode_bmp_pixels(b)
+                    kind = "bmp"
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    stats = decode_wav_samples(b)
+                    kind = "wav"
+                else:
+                    raise NotImplementedError(
+                        "pixel_stats full-decodes uncompressed 24bpp BMP"
+                        " and 8/16-bit PCM WAV; other formats need"
+                        " PIL/ffmpeg"
+                    )
+                rows.append({"asset_id": int(aid), "kind": kind, **stats})
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
     )
 
 
@@ -500,8 +724,9 @@ def resize(
     """Image-resize plumbing: Arrow-batched transform emitting a resized
     payload + updated metadata. ``mode="fake"`` deterministically
     truncates/pads the payload to target_w*target_h/64 bytes (stand-in
-    for the decoded-pixels buffer); ``mode="real"`` raises at the seam
-    where PIL's ``Image.resize`` would run."""
+    for the decoded-pixels buffer); ``mode="real"`` genuinely resizes
+    uncompressed 24bpp BMPs (nearest-neighbor via ``resize_bmp``) and
+    raises only for compressed formats, where PIL would be needed."""
     ensure_worker_imports(assets.sparkSession)
     out_schema = T.StructType(
         [
@@ -516,10 +741,24 @@ def resize(
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             if mode == "real":
-                raise NotImplementedError(
-                    "PIL is not available in this environment;"
-                    " use mode='fake'"
+                def real_resize(b):
+                    b = bytes(b)
+                    if b[:2] != b"BM":
+                        raise NotImplementedError(
+                            "real resize covers uncompressed 24bpp BMP;"
+                            " compressed formats need PIL"
+                        )
+                    return resize_bmp(b, target_w, target_h)
+
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "payload": pdf["payload"].map(real_resize),
+                        "width": target_w,
+                        "height": target_h,
+                    }
                 )
+                continue
             payloads = pdf["payload"].map(
                 lambda b: (bytes(b) * (n_bytes // max(len(bytes(b)), 1) + 1))[
                     :n_bytes

@@ -3354,6 +3354,59 @@ ORDER BY asset_id
 """
 
 
+# multimodal_pixel_stats: the engine decodes REAL bytes (BMP pixel
+# arrays / WAV PCM frames, operators/multimodal.py); the oracle
+# recomputes identical integer statistics from the generative formulas
+# (bmp_pixel / make_wav ramp) — decode correctness is certified without
+# a reference media library. -1 sentinels mirror the query's coalesce
+# for WAV's missing g/r channels.
+ORACLES["multimodal_pixel_stats"] = """
+WITH ids AS (SELECT unnest(range(80)) AS i),
+bmp AS (SELECT i, 5 + i % 13 AS w, 3 + i % 7 AS h FROM ids WHERE i % 2 = 0),
+px AS (
+    SELECT b.i,
+           (x.x * 7 + y.y * 13) % 256 AS vb,
+           (x.x * 11 + y.y * 3) % 256 AS vg,
+           (x.x * 5 + y.y * 17) % 256 AS vr
+    FROM bmp b
+    JOIN (SELECT unnest(range(18)) AS x) x ON x.x < b.w
+    JOIN (SELECT unnest(range(10)) AS y) y ON y.y < b.h
+),
+bmp_stats AS (
+    SELECT i, 'bmp' AS kind, CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(MIN(vb) AS BIGINT) AS min_b,
+           CAST(MAX(vb) AS BIGINT) AS max_b,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(MIN(vg) AS BIGINT) AS min_g,
+           CAST(MAX(vg) AS BIGINT) AS max_g,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(MIN(vr) AS BIGINT) AS min_r,
+           CAST(MAX(vr) AS BIGINT) AS max_r
+    FROM px GROUP BY i
+),
+wav AS (SELECT i, 40 + i % 160 AS n, 1 + i % 9 AS a FROM ids WHERE i % 2 = 1),
+smp AS (
+    SELECT w.i, 128 + (j.j * w.a) % 64 AS s
+    FROM wav w JOIN (SELECT unnest(range(200)) AS j) j ON j.j < w.n
+),
+wav_stats AS (
+    SELECT i, 'wav' AS kind, CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(s) AS BIGINT) AS sum_b,
+           CAST(MIN(s) AS BIGINT) AS min_b,
+           CAST(MAX(s) AS BIGINT) AS max_b,
+           CAST(-1 AS BIGINT) AS sum_g, CAST(-1 AS BIGINT) AS min_g,
+           CAST(-1 AS BIGINT) AS max_g, CAST(-1 AS BIGINT) AS sum_r,
+           CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
+    FROM smp GROUP BY i
+)
+SELECT i AS asset_id, kind, n_units,
+       sum_b, min_b, max_b, sum_g, min_g, max_g, sum_r, min_r, max_r
+FROM (SELECT * FROM bmp_stats UNION ALL SELECT * FROM wav_stats)
+ORDER BY asset_id
+"""
+
+
 ORACLES["cdc_snapshot"] = """
 WITH ch AS (
     SELECT user_id, ts, event_id, event_type, value,

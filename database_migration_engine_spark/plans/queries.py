@@ -1231,6 +1231,35 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(MM.synth_assets(spark, 200)).orderBy("asset_id")
 
 
+@query("multimodal_pixel_stats")
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL media decode with stdlib only (r05 verdict item 5): even
+    asset ids are uncompressed 24bpp BMPs with a real pixel array, odd
+    ids are 8-bit PCM WAVs; the engine genuinely decodes bytes →
+    per-channel integer sum/min/max (operators/multimodal.py:
+    decode_bmp_pixels / decode_wav_samples, Arrow-batched mapInPandas).
+    The oracle recomputes the same statistics analytically from the
+    generative pixel/sample formulas — integer-exact, so the decode
+    path is value-certified without any reference media library.
+    Missing channels (WAV is mono) are emitted as -1 sentinels to keep
+    every stat column non-null BIGINT for hash stability."""
+    from ..operators import multimodal as MM
+
+    ensure_deterministic(spark)
+    stats = MM.pixel_stats(MM.synth_pixel_assets(spark, 80))
+    neg1 = F.lit(-1).cast("long")
+    return stats.select(
+        "asset_id", "kind", "n_units",
+        "sum_b", "min_b", "max_b",
+        F.coalesce("sum_g", neg1).alias("sum_g"),
+        F.coalesce("min_g", neg1).alias("min_g"),
+        F.coalesce("max_g", neg1).alias("max_g"),
+        F.coalesce("sum_r", neg1).alias("sum_r"),
+        F.coalesce("min_r", neg1).alias("min_r"),
+        F.coalesce("max_r", neg1).alias("max_r"),
+    ).orderBy("asset_id")
+
+
 @query("dedup_embedding")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), scale-gated per

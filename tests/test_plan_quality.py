@@ -310,13 +310,55 @@ def test_vocab_coverage_window_only_after_limit(spark):
 
 
 def test_scurve_merge_joins_no_cartesian(spark):
-    """Truth x candidate pair-graph join is a pair-keyed sort-merge —
-    both sides corpus-scaled, so no broadcast and no cartesian."""
-    plan = _plan(spark, "minhash_band_scurve")
+    """Truth x candidate pair-graph join is a pair-keyed sort-merge at
+    corpus scale — no broadcast, no cartesian. corpus_join waives the
+    merge pin below its backing-bytes threshold (r06 size-adaptivity),
+    so the corpus-scale shape is asserted by forcing the threshold to 0
+    (the exact conf a >threshold input resolves to)."""
+    conf = spark.conf
+    try:
+        conf.set("spark.dbme.corpusJoin.smallBytes", "0")
+        plan = _plan(spark, "minhash_band_scurve")
+    finally:
+        conf.unset("spark.dbme.corpusJoin.smallBytes")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin LeftOuter" in plan or (
         "SortMergeJoin" in plan and "LeftOuter" in plan
     )
+    # fixture-scale inputs (sub-threshold backing files) may broadcast
+    # instead — but never cartesian
+    assert "CartesianProduct" not in _plan(spark, "minhash_band_scurve")
+
+
+def test_corpus_join_size_gate(spark):
+    """The merge pin engages exactly when a side's backing files exceed
+    the threshold (or are unknown); both-sides-small frees AQE."""
+    from pyspark.sql import functions as F
+
+    from database_migration_engine_spark.io import read_table
+    from database_migration_engine_spark.operators.joins import corpus_join
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    a = docs.select("doc_id", F.length("text").alias("n"))
+    b = docs.select("doc_id", F.md5("text").alias("h"))
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # sf0.001 documents.parquet is far below 2 MiB: no pin, Catalyst
+    # broadcasts one side
+    assert "BroadcastHashJoin" in plan_of(corpus_join(a, b, "doc_id"))
+    conf = spark.conf
+    try:
+        # a tiny threshold simulates corpus-scale backing files
+        conf.set("spark.dbme.corpusJoin.smallBytes", "1")
+        pinned = plan_of(corpus_join(a, b, "doc_id"))
+    finally:
+        conf.unset("spark.dbme.corpusJoin.smallBytes")
+    assert "SortMergeJoin" in pinned
+    # unknown backing (no file source anywhere in the plan) stays pinned
+    local = spark.sql("SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(doc_id, h)")
+    assert "SortMergeJoin" in plan_of(corpus_join(local, local, "doc_id"))
 
 
 def test_dedup_rate_no_window_one_aggregate(spark):

@@ -368,3 +368,145 @@ def test_real_decode_rejects_unknown_format(spark):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL decode (r06): BMP pixel arrays and WAV PCM samples, stdlib only
+# ---------------------------------------------------------------------------
+
+
+def _bmp_ref_stats(w, h):
+    from database_migration_engine_spark.operators.multimodal import bmp_pixel
+
+    px = [bmp_pixel(x, y) for y in range(h) for x in range(w)]
+    out = {"n_units": w * h}
+    for ci, name in enumerate(("b", "g", "r")):
+        ch = [p[ci] for p in px]
+        out[f"sum_{name}"] = sum(ch)
+        out[f"min_{name}"] = min(ch)
+        out[f"max_{name}"] = max(ch)
+    return out
+
+
+def test_decode_bmp_pixels_roundtrip():
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    for w, h in ((1, 1), (5, 3), (7, 4), (16, 9)):  # odd widths hit padding
+        assert decode_bmp_pixels(make_bmp(w, h, pixels=True)) == _bmp_ref_stats(w, h)
+
+
+def test_decode_bmp_rejects_headers_only_and_nonbmp():
+    import pytest as _pytest
+
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+        make_png,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(make_bmp(4, 4))  # no pixel array
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(make_png(4, 4))
+
+
+def test_decode_wav_samples_8_and_16_bit():
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_wav_samples,
+        make_wav,
+    )
+
+    got = decode_wav_samples(make_wav(100, amplitude=5))
+    ref = [128 + (j * 5) % 64 for j in range(100)]
+    assert got["n_units"] == 100
+    assert (got["sum_b"], got["min_b"], got["max_b"]) == (
+        sum(ref), min(ref), max(ref),
+    )
+    assert got["sum_g"] is None and got["max_r"] is None
+
+    # 16-bit signed PCM, incl. negative samples
+    vals = [-32768, -1, 0, 1, 32767, 12345]
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(_struct.pack(f"<{len(vals)}h", *vals))
+    got16 = decode_wav_samples(buf.getvalue())
+    assert got16["n_units"] == len(vals)
+    assert (got16["sum_b"], got16["min_b"], got16["max_b"]) == (
+        sum(vals), min(vals), max(vals),
+    )
+
+
+def test_resize_bmp_nearest_neighbor():
+    from database_migration_engine_spark.operators.multimodal import (
+        bmp_pixel,
+        decode_bmp_pixels,
+        make_bmp,
+        parse_bmp_header,
+        resize_bmp,
+    )
+
+    src = make_bmp(8, 6, pixels=True)
+    out = resize_bmp(src, 4, 3)
+    assert parse_bmp_header(out) == (4, 3)
+    # reference: nearest-neighbor floor mapping over the generative pattern
+    ref = [
+        bmp_pixel(tx * 8 // 4, ty * 6 // 3)
+        for ty in range(3)
+        for tx in range(4)
+    ]
+    got = decode_bmp_pixels(out)
+    for ci, name in enumerate(("b", "g", "r")):
+        ch = [p[ci] for p in ref]
+        assert got[f"sum_{name}"] == sum(ch)
+        assert got[f"min_{name}"] == min(ch)
+        assert got[f"max_{name}"] == max(ch)
+    # identity resize preserves every statistic
+    same = resize_bmp(src, 8, 6)
+    assert decode_bmp_pixels(same) == decode_bmp_pixels(src)
+
+
+def test_resize_real_bmp_distributed(spark):
+    from database_migration_engine_spark.operators import multimodal as MM
+
+    assets = MM.synth_pixel_assets(spark, 12).filter(
+        F.col("modality") == "image"
+    )
+    rows = MM.resize(assets, target_w=4, target_h=4, mode="real").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert MM.parse_bmp_header(bytes(r.payload)) == (4, 4)
+
+
+def test_pixel_stats_matches_reference(spark):
+    from database_migration_engine_spark.operators import multimodal as MM
+
+    got = {
+        r.asset_id: r.asDict()
+        for r in MM.pixel_stats(MM.synth_pixel_assets(spark, 20)).collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        r = got[i]
+        if i % 2 == 0:
+            ref = _bmp_ref_stats(5 + i % 13, 3 + i % 7)
+            assert r["kind"] == "bmp"
+            for k, v in ref.items():
+                assert r[k] == v, (i, k)
+        else:
+            n, a = 40 + i % 160, 1 + i % 9
+            sams = [128 + (j * a) % 64 for j in range(n)]
+            assert r["kind"] == "wav"
+            assert (r["n_units"], r["sum_b"], r["min_b"], r["max_b"]) == (
+                n, sum(sams), min(sams), max(sams),
+            )
+            assert r["sum_g"] is None and r["min_r"] is None
