@@ -61,16 +61,19 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
         ``\\.`` is payload, not SQL — a data row containing ';' or
         'DROP TABLE' must neither split nor classify. psql semantics:
         data starts on the NEXT line; the terminator is a line holding
-        exactly ``\\.``."""
+        exactly ``\\.``. Line boundaries are [\\r\\n] (r06 fuzz round:
+        LF, CRLF, and classic-Mac \\r-only dumps all terminate — with
+        '\\n'-only matching, everything after the first COPY block of a
+        \\r-only file silently vanished from analysis)."""
         nonlocal start
-        eol = sql.find("\n", pos)
-        if eol == -1:
+        m_eol = re.search(r"[\r\n]", sql[pos:])
+        if not m_eol:
             start = n
             return n
-        # \r? tolerates CRLF dumps: without it the '\.'‑terminator of a
-        # \r\n file never matches and everything after the first COPY
-        # block would silently vanish from analysis (r04 advice item)
-        m = re.search(r"(?m)^\\\.[ \t]*\r?$", sql[eol + 1:])
+        eol = pos + m_eol.start()
+        m = re.search(
+            r"(?:^|[\r\n])\\\.[ \t]*(?:\r\n|[\r\n]|$)", sql[eol + 1:]
+        )
         if not m:
             start = n
             return n
@@ -82,8 +85,11 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
         ch = sql[i]
         nxt = sql[i + 1] if i + 1 < n else ""
         if ch == "-" and nxt == "-":
-            eol = sql.find("\n", i)
-            i = n if eol == -1 else eol + 1
+            # PostgreSQL's lexer ends line comments at [\n\r] (scan.l's
+            # {newline}); matching only '\n' made a \r-only file's first
+            # comment swallow every later statement (r06 fuzz round)
+            m_eol = re.search(r"[\r\n]", sql[i:])
+            i = n if m_eol is None else i + m_eol.end()
         elif ch == "/" and nxt == "*":
             depth = 1
             i += 2
@@ -201,8 +207,10 @@ def _strip_comments(stmt: str) -> str:
         ch = stmt[i]
         nxt = stmt[i + 1] if i + 1 < n else ""
         if ch == "-" and nxt == "-":
-            eol = stmt.find("\n", i)
-            i = n if eol == -1 else eol + 1
+            # [\r\n] boundary, same r06 fix as the splitter: a \r-only
+            # statement's line comment must not swallow its tail
+            m_eol = re.search(r"[\r\n]", stmt[i:])
+            i = n if m_eol is None else i + m_eol.end()
             pad()
         elif ch == "/" and nxt == "*":
             depth, i = 1, i + 2

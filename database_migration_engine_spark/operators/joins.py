@@ -46,23 +46,40 @@ CORPUS_SMALL_BYTES = 2 << 20
 
 
 def _backing_bytes(df: DataFrame) -> int | None:
-    """Total size of the parquet files backing ``df``'s plan, or None
-    when unknown (non-file source, unreadable path). Unlike Catalyst's
+    """Total size of the files backing ``df``'s plan, or None when
+    unknown (non-file source, unreadable path). Unlike Catalyst's
     post-explode row estimate — which can be arbitrarily wrong-small —
     leaf file sizes are exact, and corpus amplification (explode,
     self-join) only ever makes the real data LARGER than this number,
-    so a "big" verdict here is never a false negative."""
+    so a "big" verdict here is never a false negative.
+
+    Walks the ANALYZED plan's leaves, not ``df.inputFiles()``: the
+    latter reads the optimized plan, where any persisted subtree has
+    been substituted by InMemoryRelation and the file leaves vanish —
+    every dedup operator persists its signature frame, so the optimized
+    view reported "no files" for exactly the frames this gate exists
+    for. Cache substitution happens after analysis, so the analyzed
+    plan always retains the file relations."""
     import os
     from urllib.parse import unquote, urlparse
 
+    files: set[str] = set()
     try:
-        files = df.inputFiles()
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            if cls in ("LocalRelation", "OneRowRelation", "Range"):
+                continue  # inline data: zero backing bytes
+            if cls != "LogicalRelation":
+                return None  # stream/JDBC/unknown source: size unknown
+            files.update(leaf.relation().inputFiles())
     except Exception:
         return None
     if not files:
         return None
     total = 0
-    for uri in set(files):
+    for uri in files:
         parsed = urlparse(uri)
         if parsed.scheme not in ("", "file"):
             return None  # remote storage: size unknown from here

@@ -29,6 +29,53 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     )
 
 
+def log2_histogram(df: DataFrame, key: str) -> list:
+    """The measured skew table (the `key_skew_histogram` registry query's
+    core, as an operator): per-key counts bucketed by floor(log2 n) —
+    computed exactly in the integer domain as length(bin(n)) − 1, no
+    libm. Returns the collected ≤64-row histogram (bucket, n_keys,
+    n_rows): two aggregates, nothing global, safe to collect at any
+    scale."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.withColumn(
+            "bucket", (F.length(F.bin(F.col("cnt"))) - 1).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .collect()
+    )
+
+
+def suggest_salt_factor(
+    df: DataFrame, key: str, parallelism: int, max_salts: int = 64
+) -> int:
+    """Derive the salting factor from the measured log2 skew histogram
+    (r05 verdict item 7) instead of guessing.
+
+    A balanced shuffle wants no single key to exceed ~1/parallelism of
+    all rows. The histogram's top occupied bucket b bounds the hottest
+    key at < 2^(b+1) rows, so the factor is ceil(2^(b+1) / (total /
+    parallelism)), rounded up to a power of two (modulo splits stay
+    balanced) and clamped to [1, max_salts]. Uniform keys resolve to 1 —
+    the "measure first, don't salt" answer. One O(buckets) driver
+    action, same bounded-collect class as the two-pass rank offsets."""
+    hist = log2_histogram(df, key)
+    if not hist:
+        return 1
+    total = sum(r.n_rows for r in hist)
+    hot_ceiling = 1 << (max(r.bucket for r in hist) + 1)
+    target = max(1, total // max(1, parallelism))
+    factor = -(-hot_ceiling // target)
+    pow2 = 1
+    while pow2 < factor:
+        pow2 <<= 1
+    return max(1, min(pow2, max_salts))
+
+
 def with_salt(df: DataFrame, salts: int, salt_col: str = "_salt") -> DataFrame:
     """Deterministic salt derived from a per-row spark_partition_id +
     monotonically_increasing_id mix — uniform without an RNG (results

@@ -2981,7 +2981,12 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem⋈orders join executed via fact-side salting + dim
     replication (operators/skew.py) must produce results identical to
     the plain join the oracle computes — salting redistributes
-    partitions, never rows."""
+    partitions, never rows. Since r06 the factor is MEASURED, not
+    guessed: suggest_salt_factor derives it from the log2 skew
+    histogram (the key_skew_histogram read, as an operator). The
+    fixture's uniform keys genuinely suggest 1; the floor of 2 keeps
+    the salting machinery itself (explode-replicated dim + merge join)
+    under oracle certification."""
     ensure_deterministic(spark)
     li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
         "l_orderkey", "okey"
@@ -2989,7 +2994,13 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
-    joined = SK.salted_join(li, orders, key="okey", salts=8)
+    salts = max(
+        2,
+        SK.suggest_salt_factor(
+            li, "okey", spark.sparkContext.defaultParallelism
+        ),
+    )
+    joined = SK.salted_join(li, orders, key="okey", salts=salts)
     return (
         joined.groupBy("o_orderpriority")
         .agg(

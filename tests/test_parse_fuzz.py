@@ -584,3 +584,108 @@ def test_split_survives_decoration_noise(cases):
     for row, (_, expected) in zip(parsed, cases):
         feats = P.classify_statement(row["stmt_index"], row["stmt_sql"])
         _check_features(feats, expected)
+
+
+# --- fuzz round 6: line-ending dialects, dollar tags in COPY payloads,
+# non-ASCII comment content -----------------------------------------------
+# Real fixes this round forced (analyzer/parse.py): line comments and the
+# COPY terminator search matched only '\n' line boundaries, so a
+# classic-Mac \r-only migration's first comment (or first COPY block)
+# silently swallowed every later statement — PostgreSQL's lexer defines
+# newline as [\n\r] (scan.l {newline}).
+
+_EOL = st.sampled_from(["\n", "\r\n", "\r"])
+
+# payload rows that try to confuse the skipper: dollar tags, unclosed
+# quotes, comment markers, semicolon-bearing DDL text
+_HOSTILE_PAYLOAD_ROW = st.sampled_from([
+    "1;DROP TABLE users;",
+    "$tag$ not a quote opener",
+    "'unclosed literal",
+    "-- not a comment here",
+    "/* nor this */",
+    "plain\trow",
+    "$$;$$",
+])
+
+
+@given(
+    ident_pair(),
+    st.lists(_HOSTILE_PAYLOAD_ROW, min_size=1, max_size=5),
+    _ANY_STMT,
+    _EOL,
+)
+@settings(max_examples=120, deadline=None)
+def test_copy_payload_skipped_any_line_ending(table, rows, after, eol):
+    """LF, CRLF and classic-Mac \\r-only dumps must all find the COPY
+    terminator; payload rows full of dollar tags / quotes / DDL text
+    must vanish without affecting the split."""
+    traw, tnorm = table
+    a_sql, a_exp = after
+    text = eol.join(
+        [f"COPY {traw} (a, b) FROM STDIN;", *rows, "\\.", a_sql + ";", ""]
+    )
+    parsed = P.parse_sql(text)
+    expected = [{"stmt_type": "copy", "table": tnorm}, a_exp]
+    assert len(parsed) == len(expected), (repr(text), parsed)
+    for row, exp in zip(parsed, expected):
+        _check_features(
+            P.classify_statement(row["stmt_index"], row["stmt_sql"]), exp
+        )
+
+
+@given(_ANY_STMT, _EOL)
+@settings(max_examples=90, deadline=None)
+def test_line_comment_any_line_ending(neighbor, eol):
+    """A line comment ends at [\\n\\r]: the statement after it must
+    survive whatever line-ending dialect the file uses."""
+    n_sql, n_exp = neighbor
+    parsed = P.parse_sql(f"-- leading ; comment{eol}{n_sql};{eol}")
+    assert len(parsed) == 1, (eol, parsed)
+    _check_features(
+        P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]),
+        n_exp,
+    )
+
+
+@given(st.sampled_from(["$b$", "$fn$"]), _ANY_STMT, _EOL)
+@settings(max_examples=90, deadline=None)
+def test_copy_text_inside_dollar_body_is_not_payload(tag, neighbor, eol):
+    """A routine body that CONTAINS 'COPY ... FROM STDIN;' text plus a
+    terminator-looking line is still ONE statement — the dollar quote is
+    raw content, so the payload skipper must never engage on it."""
+    n_sql, n_exp = neighbor
+    body = eol.join(["COPY t FROM STDIN;", "row;1", "\\.", ""])
+    sql = f"CREATE FUNCTION f() AS {tag} {body} {tag};{eol}{n_sql};"
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 2, (repr(sql), parsed)
+    _check_features(
+        P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]),
+        {"stmt_type": "other", "table": None, "tables": []},
+    )
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
+
+
+_NONASCII_COMMENT = st.sampled_from([
+    "/* café ; 中文 $x$ */",
+    "/* emoji \U0001f600 ; */",
+    "-- héllo ; wörld\n",
+    "-- 中文注释 ;\n",
+    "/* mixed é中\U0001f600 -- nested marker */",
+])
+
+
+@given(st.lists(st.tuples(_NONASCII_COMMENT, _ANY_STMT), min_size=1, max_size=3))
+@settings(max_examples=120, deadline=None)
+def test_nonascii_comment_content_is_transparent(cases):
+    """Non-ASCII bytes inside comments are content: they must not shift
+    offsets, break the split, or leak into classification."""
+    migration = "".join(f"{c} {sql};\n" for c, (sql, _) in cases)
+    parsed = P.parse_sql(migration)
+    assert len(parsed) == len(cases), (migration, parsed)
+    for row, (_, (_, expected)) in zip(parsed, cases):
+        feats = P.classify_statement(row["stmt_index"], row["stmt_sql"])
+        _check_features(feats, expected)

@@ -138,3 +138,25 @@ def test_salted_join_balances_hot_key_partitions(spark):
     dim = fact.select("okey").distinct().withColumn("okey_flag", F.lit(1))
     plain_join = fact.hint("SHUFFLE_MERGE").join(dim, "okey")
     assert plain_join.count() == salted_join(fact, dim, "okey", salts=8).count()
+
+
+def test_suggest_salt_factor_from_measured_skew(spark):
+    """r05 verdict item 7: a synthetic 90/10 skew must get exactly the
+    factor its log2 histogram implies; uniform keys must get 1."""
+    # 10_000 rows: one hot key holds 9_000 (log2 bucket 13 → hot ceiling
+    # 2^14 = 16384), 100 cold keys hold 10 each
+    hot = spark.range(9000).select(F.lit(0).alias("k"))
+    cold = spark.range(1000).select((1 + F.col("id") % 100).alias("k"))
+    df = hot.unionByName(cold)
+    # parallelism 8 → target 10000/8 = 1250 rows/partition;
+    # ceil(16384/1250) = 14 → next power of two = 16
+    assert SK.suggest_salt_factor(df, "k", parallelism=8) == 16
+    # same data, huge parallelism: clamped at max_salts
+    assert SK.suggest_salt_factor(df, "k", parallelism=10_000) == 64
+    # uniform keys: measure-first says don't salt
+    uni = spark.range(4096).select((F.col("id") % 1024).alias("k"))
+    assert SK.suggest_salt_factor(uni, "k", parallelism=8) == 1
+    # histogram sanity: buckets partition all rows
+    hist = SK.log2_histogram(df, "k")
+    assert sum(r.n_rows for r in hist) == 10_000
+    assert {r.bucket for r in hist} == {13, 3}  # 9000 → b13, 10 → b3
