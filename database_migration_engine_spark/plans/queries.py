@@ -5317,12 +5317,15 @@ def events_copair_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = SE.heartbeat_stream_dir(
         sf_dir, app_id=spark.sparkContext.applicationId
     )
-    # width 8 (not the single-stateful queries' 4): the join-state put
-    # path is this query's only data-dependent cost, and it halves with
-    # doubled state partitions while the extra 8 store commits stay on
-    # tmpfs (r05 measurements: w4 3.4-4.0 s, w8 3.25-3.4 s, w16 5.2 s
-    # at sf0.1 — beyond 8 the store-instance overhead wins)
-    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
+    # width 4: the r06 width sweep (w2 4.7-6.0, w3 3.8-3.9, w4 3.35-3.5,
+    # w6 3.5, w8 3.6-4.0, w16 5.4 s quiet-box) moved the optimum down
+    # from r05's w8 — per-partition store-commit overhead falls faster
+    # than put-path parallelism pays past 4 state partitions. The full
+    # lever audit (RocksDB 2x slower at this state size, projection
+    # slimming a no-op, store knobs within noise) is in SCALE.md
+    # "Chained-stateful floor"; the remaining ~3.4 s is measured fixed
+    # cost (two trigger cycles + planning + offsets), not plan shape.
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
         stream = SE.read_events_stream(
             spark, staged, max_files_per_trigger=2, glob="*.parquet"
         )

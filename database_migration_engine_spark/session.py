@@ -58,6 +58,23 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Streaming state-store posture (r05 verdict item 4): default is the
+    # HDFS-backed (heap) provider — measured 2× FASTER than RocksDB at
+    # fixture-scale state (SCALE.md "Chained-stateful floor"). A 100 TB
+    # deployment whose per-partition state outgrows heap flips ONE
+    # switch: SPARK_GRAFT_STATE_STORE=rocksdb (adds incremental
+    # changelog checkpointing, RocksDB's headline win). Every streaming
+    # oracle is certified under BOTH providers (tools/statestore_cert.py).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
