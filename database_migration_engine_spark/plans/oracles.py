@@ -5077,3 +5077,57 @@ FROM keyed
 GROUP BY zkey >> 8
 ORDER BY zbucket
 """
+
+
+# --- corpus_capstone (r06): the composed pipeline oracle ---------------------
+# quality gate (_QF_CTES) -> near-dup components (recursive min-root over
+# the jacc pair graph) -> keep-one quality-passing doc per cluster ->
+# md5(cluster) split -> per-(split, source) 2048-token packing report.
+ORACLES["corpus_capstone"] = f"""
+WITH RECURSIVE {_JACC_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jacc
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jacc
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS root FROM documents
+    UNION
+    SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+{_QF_CTES},
+qual AS (
+    SELECT doc_id FROM qf_flags WHERE {_QF_PASS} = 1
+),
+keep AS (
+    SELECT c.cluster_id, MIN(c.doc_id) AS doc_id
+    FROM comp c JOIN qual q USING (doc_id)
+    GROUP BY c.cluster_id
+),
+kd AS (
+    SELECT k.doc_id, d.source, len({_TOKS}) AS n_tokens,
+           CASE WHEN SUBSTRING(md5(CAST(k.cluster_id AS VARCHAR)), 1, 2)
+                     < '1a' THEN 'test'
+                WHEN SUBSTRING(md5(CAST(k.cluster_id AS VARCHAR)), 1, 2)
+                     < '34' THEN 'val'
+                ELSE 'train' END AS split
+    FROM keep k JOIN documents d USING (doc_id)
+),
+c2 AS (
+    SELECT split, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY split, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM kd
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(CAST(FLOOR(cum_before / 2048.0) AS BIGINT)) + 1 AS BIGINT)
+           AS n_bins
+FROM c2 GROUP BY split, source ORDER BY split, source
+"""

@@ -6501,3 +6501,67 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query("corpus_capstone")
+def corpus_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus pipeline capstone (r05 verdict stretch item):
+    the four certified stages COMPOSED in one plan, the way a production
+    training-data build actually runs them —
+
+      1. quality gate  — Gopher flags (`_quality_doc_flags`), keep
+         documents passing all seven rules;
+      2. dedup keep-one — near-dup cluster labels from the session-
+         shared connected components; keep the min-doc_id
+         quality-passing member per cluster (clusters whose every
+         member fails quality drop entirely);
+      3. contamination-safe split — md5(cluster_id) prefix bucketing,
+         identical to `dedup_aware_split` (split keyed on the CLUSTER,
+         so near-copies can never straddle train/eval);
+      4. packing — per-(split, source) 2048-token greedy bins
+         (`pack_sequences` shape; the window sorts per split×source
+         partition, never globally).
+
+    Output: the per-(split, source) packed-token report a curation run
+    hands to the trainer. Certifying the composition catches the
+    cross-stage contracts (column handoffs, null paths, keep-one-on-
+    survivors ordering) that per-stage oracles cannot see. Scale shape:
+    every stage is the already-certified sub-quadratic plan; the
+    composition adds one broadcast-sized join and one narrow window."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    qual = (
+        _quality_doc_flags(docs)
+        .filter(F.col("passes") == 1)
+        .select("doc_id")
+    )
+    survivors = _dedup_labels_shared(spark, sf_dir).join(qual, "doc_id")
+    keep = survivors.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = keep.join(
+        docs.select("doc_id", "source", TX.token_count().alias("n_tokens")),
+        "doc_id",
+    )
+    h2 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train")
+    )
+    kd = kept.withColumn("split", split)
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = kd.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("seq_bin", F.floor(F.col("cum_before") / F.lit(2048.0)))
+    return (
+        binned.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max("seq_bin") + 1).cast("long").alias("n_bins"),
+        )
+        .orderBy("split", "source")
+    )
