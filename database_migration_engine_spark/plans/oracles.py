@@ -4329,9 +4329,18 @@ WITH pts AS (
                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ival
     FROM embeddings, LATERAL generate_series(1, 16) AS u(pos)
 ),
+kv AS (
+    -- k = max(4, ceil(N/500)): the same scaled cluster count the Spark
+    -- side computes (r06 growth fix — fixed k made clusters grow with
+    -- the corpus and the within-cluster pair join quadratic)
+    SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 500.0) AS INT)) AS k
+    FROM embeddings
+),
 seeds AS (
-    SELECT pid, ROW_NUMBER() OVER (ORDER BY pid) - 1 AS cid
-    FROM (SELECT pid FROM pts GROUP BY pid ORDER BY pid LIMIT 4)
+    SELECT pid, rn - 1 AS cid FROM (
+        SELECT pid, ROW_NUMBER() OVER (ORDER BY pid) AS rn
+        FROM (SELECT pid FROM pts GROUP BY pid)
+    ), kv WHERE rn <= kv.k
 ),
 c0 AS (
     SELECT s.cid, p.pos, p.ival AS cval

@@ -5563,11 +5563,24 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine ≥ τ=0.3 to a smaller-id cluster-mate → removed). The whole
     trajectory (Lloyd iterations in integer arithmetic + sequential-fold
     cosine) is bit-exact, so the oracle replays clustering AND pruning
-    (operators/similarity.py:semdedup_flags)."""
+    (operators/similarity.py:semdedup_flags).
+
+    r06 growth fix: k SCALES with the corpus — k = max(4, ceil(N/500))
+    — which is SemDeDup's own prescription (k ~ N/target_cluster_size).
+    The r06 growth sweep measured the fixed-k form super-linear
+    (exponent 2.18 on the x3→x10 leg: clusters grow linearly, so the
+    within-cluster n² does the quadratic work the clustering exists to
+    bound); with scaled k, per-cluster pair counts stay ~constant and
+    the chain is output-linear. Every certified fixture has ≤2000
+    vectors, so k resolves to 4 there and all recorded hashes stand;
+    the oracle computes the identical k from COUNT(*). The count() is
+    one O(1)-row driver action, same documented class as the two-pass
+    rank offsets."""
     ensure_deterministic(spark)
     emb = read_table(spark, sf_dir, "embeddings")
+    k = max(4, -(-emb.count() // 500))
     return SIM.semdedup_flags(
-        emb, k=4, dims=16, iters=2, tau=0.3, dim=64
+        emb, k=k, dims=16, iters=2, tau=0.3, dim=64
     ).orderBy("vec_id")
 
 
