@@ -27,54 +27,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check covers the first ~50 registry entries
-# per round. Priority for the CORRECTNESS_r04 window, front to back
-# (r03 verdict item 1):
-# (1) the 10 queries no driver window has ever hash-checked — green in
-# the judge's r03 re-run and the sf0.1 sweeps, but the driver's
-# CORRECTNESS file is the record of truth; with these, every registry
-# query has a driver-window record (153/153 of the r03 surface).
-# (2) the queries that are NEW in round 4 (exact_substr_spans,
-# corpus_diff) — first-ever driver record.
-# (3) every query whose r04 plan changed without semantic change
-# (de-globalized windows, single-heartbeat streaming flush, shared
-# shingle localCheckpoint, MMR literal) — they must re-certify under
-# the new plans.
-# (4) the rest of the r03 wave re-certifies behind if the window
-# stretches; earlier green rows stand otherwise.
+# per round. Priority for the CORRECTNESS_r06 window, front to back:
+# the 2 queries new in round 6 (first-ever driver record), then every
+# query whose r06 plan or derivation changed without semantic change
+# (size-adaptive corpus_join broadcasts at fixture scale, scaled
+# semdedup k, measured salt factor, DOUBLE-exact VALUES probes, w4
+# chained-stream width), then the freshest-first re-certification
+# backlog. Earlier green rows stand where the window ends.
 _RECHECK_FIRST = [
-    # (0) r04 verdict item 1: the ONLY query with no driver/cert record
-    # (registered in the final r04 commit after the cert sweep) — first.
-    "ann_recall_curve",
-    # (0b) new in round 5
-    "retrieval_eval", "dedup_aware_split", "entity_canonicalize",
-    "mad_outliers", "minhash_band_scurve", "vocab_coverage",
-    "dedup_rate_by_source", "bigram_novelty", "key_skew_histogram",
-    "events_late_audit", "zorder_locality",
-    # (0c) r05 plan changes without semantic change (de-globalized
-    # windows per r04 verdict items 2-3) — must re-certify
-    "order_price_quartiles", "top_terms",
-    # (1) never inside a driver check window before r04 (r04-green)
-    "forecast_revenue", "user_retention_cohorts", "dedup_consensus",
-    "orders_nested", "events_copair_hourly_stream", "augment_dropout",
-    "bpe_first_merges", "unigram_score", "jaccard_est_error",
+    # (0) NEW in round 6 — first-ever driver record
+    "multimodal_pixel_stats", "corpus_capstone",
+    # (0b) r06 semantic-preserving changes that must re-certify under
+    # their new plans/derivations: scaled k-means k (semdedup), measured
+    # salt factor (skewed_join_salted), size-adaptive corpus_join
+    # (broadcast at fixture scale), DOUBLE-exact VALUES literals +
+    # empty-input guards (rank probes), w4 chained-stream state width
+    "semdedup_embeddings", "skewed_join_salted",
+    "dedup_incremental", "containment_pairs", "moss_matches",
+    "ngram_jaccard_pairs", "dedup_near_minhash", "minhash_band_scurve",
+    "bigram_novelty", "dedup_rate_by_source", "dedup_consensus",
+    "dedup_clusters", "dedup_clusters_star", "cluster_representatives",
+    "dedup_aware_split", "entity_canonicalize", "kmeans_embeddings",
+    "pagerank_docs", "triangle_count", "jaccard_est_error",
+    "events_copair_hourly_stream",
+    "order_price_quartiles", "priority_price_distribution",
+    "price_percentiles_cont", "mad_outliers",
+    # (1) r05 first-record queries (r05-green; freshest behind the r06
+    # changes)
+    "ann_recall_curve", "retrieval_eval",
+    "vocab_coverage", "key_skew_histogram",
+    "events_late_audit", "zorder_locality", "top_terms",
+    "forecast_revenue", "user_retention_cohorts",
+    "orders_nested", "augment_dropout",
+    "bpe_first_merges", "unigram_score",
     "mmr_rerank",
-    # (2) new in round 4
+    # (2) r04 wave
     "exact_substr_spans", "strip_dup_spans", "corpus_diff",
-    "kmeans_embeddings", "hybrid_search_rrf", "similarity_ivf_trained",
+    "hybrid_search_rrf", "similarity_ivf_trained",
     "revenue_trend_ols", "events_chi2", "hourly_interpolate",
     "user_first_last_events", "label_propagation_lang",
-    "price_percentiles_cont", "winnowing_fingerprints",
-    "semdedup_embeddings", "moss_matches", "fuzzy_name_pairs",
+    "winnowing_fingerprints", "fuzzy_name_pairs",
     "bm25_search",
-    # (3) r04 plan/runtime changes without semantic change
-    "price_deciles", "orders_pareto", "priority_price_distribution",
+    # (3) streaming + graph re-certification backlog
+    "price_deciles", "orders_pareto",
     "events_attribution_stream", "events_copair_stream",
     "events_dedup_stream", "events_rate_limited_stream",
     "events_enrich_stream", "user_profiles_stream",
     "events_tumbling_stream", "events_sessionize_stream",
-    "events_hopping_stream", "ngram_jaccard_pairs", "containment_pairs",
-    "duplicate_spans", "dedup_clusters", "dedup_clusters_star",
-    "cluster_representatives", "pagerank_docs", "triangle_count",
+    "events_hopping_stream",
+    "duplicate_spans",
     "dedup_embedding", "similarity_topk",
     # (4) r03 wave re-certification backlog (driver r03-green; unchanged)
     "quality_flags", "returned_items",
@@ -92,9 +93,8 @@ _RECHECK_FIRST = [
     "corpus_summary", "disjunctive_revenue", "embedding_norm_check",
     "event_transitions", "events_rate_limited", "monthly_revenue_growth",
     "nation_pair_trade", "null_semantics",
-    "selective_distinct", "skewed_join_salted", "source_drift",
+    "selective_distinct", "source_drift",
     "typo_distance", "user_type_overlap",
-    "dedup_near_minhash", "dedup_incremental",
 ]
 _CHECKED_EARLIER = [
     # r01 window
