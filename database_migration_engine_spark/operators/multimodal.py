@@ -95,9 +95,19 @@ def synth_assets(spark: SparkSession, n: int = 200) -> DataFrame:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def make_png(width: int, height: int, gray: int = 128) -> bytes:
+def png_pixel(x: int, y: int) -> int:
+    """Deterministic grayscale value of synthetic pixel (x, y) — the
+    generative formula the DuckDB oracle recomputes analytically (the
+    PNG analog of ``bmp_pixel``)."""
+    return (x * 3 + y * 7) % 256
+
+
+def make_png(
+    width: int, height: int, gray: int = 128, pattern: bool = False
+) -> bytes:
     """Minimal valid grayscale PNG from pure stdlib (struct + zlib):
-    signature, IHDR, one zlib-compressed IDAT of flat pixels, IEND."""
+    signature, IHDR, one zlib-compressed IDAT (filter-0 scanlines of
+    flat ``gray`` pixels, or the ``png_pixel`` pattern), IEND."""
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -108,13 +118,112 @@ def make_png(width: int, height: int, gray: int = 128) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes([gray]) * width for _ in range(height))
+    if pattern:
+        raw = b"".join(
+            b"\x00" + bytes(png_pixel(x, y) for x in range(width))
+            for y in range(height)
+        )
+    else:
+        raw = b"".join(
+            b"\x00" + bytes([gray]) * width for _ in range(height)
+        )
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+# channel counts per PNG color type (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_pixels(data: bytes) -> dict:
+    """FULL pixel decode of an 8-bit PNG (gray / RGB / gray+alpha /
+    RGBA, non-interlaced) — stdlib zlib + the five standard scanline
+    unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6). PNG is a
+    compressed format that needs NO media library, so the decode seam
+    genuinely closes here. Returns the same integer stats dict as
+    ``decode_bmp_pixels``: per-channel sum/min/max for the first three
+    channels (missing channels None), plus the pixel count."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        ln = struct.unpack(">I", data[pos : pos + 4])[0]
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            "only 8-bit non-interlaced gray/RGB/LA/RGBA PNGs supported"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    out = []
+    p = 0
+    for _y in range(height):
+        ftype = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        out.append(bytes(line))
+    # stats over the first min(ch, 3) color channels (alpha excluded
+    # for LA/RGBA would complicate the contract; LA's channel 1 IS its
+    # alpha — callers of gray+alpha get (gray, alpha) as ch0/ch1)
+    n_px = width * height
+    stats: dict = {"n_units": n_px}
+    for ci, name in enumerate(("b", "g", "r")):
+        if ci < ch:
+            vals = [row[i] for row in out for i in range(ci, stride, ch)]
+            stats[f"sum_{name}"] = sum(vals)
+            stats[f"min_{name}"] = min(vals)
+            stats[f"max_{name}"] = max(vals)
+        else:
+            stats[f"sum_{name}"] = None
+            stats[f"min_{name}"] = None
+            stats[f"max_{name}"] = None
+    return stats
 
 
 def make_wav(n_frames: int, framerate: int = 8000, amplitude: int = 64) -> bytes:
@@ -514,11 +623,12 @@ def _decode_real(b: bytes) -> tuple[int, int]:
         return int(w), int(h)
     raise NotImplementedError(
         "only PNG, JPEG, GIF, BMP, WAV, AVI and MP4 headers are parseable"
-        " without media libraries; FULL decode is real for uncompressed"
-        " formats (24bpp BMP pixels via decode_bmp_pixels, 8/16-bit WAV"
-        " PCM via decode_wav_samples) — compressed formats (JPEG/PNG"
-        " pixels, MP3, video frames) need PIL/ffmpeg; use mode='fake'"
-        " for format-agnostic plumbing"
+        " without media libraries; FULL decode is real for 24bpp BMP"
+        " pixels (decode_bmp_pixels), 8/16-bit WAV PCM"
+        " (decode_wav_samples) and 8-bit PNG pixels (decode_png_pixels,"
+        " zlib inflate + unfilter) — JPEG entropy decode, MP3, and video"
+        " frames still need PIL/ffmpeg; use mode='fake' for"
+        " format-agnostic plumbing"
     )
 
 
@@ -543,10 +653,12 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
-    """Deterministic FULLY-DECODABLE assets: even ids → 24bpp BMP with a
-    real pixel array (``bmp_pixel`` pattern), odd ids → 8-bit PCM WAV
-    (``make_wav`` ramp pattern). Distributed Arrow-batched generation,
-    same shape as ``synth_real_assets``."""
+    """Deterministic FULLY-DECODABLE assets cycling i%3: 24bpp BMP with
+    a real pixel array (``bmp_pixel`` pattern), 8-bit PCM WAV
+    (``make_wav`` ramp pattern), 8-bit grayscale PNG (``png_pixel``
+    pattern — zlib-compressed, genuinely decompressed+unfiltered on
+    decode). Distributed Arrow-batched generation, same shape as
+    ``synth_real_assets``."""
     ensure_worker_imports(spark)
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -554,12 +666,17 @@ def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     payload = make_bmp(5 + i % 13, 3 + i % 7, pixels=True)
                     modality, mime = "image", "image/bmp"
-                else:
+                elif i % 3 == 1:
                     payload = make_wav(40 + i % 160, amplitude=1 + i % 9)
                     modality, mime = "audio", "audio/wav"
+                else:
+                    payload = make_png(
+                        6 + i % 12, 4 + i % 6, pattern=True
+                    )
+                    modality, mime = "image", "image/png"
                 rows.append(
                     {
                         "asset_id": i,
@@ -596,10 +713,13 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     stats = decode_wav_samples(b)
                     kind = "wav"
+                elif b[:8] == PNG_MAGIC:
+                    stats = decode_png_pixels(b)
+                    kind = "png"
                 else:
                     raise NotImplementedError(
-                        "pixel_stats full-decodes uncompressed 24bpp BMP"
-                        " and 8/16-bit PCM WAV; other formats need"
+                        "pixel_stats full-decodes 24bpp BMP, 8/16-bit"
+                        " PCM WAV and 8-bit PNG; JPEG/video frames need"
                         " PIL/ffmpeg"
                     )
                 rows.append({"asset_id": int(aid), "kind": kind, **stats})

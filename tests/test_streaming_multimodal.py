@@ -479,10 +479,10 @@ def test_resize_real_bmp_distributed(spark):
     from database_migration_engine_spark.operators import multimodal as MM
 
     assets = MM.synth_pixel_assets(spark, 12).filter(
-        F.col("modality") == "image"
+        F.col("meta.mime") == "image/bmp"
     )
     rows = MM.resize(assets, target_w=4, target_h=4, mode="real").collect()
-    assert len(rows) == 6
+    assert len(rows) == 4  # ids 0, 3, 6, 9
     for r in rows:
         assert MM.parse_bmp_header(bytes(r.payload)) == (4, 4)
 
@@ -492,17 +492,17 @@ def test_pixel_stats_matches_reference(spark):
 
     got = {
         r.asset_id: r.asDict()
-        for r in MM.pixel_stats(MM.synth_pixel_assets(spark, 20)).collect()
+        for r in MM.pixel_stats(MM.synth_pixel_assets(spark, 21)).collect()
     }
-    assert len(got) == 20
-    for i in range(20):
+    assert len(got) == 21
+    for i in range(21):
         r = got[i]
-        if i % 2 == 0:
+        if i % 3 == 0:
             ref = _bmp_ref_stats(5 + i % 13, 3 + i % 7)
             assert r["kind"] == "bmp"
             for k, v in ref.items():
                 assert r[k] == v, (i, k)
-        else:
+        elif i % 3 == 1:
             n, a = 40 + i % 160, 1 + i % 9
             sams = [128 + (j * a) % 64 for j in range(n)]
             assert r["kind"] == "wav"
@@ -510,3 +510,149 @@ def test_pixel_stats_matches_reference(spark):
                 n, sum(sams), min(sams), max(sams),
             )
             assert r["sum_g"] is None and r["min_r"] is None
+        else:
+            from database_migration_engine_spark.operators.multimodal import (
+                png_pixel,
+            )
+
+            w, h = 6 + i % 12, 4 + i % 6
+            vals = [png_pixel(x, y) for y in range(h) for x in range(w)]
+            assert r["kind"] == "png"
+            assert (r["n_units"], r["sum_b"], r["min_b"], r["max_b"]) == (
+                w * h, sum(vals), min(vals), max(vals),
+            )
+            assert r["sum_g"] is None and r["min_r"] is None
+
+
+def _png_filter_encode(rows, ch, ftypes):
+    """Reference PNG scanline FILTERER (the encoder side of RFC 2083
+    §6): applies the given per-row filter types so the decoder's
+    unfilter path for Sub/Up/Average/Paeth is exercised against known
+    pixels."""
+    stride = len(rows[0])
+    prev = bytes(stride)
+    out = bytearray()
+    for row, ftype in zip(rows, ftypes):
+        out.append(ftype)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                f = x
+            elif ftype == 1:
+                f = (x - a) & 0xFF
+            elif ftype == 2:
+                f = (x - b) & 0xFF
+            elif ftype == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:  # Paeth
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                f = (x - pred) & 0xFF
+            out.append(f)
+        prev = row
+    return bytes(out)
+
+
+def _make_png_raw(width, height, color_type, raw):
+    import struct as _struct
+    import zlib as _zlib
+
+    from database_migration_engine_spark.operators.multimodal import PNG_MAGIC
+
+    def chunk(tag, body):
+        return (
+            _struct.pack(">I", len(body)) + tag + body
+            + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_gray_and_rgb():
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png,
+        png_pixel,
+    )
+
+    # encoder round-trip (filter 0, pattern)
+    w, h = 9, 6
+    vals = [png_pixel(x, y) for y in range(h) for x in range(w)]
+    got = decode_png_pixels(make_png(w, h, pattern=True))
+    assert (got["n_units"], got["sum_b"], got["min_b"], got["max_b"]) == (
+        w * h, sum(vals), min(vals), max(vals),
+    )
+    assert got["sum_g"] is None
+
+    # every filter type, grayscale: rows with deterministic pixels,
+    # one filter per row incl. 1..4
+    rows = [
+        bytes((x * 11 + y * 29 + 3) % 256 for x in range(7))
+        for y in range(5)
+    ]
+    raw = _png_filter_encode(rows, 1, [0, 1, 2, 3, 4])
+    got = decode_png_pixels(_make_png_raw(7, 5, 0, raw))
+    flat = [v for r in rows for v in r]
+    assert (got["sum_b"], got["min_b"], got["max_b"]) == (
+        sum(flat), min(flat), max(flat),
+    )
+
+    # RGB with Paeth + Average rows: per-channel stats
+    rgb_rows = [
+        bytes((x * 5 + y * 13 + c * 37) % 256
+              for x in range(4) for c in range(3))
+        for y in range(3)
+    ]
+    raw = _png_filter_encode(rgb_rows, 3, [4, 3, 1])
+    got = decode_png_pixels(_make_png_raw(4, 3, 2, raw))
+    for ci, name in enumerate(("b", "g", "r")):
+        chv = [r[i] for r in rgb_rows for i in range(ci, 12, 3)]
+        assert (got[f"sum_{name}"], got[f"min_{name}"], got[f"max_{name}"]) \
+            == (sum(chv), min(chv), max(chv)), name
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_bmp,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_png_pixels(make_bmp(4, 4))
+    # 16-bit depth rejected
+    raw = bytes(2 * 4 + 1)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(_make_png_raw_depth16(4, 1, raw))
+
+
+def _make_png_raw_depth16(width, height, raw):
+    import struct as _struct
+    import zlib as _zlib
+
+    from database_migration_engine_spark.operators.multimodal import PNG_MAGIC
+
+    def chunk(tag, body):
+        return (
+            _struct.pack(">I", len(body)) + tag + body
+            + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
