@@ -34,6 +34,7 @@ from database_migration_engine_spark.plans.oracles import (  # noqa: E402
     _JACC_CTES,
     _QF_CTES,
     _QF_PASS,
+    _TOKS,
 )
 
 sf = sys.argv[1]
@@ -96,6 +97,40 @@ FROM ranked WHERE rnk = 1
 ORDER BY cluster_id
 """,
 }
+_FINAL_SQL["corpus_capstone"] = f"""
+, {_QF_CTES},
+qual AS (
+    SELECT doc_id FROM qf_flags WHERE {_QF_PASS} = 1
+),
+keep AS (
+    SELECT c.cluster_id, MIN(c.doc_id) AS doc_id
+    FROM comp c JOIN qual q USING (doc_id)
+    GROUP BY c.cluster_id
+),
+kd AS (
+    SELECT k.doc_id, d.source, len({_TOKS}) AS n_tokens,
+           CASE WHEN SUBSTRING(md5(CAST(k.cluster_id AS VARCHAR)), 1, 2)
+                     < '1a' THEN 'test'
+                WHEN SUBSTRING(md5(CAST(k.cluster_id AS VARCHAR)), 1, 2)
+                     < '34' THEN 'val'
+                ELSE 'train' END AS split
+    FROM keep k JOIN documents d USING (doc_id)
+),
+c2 AS (
+    SELECT split, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY split, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM kd
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(CAST(FLOOR(cum_before / 2048.0) AS BIGINT)) + 1 AS BIGINT)
+           AS n_bins
+FROM c2 GROUP BY split, source ORDER BY split, source
+"""
 _FINAL_SQL["dedup_clusters_star"] = _FINAL_SQL["dedup_clusters"]
 
 spark = (
