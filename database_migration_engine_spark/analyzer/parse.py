@@ -102,7 +102,16 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
                     i += 2
                 else:
                     i += 1
-        elif ch == "'" or (ch in "eE" and nxt == "'"):
+        elif ch == "'" or (
+            ch in "eE"
+            and nxt == "'"
+            # E'...' is an escape string only when the E BEGINS a token
+            # (scan.l xestart): juxtaposed to an identifier/keyword tail
+            # (LIKE'pat', CASE'x') the quote opens an ORDINARY string
+            # whose backslash is literal — treating it as an E-string
+            # swallowed the following statement (fuzz round 6 wave 2)
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in '_$"'))
+        ):
             escaped_literal = ch in "eE"
             i += 2 if escaped_literal else 1
             while i < n:

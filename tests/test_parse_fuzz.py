@@ -689,3 +689,75 @@ def test_nonascii_comment_content_is_transparent(cases):
     for row, (_, (_, expected)) in zip(parsed, cases):
         feats = P.classify_statement(row["stmt_index"], row["stmt_sql"])
         _check_features(feats, expected)
+
+
+# --- fuzz round 6 wave 2: token-juxtaposed strings, quoted-ident quoting --
+# Real fix this wave (analyzer/parse.py): E'...' opened an escape string
+# even when the E was the TAIL of an identifier/keyword (LIKE'pat',
+# CASE'x'). PostgreSQL's lexer forms xestart only at token start, so the
+# quote opens an ORDINARY string whose backslash is literal — under the
+# old rule, "...LIKE'%\';DROP TABLE users;" became ONE statement and the
+# DROP was never split out or flagged.
+
+_E_TAIL_HEAD = st.sampled_from([
+    "DELETE FROM t WHERE a LIKE",
+    "SELECT CASE",
+    "UPDATE t SET v = v WHERE note",
+    "SELECT 1 WHERE state",
+])
+_BACKSLASH_BODY = st.sampled_from(["%\\", "\\", "a\\b\\", "c:\\path\\"])
+
+
+@given(_E_TAIL_HEAD, _BACKSLASH_BODY, _ANY_STMT)
+@settings(max_examples=120, deadline=None)
+def test_juxtaposed_string_after_keyword_is_ordinary(head, body, neighbor):
+    """A quote glued to an identifier/keyword tail opens an ordinary
+    string: its backslash is literal, the string ends at the first
+    quote, and the NEXT statement must split out and classify."""
+    n_sql, n_exp = neighbor
+    migration = f"{head}'{body}';\n{n_sql};"
+    parsed = P.parse_sql(migration)
+    assert len(parsed) == 2, (migration, parsed)
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
+
+
+@given(st.sampled_from(["a", "%x", "pa th", "x=y"]), _ANY_STMT)
+@settings(max_examples=80, deadline=None)
+def test_token_start_e_string_still_escapes(body, neighbor):
+    """At token start (after whitespace/punctuation) E'...' IS an escape
+    string: the appended backslash-quote stays INSIDE it (a body ending
+    in its own backslash would turn that into escaped-backslash + close,
+    so bodies here are backslash-free); the neighbor still splits."""
+    n_sql, n_exp = neighbor
+    migration = f"INSERT INTO t VALUES (E'{body}\\';tail');\n{n_sql};"
+    parsed = P.parse_sql(migration)
+    assert len(parsed) == 2, (migration, parsed)
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
+
+
+_TRICKY_IDENT = st.sampled_from([
+    '"a""b;c"', '"x;y"', '"$tag$;"', "\"we'ird\"", '"-- not a comment;"',
+])
+
+
+@given(_TRICKY_IDENT, _ANY_STMT)
+@settings(max_examples=100, deadline=None)
+def test_quoted_identifiers_protect_their_content(ident, neighbor):
+    """Semicolons, quote runs, dollar tags and comment markers inside
+    double-quoted identifiers are content: the statement splits only at
+    the real top-level semicolons (doubled "" self-balances as
+    close+reopen, which is split-equivalent to PG's escape rule)."""
+    n_sql, n_exp = neighbor
+    migration = f"CREATE TABLE {ident} (id int);\n{n_sql};"
+    parsed = P.parse_sql(migration)
+    assert len(parsed) == 2, (migration, parsed)
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
