@@ -37,6 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _RECHECK_FIRST = [
     # (0) NEW in round 6 — first-ever driver record
     "multimodal_pixel_stats", "corpus_capstone",
+    "bucketed_join_revenue", "incremental_mv_revenue",
+    "events_corr_hourly", "approx_join_size",
     # (0b) r06 semantic-preserving changes that must re-certify under
     # their new plans/derivations: scaled k-means k (semdedup), measured
     # salt factor (skewed_join_salted), size-adaptive corpus_join

@@ -301,15 +301,204 @@ def parse_jpeg_header(data: bytes) -> tuple[int, int]:
     raise ValueError("no SOF marker found")
 
 
-def make_gif(width: int, height: int) -> bytes:
-    """Minimal GIF89a: header + logical screen descriptor + trailer —
-    enough for any header parser (no image data blocks)."""
-    return (
+def gif_pixel(x: int, y: int) -> int:
+    """Deterministic palette index (== grayscale value under the
+    identity palette) of synthetic GIF pixel (x, y) — the generative
+    formula the DuckDB oracle recomputes analytically."""
+    return (x * 5 + y * 11) % 256
+
+
+def _lzw_encode(indices: bytes, mcs: int = 8) -> bytes:
+    """GIF-variant LZW compression of a palette-index stream: variable
+    code width starting at ``mcs``+1 bits, LSB-first bit packing,
+    CLEAR/EOI control codes, width growth when the next free code
+    reaches 2^width, dictionary reset at 4096 (GIF89a spec, app. F)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    prefix = b""
+    for c in indices:
+        nxt = prefix + bytes([c])
+        if nxt in table:
+            prefix = nxt
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # one add LATER than the decoder's (1 << width) rule: the
+            # decoder's table lags the encoder's by exactly one entry
+            # (it adds only after its second post-clear read), so the
+            # encoder must delay the width bump one step to stay in
+            # lockstep — the classic GIF LZW off-by-one
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        prefix = bytes([c])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """Inverse of ``_lzw_encode`` — the real GIF LZW decoder, including
+    the KwKwK self-referential case (code == next free code) and the
+    mirrored width-growth rule, so encoder and decoder stay in lockstep
+    bit for bit."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits:
+        code = 0
+        for k in range(width):
+            p = bitpos + k
+            code |= ((data[p >> 3] >> (p & 7)) & 1) << k
+        bitpos += width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def make_gif(width: int, height: int, pixels: bool = False) -> bytes:
+    """GIF89a from pure stdlib. ``pixels=False``: header + logical
+    screen descriptor + trailer (header-parser fixture, no image data).
+    ``pixels=True``: a COMPLETE single-frame GIF — 256-entry grayscale
+    global color table (identity palette: index i → (i, i, i)), image
+    descriptor, and a genuinely LZW-COMPRESSED index stream of the
+    ``gif_pixel`` pattern in 255-byte sub-blocks."""
+    lsd_flags = 0xF7 if pixels else 0x00  # GCT present, 8-bit, size 256
+    head = (
         b"GIF89a"
         + struct.pack("<HH", width, height)
-        + b"\x00\x00\x00"  # no GCT, bg color, aspect
-        + b"\x3b"  # trailer
+        + bytes([lsd_flags, 0, 0])  # flags, bg color, aspect
     )
+    if not pixels:
+        return head + b"\x3b"
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    idx = bytes(
+        gif_pixel(x, y) for y in range(height) for x in range(width)
+    )
+    lzw = _lzw_encode(idx, mcs=8)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return head + gct + descriptor + b"\x08" + blocks + b"\x00" + b"\x3b"
+
+
+def decode_gif_pixels(data: bytes) -> dict:
+    """FULL pixel decode of a non-interlaced GIF87a/89a frame — header,
+    global color table, block walk (extensions skipped by sub-block
+    structure), LZW decompression of the concatenated image sub-blocks,
+    palette mapping. Returns single-channel integer statistics in the
+    same shape as the other mono decoders."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    i = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = data[i : i + 3 * size]
+        i += 3 * size
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            iw, ih = struct.unpack("<HH", data[i + 5 : i + 9])
+            iflags = data[i + 9]
+            i += 10
+            if iflags & 0x80:  # local color table wins
+                size = 2 << (iflags & 0x07)
+                palette = data[i : i + 3 * size]
+                i += 3 * size
+            mcs = data[i]
+            i += 1
+            lzw = bytearray()
+            while data[i] != 0:
+                n = data[i]
+                lzw += data[i + 1 : i + 1 + n]
+                i += 1 + n
+            idx = _lzw_decode(bytes(lzw), mcs)
+            if len(idx) != iw * ih:
+                raise ValueError(
+                    f"decoded {len(idx)} indices for {iw}x{ih} frame"
+                )
+            if palette is None:
+                raise ValueError("no color table")
+            vals = [palette[3 * j] for j in idx]  # red channel
+            return {
+                "n_units": iw * ih,
+                "sum_b": sum(vals),
+                "min_b": min(vals),
+                "max_b": max(vals),
+                "sum_g": None, "min_g": None, "max_g": None,
+                "sum_r": None, "min_r": None, "max_r": None,
+            }
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image descriptor found")
 
 
 def parse_gif_header(data: bytes) -> tuple[int, int]:
@@ -653,12 +842,13 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
-    """Deterministic FULLY-DECODABLE assets cycling i%3: 24bpp BMP with
+    """Deterministic FULLY-DECODABLE assets cycling i%4: 24bpp BMP with
     a real pixel array (``bmp_pixel`` pattern), 8-bit PCM WAV
     (``make_wav`` ramp pattern), 8-bit grayscale PNG (``png_pixel``
     pattern — zlib-compressed, genuinely decompressed+unfiltered on
-    decode). Distributed Arrow-batched generation, same shape as
-    ``synth_real_assets``."""
+    decode), and single-frame GIF (``gif_pixel`` pattern — genuinely
+    LZW-compressed and LZW-decoded). Distributed Arrow-batched
+    generation, same shape as ``synth_real_assets``."""
     ensure_worker_imports(spark)
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -666,17 +856,20 @@ def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 3 == 0:
+                if i % 4 == 0:
                     payload = make_bmp(5 + i % 13, 3 + i % 7, pixels=True)
                     modality, mime = "image", "image/bmp"
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     payload = make_wav(40 + i % 160, amplitude=1 + i % 9)
                     modality, mime = "audio", "audio/wav"
-                else:
+                elif i % 4 == 2:
                     payload = make_png(
                         6 + i % 12, 4 + i % 6, pattern=True
                     )
                     modality, mime = "image", "image/png"
+                else:
+                    payload = make_gif(4 + i % 14, 3 + i % 8, pixels=True)
+                    modality, mime = "image", "image/gif"
                 rows.append(
                     {
                         "asset_id": i,
@@ -716,11 +909,14 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                 elif b[:8] == PNG_MAGIC:
                     stats = decode_png_pixels(b)
                     kind = "png"
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    stats = decode_gif_pixels(b)
+                    kind = "gif"
                 else:
                     raise NotImplementedError(
                         "pixel_stats full-decodes 24bpp BMP, 8/16-bit"
-                        " PCM WAV and 8-bit PNG; JPEG/video frames need"
-                        " PIL/ffmpeg"
+                        " PCM WAV, 8-bit PNG and palette GIF; JPEG and"
+                        " video frames need PIL/ffmpeg"
                     )
                 rows.append({"asset_id": int(aid), "kind": kind, **stats})
             yield pd.DataFrame(rows)

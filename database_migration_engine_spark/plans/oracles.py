@@ -3362,7 +3362,7 @@ ORDER BY asset_id
 # for WAV's missing g/r channels.
 ORACLES["multimodal_pixel_stats"] = """
 WITH ids AS (SELECT unnest(range(80)) AS i),
-bmp AS (SELECT i, 5 + i % 13 AS w, 3 + i % 7 AS h FROM ids WHERE i % 3 = 0),
+bmp AS (SELECT i, 5 + i % 13 AS w, 3 + i % 7 AS h FROM ids WHERE i % 4 = 0),
 px AS (
     SELECT b.i,
            (x.x * 7 + y.y * 13) % 256 AS vb,
@@ -3385,7 +3385,7 @@ bmp_stats AS (
            CAST(MAX(vr) AS BIGINT) AS max_r
     FROM px GROUP BY i
 ),
-wav AS (SELECT i, 40 + i % 160 AS n, 1 + i % 9 AS a FROM ids WHERE i % 3 = 1),
+wav AS (SELECT i, 40 + i % 160 AS n, 1 + i % 9 AS a FROM ids WHERE i % 4 = 1),
 smp AS (
     SELECT w.i, 128 + (j.j * w.a) % 64 AS s
     FROM wav w JOIN (SELECT unnest(range(200)) AS j) j ON j.j < w.n
@@ -3400,7 +3400,7 @@ wav_stats AS (
            CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
     FROM smp GROUP BY i
 ),
-png AS (SELECT i, 6 + i % 12 AS w, 4 + i % 6 AS h FROM ids WHERE i % 3 = 2),
+png AS (SELECT i, 6 + i % 12 AS w, 4 + i % 6 AS h FROM ids WHERE i % 4 = 2),
 gpx AS (
     SELECT g.i, (x.x * 3 + y.y * 7) % 256 AS v
     FROM png g
@@ -3416,11 +3416,28 @@ png_stats AS (
            CAST(-1 AS BIGINT) AS max_g, CAST(-1 AS BIGINT) AS sum_r,
            CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
     FROM gpx GROUP BY i
+),
+gif AS (SELECT i, 4 + i % 14 AS w, 3 + i % 8 AS h FROM ids WHERE i % 4 = 3),
+fpx AS (
+    SELECT g.i, (x.x * 5 + y.y * 11) % 256 AS v
+    FROM gif g
+    JOIN (SELECT unnest(range(18)) AS x) x ON x.x < g.w
+    JOIN (SELECT unnest(range(11)) AS y) y ON y.y < g.h
+),
+gif_stats AS (
+    SELECT i, 'gif' AS kind, CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(v) AS BIGINT) AS sum_b,
+           CAST(MIN(v) AS BIGINT) AS min_b,
+           CAST(MAX(v) AS BIGINT) AS max_b,
+           CAST(-1 AS BIGINT) AS sum_g, CAST(-1 AS BIGINT) AS min_g,
+           CAST(-1 AS BIGINT) AS max_g, CAST(-1 AS BIGINT) AS sum_r,
+           CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
+    FROM fpx GROUP BY i
 )
 SELECT i AS asset_id, kind, n_units,
        sum_b, min_b, max_b, sum_g, min_g, max_g, sum_r, min_r, max_r
 FROM (SELECT * FROM bmp_stats UNION ALL SELECT * FROM wav_stats
-      UNION ALL SELECT * FROM png_stats)
+      UNION ALL SELECT * FROM png_stats UNION ALL SELECT * FROM gif_stats)
 ORDER BY asset_id
 """
 
@@ -5158,3 +5175,129 @@ SELECT split, source,
            AS n_bins
 FROM c2 GROUP BY split, source ORDER BY split, source
 """
+
+
+# --- round-6 second wave: layout, incremental MV, correlation, join KMV ---
+
+ORACLES["bucketed_join_revenue"] = f"""
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_lines,
+       {_dsum(_DISC_PRICE, 'revenue')}
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderstatus, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+"""
+
+ORACLES["incremental_mv_revenue"] = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice', 'total_revenue')}
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m')
+ORDER BY month
+"""
+
+ORACLES["events_corr_hourly"] = """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS d0,
+           date_trunc('hour', MAX(ts)) AS d1
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS _n
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+),
+filled AS (
+    SELECT s.hour, t.event_type, CAST(COALESCE(_n, 0) AS BIGINT) AS n
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS x, b.n AS y
+    FROM filled a JOIN filled b
+      ON a.hour = b.hour AND a.event_type < b.event_type
+),
+m AS (
+    SELECT type_a, type_b,
+           COUNT(*) AS n_hours,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sx2,
+           CAST(SUM(y * y) AS BIGINT) AS sy2
+    FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_hours, sx, sy, sxy, sx2, sy2,
+       CASE WHEN (n_hours * sx2 - sx * sx) > 0
+             AND (n_hours * sy2 - sy * sy) > 0
+            THEN CAST(n_hours * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n_hours * sx2 - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n_hours * sy2 - sy * sy AS DOUBLE)))
+       END AS corr
+FROM m
+ORDER BY type_a, type_b
+"""
+
+ORACLES["approx_join_size"] = f"""
+WITH a AS (
+    SELECT l_orderkey AS okey, COUNT(*) AS a_k
+    FROM lineitem GROUP BY l_orderkey
+),
+b AS (
+    SELECT o_orderkey AS okey, COUNT(*) AS b_k
+    FROM orders GROUP BY o_orderkey
+),
+keys AS (
+    SELECT COALESCE(a.okey, b.okey) AS okey,
+           CAST(COALESCE(a_k, 0) AS BIGINT) AS a_k,
+           CAST(COALESCE(b_k, 0) AS BIGINT) AS b_k
+    FROM a FULL OUTER JOIN b ON a.okey = b.okey
+),
+hashed AS (
+    SELECT okey, a_k, b_k,
+           {{UFRAC}} AS u
+    FROM keys
+),
+samp AS (SELECT * FROM hashed ORDER BY u, okey LIMIT 128),
+est AS (
+    SELECT COUNT(*) AS n_samp, MAX(u) AS u_k,
+           CAST(SUM(a_k * b_k) AS BIGINT) AS s_samp
+    FROM samp
+),
+totals AS (
+    SELECT COUNT(*) AS n_keys_union,
+           CAST(SUM(a_k * b_k) AS BIGINT) AS exact_join_rows
+    FROM hashed
+),
+d AS (
+    SELECT *,
+           CASE WHEN n_samp = 128 THEN CAST(127 AS DOUBLE) / u_k
+                ELSE CAST(n_keys_union AS DOUBLE) END AS d_hat
+    FROM est CROSS JOIN totals
+),
+e AS (
+    SELECT *,
+           CASE WHEN n_samp = 128
+                THEN (d_hat / CAST(128 AS DOUBLE)) * CAST(s_samp AS DOUBLE)
+                ELSE CAST(exact_join_rows AS DOUBLE) END AS est_join
+    FROM d
+)
+SELECT n_keys_union,
+       d_hat AS kmv_distinct_keys,
+       exact_join_rows,
+       est_join AS est_join_rows,
+       ABS(est_join - CAST(exact_join_rows AS DOUBLE))
+           / CAST(exact_join_rows AS DOUBLE) AS rel_error
+FROM e
+"""
+ORACLES["approx_join_size"] = ORACLES["approx_join_size"].replace(
+    "{UFRAC}", _UFRAC("md5(CAST(okey AS VARCHAR))")
+)

@@ -1235,11 +1235,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL media decode with stdlib only (r05 verdict item 5): asset
     ids cycle 24bpp BMP (real pixel array) / 8-bit PCM WAV / 8-bit
-    grayscale PNG (zlib inflate + scanline unfilter — a COMPRESSED
-    format decoded end-to-end with no media library); the engine
-    genuinely decodes bytes → per-channel integer sum/min/max
+    grayscale PNG (zlib inflate + scanline unfilter) / palette GIF
+    (real LZW decompression — TWO genuinely COMPRESSED formats decoded
+    end-to-end with no media library); the engine genuinely decodes
+    bytes → per-channel integer sum/min/max
     (operators/multimodal.py: decode_bmp_pixels / decode_wav_samples /
-    decode_png_pixels, Arrow-batched mapInPandas). The oracle
+    decode_png_pixels / decode_gif_pixels, Arrow-batched mapInPandas).
+    The oracle
     recomputes the same statistics analytically from the generative
     pixel/sample formulas — integer-exact, so the decode path is
     value-certified without any reference media library. Missing
@@ -6579,4 +6581,236 @@ def corpus_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("seq_bin") + 1).cast("long").alias("n_bins"),
         )
         .orderBy("split", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 second-wave additions: storage co-location, incremental view
+# maintenance, time-series correlation, sketch-based join cardinality.
+# ---------------------------------------------------------------------------
+
+
+@query("bucketed_join_revenue")
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located fact-fact join, driver-certified: orders and
+    lineitem are written ONCE as external bucketed tables (8 buckets on
+    the order key, warehouse.ensure_bucketed — the amortized ingest-time
+    shuffle), after which the per-order revenue rollup runs with ZERO
+    exchanges end to end: both bucketed scans already satisfy the
+    sort-merge join's required distribution, the orderkey groupBy rides
+    the join's output partitioning (group keys ⊇ partition key), and the
+    top-20 is a TakeOrderedAndProject. The no-Exchange plan shape is
+    pinned by tests/test_plan_quality.py. At 100 TB this is THE pattern
+    for the dominant repeated join: pay the shuffle once at ingest,
+    never again at query time (the reference's engine has no storage
+    layer to express this; it is pure Spark-first surface). Oracle: the
+    plain join + rollup SQL — bucketing must be invisible to values."""
+    import hashlib
+
+    from .. import warehouse as WH
+
+    ensure_deterministic(spark)
+    sfx = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:6]
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    t_o = WH.ensure_bucketed(
+        spark, orders, f"b_orders_{sfx}", "o_orderkey",
+        num_buckets=8, sort_by="o_orderkey",
+    )
+    t_l = WH.ensure_bucketed(
+        spark, li, f"b_lineitem_{sfx}", "o_orderkey",
+        num_buckets=8, sort_by="o_orderkey",
+    )
+    joined = spark.table(t_o).hint("MERGE").join(
+        spark.table(t_l), "o_orderkey"
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.expr(DISC_PRICE), "revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query("incremental_mv_revenue")
+def incremental_mv_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue MV
+    is REFRESHED from a delta instead of recomputed. Base partials
+    (orders before the cutoff) merge with delta partials through the
+    decimal partial-aggregate algebra — exact associative sums, so the
+    merge cannot drift — and the oracle is the FULL recompute, making
+    the certificate precisely "incremental refresh ≡ full refresh". At
+    100 TB this converts the daily metrics rebuild from a full fact
+    scan into a delta-sized merge against the stored partials; the
+    partials stay DECIMAL until the final emit (the same trick the
+    registry's dsum uses to beat reduction-order nondeterminism)."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("_s").alias("_merged"),
+            F.sum("_n").alias("n_orders"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            F.col("_merged").cast("double").alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@query("events_corr_hourly")
+def events_corr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series Pearson correlation between event types on the
+    gap-filled hourly spine: per-(hour, type) counts with zero fill
+    (absent hours MUST contribute zeros — dropping them biases the
+    correlation), self-joined into unordered type pairs, then the five
+    correlation moments as EXACT integer sums. corr itself is assembled
+    from those integers in IEEE double ops both engines round
+    identically (int64→double and sqrt are correctly rounded;
+    mult/div are single IEEE roundings). The self-join is bounded by
+    (hours × types) — at 100 TB the hourly series is microscopic next
+    to the fact scan that produced it, and the moment sums would widen
+    to DECIMAL the same way dsum does."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("d0"),
+        F.date_trunc("HOUR", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 hour)")).alias("hour")
+    ).crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy(
+        F.date_trunc("HOUR", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    filled = spine.join(hourly, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n"),
+    )
+    fa = filled.select(
+        "hour", F.col("event_type").alias("type_a"), F.col("n").alias("x")
+    )
+    fb = filled.select(
+        "hour", F.col("event_type").alias("type_b"), F.col("n").alias("y")
+    )
+    moments = (
+        fa.join(fb, "hour")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        )
+    )
+    num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_hours") * F.col("sx2") - F.col("sx") * F.col("sx")
+    deny = F.col("n_hours") * F.col("sy2") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (denx > 0) & (deny > 0),
+        num.cast("double")
+        / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+    )
+    return moments.select(
+        "type_a", "type_b", "n_hours", "sx", "sy", "sxy", "sx2", "sy2",
+        corr.alias("corr"),
+    ).orderBy("type_a", "type_b")
+
+
+@query("approx_join_size")
+def approx_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-grade join-cardinality estimation WITHOUT running the
+    join: |lineitem ⋈ orders| = Σ_k a_k·b_k, estimated from a KMV
+    sketch of the key domain — the k = 128 minimum md5 fractions form a
+    uniform sample of the distinct keys, D̂ = (k−1)/u_k estimates the
+    domain size, and (D̂/k)·Σ_sample a_k·b_k estimates the join size
+    (the bottom-k sum estimator). The exact join size rides along (two
+    per-key groupBys, no join materialized) so the certificate pins the
+    estimator AND its ground truth; rel_error is the planner's
+    calibration number. The min-k selection is a distributed
+    TakeOrderedAndProject top-k, not a global window, and the portable
+    md5 hash gives the full cross-engine value oracle an engine-native
+    sketch cannot."""
+    from ..functions.portable_hash import uniform_frac_sql
+
+    ensure_deterministic(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).alias("a_k")
+    )
+    b = orders.groupBy(F.col("o_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).alias("b_k")
+    )
+    keys = (
+        a.join(b, "okey", "full_outer")
+        .select(
+            "okey",
+            F.coalesce("a_k", F.lit(0)).alias("a_k"),
+            F.coalesce("b_k", F.lit(0)).alias("b_k"),
+        )
+        .withColumn(
+            "u", F.expr(uniform_frac_sql("md5(CAST(okey AS STRING))"))
+        )
+    )
+    samp = keys.orderBy("u", "okey").limit(128)
+    est = samp.agg(
+        F.count(F.lit(1)).alias("n_samp"),
+        F.max("u").alias("u_k"),
+        F.sum(F.col("a_k") * F.col("b_k")).alias("s_samp"),
+    )
+    totals = keys.agg(
+        F.count(F.lit(1)).alias("n_keys_union"),
+        F.sum(F.col("a_k") * F.col("b_k")).alias("exact_join_rows"),
+    )
+    d_hat = F.when(
+        F.col("n_samp") == 128,
+        F.lit(127).cast("double") / F.col("u_k"),
+    ).otherwise(F.col("n_keys_union").cast("double"))
+    est_join = F.when(
+        F.col("n_samp") == 128,
+        (F.col("_d_hat") / F.lit(128).cast("double"))
+        * F.col("s_samp").cast("double"),
+    ).otherwise(F.col("exact_join_rows").cast("double"))
+    return (
+        est.crossJoin(totals)
+        .withColumn("_d_hat", d_hat)
+        .withColumn("_est_join", est_join)
+        .select(
+            "n_keys_union",
+            F.col("_d_hat").alias("kmv_distinct_keys"),
+            "exact_join_rows",
+            F.col("_est_join").alias("est_join_rows"),
+            (
+                F.abs(
+                    F.col("_est_join")
+                    - F.col("exact_join_rows").cast("double")
+                )
+                / F.col("exact_join_rows").cast("double")
+            ).alias("rel_error"),
+        )
     )

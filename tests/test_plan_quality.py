@@ -367,3 +367,32 @@ def test_dedup_rate_no_window_one_aggregate(spark):
     plan = _plan(spark, "dedup_rate_by_source")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_revenue_zero_exchange(spark):
+    """r06: the bucketed fact-fact join must run with ZERO exchanges —
+    bucketed scans satisfy the SMJ distribution, the orderkey groupBy
+    rides the join's partitioning (group keys ⊇ bucket key), and the
+    top-20 is TakeOrderedAndProject. One write-time shuffle at ingest,
+    none at query time."""
+    plan = _plan(spark, "bucketed_join_revenue")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_approx_join_size_topk_not_global_window(spark):
+    """The KMV min-k must be a distributed top-k, never a global
+    row_number window (the scale-killer shape the registry bans)."""
+    plan = _plan(spark, "approx_join_size")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_events_corr_hourly_bounded_self_join(spark):
+    """The pair join is an hour-key equi-join over the bounded spine —
+    no cartesian product, no row-at-a-time Python."""
+    plan = _plan(spark, "events_corr_hourly")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -478,17 +478,22 @@ def test_resize_bmp_nearest_neighbor():
 def test_resize_real_bmp_distributed(spark):
     from database_migration_engine_spark.operators import multimodal as MM
 
-    assets = MM.synth_pixel_assets(spark, 12).filter(
+    assets = MM.synth_pixel_assets(spark, 16).filter(
         F.col("meta.mime") == "image/bmp"
     )
     rows = MM.resize(assets, target_w=4, target_h=4, mode="real").collect()
-    assert len(rows) == 4  # ids 0, 3, 6, 9
+    assert len(rows) == 4  # ids 0, 4, 8, 12
     for r in rows:
         assert MM.parse_bmp_header(bytes(r.payload)) == (4, 4)
 
 
 def test_pixel_stats_matches_reference(spark):
     from database_migration_engine_spark.operators import multimodal as MM
+
+    from database_migration_engine_spark.operators.multimodal import (
+        gif_pixel,
+        png_pixel,
+    )
 
     got = {
         r.asset_id: r.asDict()
@@ -497,12 +502,12 @@ def test_pixel_stats_matches_reference(spark):
     assert len(got) == 21
     for i in range(21):
         r = got[i]
-        if i % 3 == 0:
+        if i % 4 == 0:
             ref = _bmp_ref_stats(5 + i % 13, 3 + i % 7)
             assert r["kind"] == "bmp"
             for k, v in ref.items():
                 assert r[k] == v, (i, k)
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             n, a = 40 + i % 160, 1 + i % 9
             sams = [128 + (j * a) % 64 for j in range(n)]
             assert r["kind"] == "wav"
@@ -510,14 +515,18 @@ def test_pixel_stats_matches_reference(spark):
                 n, sum(sams), min(sams), max(sams),
             )
             assert r["sum_g"] is None and r["min_r"] is None
-        else:
-            from database_migration_engine_spark.operators.multimodal import (
-                png_pixel,
-            )
-
+        elif i % 4 == 2:
             w, h = 6 + i % 12, 4 + i % 6
             vals = [png_pixel(x, y) for y in range(h) for x in range(w)]
             assert r["kind"] == "png"
+            assert (r["n_units"], r["sum_b"], r["min_b"], r["max_b"]) == (
+                w * h, sum(vals), min(vals), max(vals),
+            )
+            assert r["sum_g"] is None and r["min_r"] is None
+        else:
+            w, h = 4 + i % 14, 3 + i % 8
+            vals = [gif_pixel(x, y) for y in range(h) for x in range(w)]
+            assert r["kind"] == "gif"
             assert (r["n_units"], r["sum_b"], r["min_b"], r["max_b"]) == (
                 w * h, sum(vals), min(vals), max(vals),
             )
@@ -656,3 +665,108 @@ def _make_png_raw_depth16(width, height, raw):
         PNG_MAGIC + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
     )
+
+
+# --- FULL GIF decode (r06): LZW codec + frame walk, stdlib only ---------
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """Encoder and decoder stay in lockstep across widths and the
+    KwKwK self-referential case — 200 random streams, mixed alphabets,
+    enough length to cross the 9→10→11-bit width bumps."""
+    import random
+
+    from database_migration_engine_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rnd = random.Random(20260815)
+    for trial in range(200):
+        n = rnd.randrange(1, 4000)
+        alphabet = rnd.randrange(1, 257)
+        data = bytes(rnd.randrange(alphabet) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data, trial
+
+
+def test_gif_lzw_dict_reset_and_repetition():
+    from database_migration_engine_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # long mixed-entropy stream forces the 4096-entry dictionary reset
+    data = bytes((i * i) % 251 for i in range(120_000))
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+    # heavy repetition exercises the KwKwK branch repeatedly
+    data = b"ab" * 5000 + b"a" * 5000
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+def test_gif_lzw_decodes_independent_literal_encoding():
+    """The decoder must accept streams from OTHER conforming encoders,
+    not just its own: a trivially-correct-by-construction literal-only
+    encoder (CLEAR before every symbol, so no dictionary ever grows)
+    produces a valid GIF LZW stream the decoder must reproduce."""
+    from database_migration_engine_spark.operators.multimodal import (
+        _lzw_decode,
+    )
+
+    def literal_encode(indices: bytes, mcs: int = 8) -> bytes:
+        clear, eoi, width = 1 << mcs, (1 << mcs) + 1, mcs + 1
+        out, buf, cnt = bytearray(), 0, 0
+
+        def emit(code: int) -> None:
+            nonlocal buf, cnt
+            buf |= code << cnt
+            cnt += width
+            while cnt >= 8:
+                out.append(buf & 0xFF)
+                buf >>= 8
+                cnt -= 8
+
+        emit(clear)
+        for c in indices:
+            emit(c)
+            emit(clear)
+        emit(eoi)
+        if cnt:
+            out.append(buf & 0xFF)
+        return bytes(out)
+
+    data = bytes(range(256)) * 3
+    assert _lzw_decode(literal_encode(data), 8) == data
+
+
+def test_decode_gif_pixels_matches_generative_formula():
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_gif_pixels,
+        gif_pixel,
+        make_gif,
+    )
+
+    for i in range(0, 160, 11):
+        w, h = 4 + i % 14, 3 + i % 8
+        stats = decode_gif_pixels(make_gif(w, h, pixels=True))
+        vals = [gif_pixel(x, y) for y in range(h) for x in range(w)]
+        assert stats == {
+            "n_units": w * h,
+            "sum_b": sum(vals), "min_b": min(vals), "max_b": max(vals),
+            "sum_g": None, "min_g": None, "max_g": None,
+            "sum_r": None, "min_r": None, "max_r": None,
+        }, (w, h)
+
+
+def test_decode_gif_pixels_error_paths():
+    import pytest
+
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_gif_pixels,
+        make_gif,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"NOTGIF" + b"\x00" * 20)
+    # headers-only fixture has no image descriptor
+    with pytest.raises(ValueError, match="no image descriptor"):
+        decode_gif_pixels(make_gif(4, 4))
