@@ -39,6 +39,7 @@ _RECHECK_FIRST = [
     "multimodal_pixel_stats", "corpus_capstone",
     "bucketed_join_revenue", "incremental_mv_revenue",
     "events_corr_hourly", "approx_join_size",
+    "partition_pruned_revenue",
     # (0b) r06 semantic-preserving changes that must re-certify under
     # their new plans/derivations: scaled k-means k (semdedup), measured
     # salt factor (skewed_join_salted), size-adaptive corpus_join

@@ -5301,3 +5301,13 @@ FROM e
 ORACLES["approx_join_size"] = ORACLES["approx_join_size"].replace(
     "{UFRAC}", _UFRAC("md5(CAST(okey AS VARCHAR))")
 )
+
+ORACLES["partition_pruned_revenue"] = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice', 'total_revenue')}
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+GROUP BY strftime(o_orderdate, '%Y-%m')
+ORDER BY month
+"""

@@ -6637,6 +6637,39 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("partition_pruned_revenue")
+def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan, driver-certified — the third storage-layout
+    lever alongside bucketing (bucketed_join_revenue) and Z-ordering
+    (zorder_locality): orders are written ONCE as a hive-partitioned
+    dataset keyed by order year (warehouse.ensure_partitioned), and the
+    1997 monthly rollup then reads ONLY the o_year=1997 directory — the
+    filter becomes a PartitionFilter resolved against the listing, never
+    against row data (PartitionCount: 1 is pinned by a plan test). At
+    100 TB this is the difference between scanning one day and scanning
+    the lake. Oracle: the same rollup filtered on year(o_orderdate) over
+    the unpartitioned table — layout must be invisible to values."""
+    import hashlib
+
+    from .. import warehouse as WH
+
+    ensure_deterministic(spark)
+    sfx = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:6]
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = WH.ensure_partitioned(spark, orders, f"p_orders_{sfx}", "o_year")
+    part = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return (
+        part.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
 @query("incremental_mv_revenue")
 def incremental_mv_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: the monthly revenue MV

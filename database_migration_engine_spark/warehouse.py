@@ -84,6 +84,30 @@ def ensure_bucketed(
     return table
 
 
+def ensure_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    partition_by: str,
+) -> str:
+    """Idempotent hive-style partitioned parquet dataset under a
+    tmpfs-backed path keyed by (application, name): one directory per
+    ``partition_by`` value, written once per session. The read-side
+    payoff is PARTITION PRUNING — a filter on the partition column
+    becomes a directory listing, not a data scan (the second of the
+    three storage-layout levers next to bucketing and Z-ordering)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    app = spark.sparkContext.applicationId
+    path = os.path.join(base, f"dbmig_wh_{app}", name)
+    stamp = os.path.join(path, "_dbmig_stamp")
+    if os.path.exists(stamp):
+        return path
+    df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+    with open(stamp, "w") as fh:
+        fh.write("ok\n")
+    return path
+
+
 def shuffle_free_join(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> DataFrame:

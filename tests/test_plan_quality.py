@@ -396,3 +396,15 @@ def test_events_corr_hourly_bounded_self_join(spark):
     plan = _plan(spark, "events_corr_hourly")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_partition_pruned_revenue_scans_one_partition(spark):
+    """r06: the o_year filter must resolve as a PartitionFilter against
+    the directory listing — exactly one partition scanned, no data-side
+    year predicate needed."""
+    plan = _plan(spark, "partition_pruned_revenue")
+    assert "(o_year" in plan and "= 1997)" in plan
+    assert "PartitionFilters: [isnotnull(o_year" in plan, plan
+    # the year predicate is resolved ENTIRELY against the listing: no
+    # data-side filter remains on the scan
+    assert "DataFilters: []" in plan, plan
