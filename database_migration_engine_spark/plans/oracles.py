@@ -5311,3 +5311,104 @@ WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
 GROUP BY strftime(o_orderdate, '%Y-%m')
 ORDER BY month
 """
+
+
+# --- ivf_probe_curve: recall-vs-nprobe calibration (r06 wave 2) -----------
+# Shares the exact-leg CTEs with ann_recall_curve and the IVF assignment
+# CTEs with similarity_ivf; one candidate/top-10/hits block per nprobe.
+
+def _ivf_curve_sql() -> str:
+    blocks = []
+    finals = []
+    for np_ in (1, 2, 4):
+        blocks.append(f"""
+cand{np_} AS (
+    SELECT DISTINCT q.vec_id AS qid, a.vec_id AS nid
+    FROM qa q JOIN corpus_assign a USING (cell_id)
+    WHERE q.rn <= {np_} AND a.vec_id != q.vec_id
+),
+scored{np_} AS (
+    SELECT c.qid, c.nid,
+           list_dot_product(pq.v, pn.v) / (pq.nrm * pn.nrm) AS cos_sim
+    FROM cand{np_} c
+    JOIN p pq ON pq.vec_id = c.qid
+    JOIN p pn ON pn.vec_id = c.nid
+),
+ivf{np_} AS (
+    SELECT qid, nid, rnk AS a_rnk FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, nid ASC) AS rnk
+        FROM scored{np_}
+    ) WHERE rnk <= 10
+),
+hits{np_} AS (
+    SELECT
+        SUM(CASE WHEN e_rnk <= 1 AND a_rnk <= 1 THEN 1 ELSE 0 END) AS h1,
+        SUM(CASE WHEN e_rnk <= 5 AND a_rnk <= 5 THEN 1 ELSE 0 END) AS h5,
+        SUM(CASE WHEN e_rnk <= 10 AND a_rnk <= 10 THEN 1 ELSE 0 END) AS h10
+    FROM exact e JOIN ivf{np_} i USING (qid, nid)
+)""")
+        for kk in (1, 5, 10):
+            finals.append(
+                f"SELECT {np_} AS nprobe, {kk} AS k,"
+                f" CAST(h{kk} AS BIGINT) AS hits,"
+                f" CAST(n_queries AS BIGINT) AS n_queries,"
+                f" CAST(h{kk} AS DOUBLE) / CAST(n_queries * {kk} AS DOUBLE)"
+                f" AS recall"
+                f" FROM hits{np_} CROSS JOIN nq"
+            )
+    return (
+        """
+WITH p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+epairs AS (
+    SELECT q.vec_id AS qid, n.vec_id AS nid,
+           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+    FROM p q, p n
+    WHERE q.vec_id < 50 AND q.vec_id != n.vec_id
+),
+exact AS (
+    SELECT qid, nid, rnk AS e_rnk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, nid ASC) AS rnk
+        FROM epairs
+    ) WHERE rnk <= 10
+),
+cent AS (
+    SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM p WHERE vec_id < 16
+),
+corpus_assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT p.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
+                            DESC, c.cell_id ASC) AS rn
+        FROM p CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+qa AS (
+    SELECT vec_id, cell_id, rn FROM (
+        SELECT p.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
+                            DESC, c.cell_id ASC) AS rn
+        FROM p CROSS JOIN cent c WHERE p.vec_id < 50
+    ) WHERE rn <= 4
+),
+nq AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM p WHERE vec_id < 50),"""
+        + ",".join(blocks)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\n) ORDER BY nprobe, k"
+    )
+
+
+ORACLES["ivf_probe_curve"] = _ivf_curve_sql()

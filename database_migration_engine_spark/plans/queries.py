@@ -6637,6 +6637,75 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_probe_curve")
+def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe calibration of the IVF index against exact
+    search — the IVF twin of ann_recall_curve's LSH curve and the
+    number that justifies an nprobe setting at 100 TB (probe more
+    cells → more candidates → higher recall, linearly more work): for
+    the same 50 queries and the similarity_ivf index (16 seeded cells),
+    recall@{1,5,10} at nprobe = 1, 2, 4. Both legs are the certified
+    plans (Arrow sequential-fold cosine exact leg, cell-bounded IVF
+    leg), so the meta-query keeps a full value oracle; hit counts are
+    exact integers, one double division at the end."""
+    import numpy as np
+
+    ensure_deterministic(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroid_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    centroids = np.array([r.embedding for r in centroid_rows], dtype=np.float64)
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    exact = SIM.cosine_topk_arrow(emb, queries_df, k=10).select(
+        "qid", "nid", F.col("rnk").alias("e_rnk")
+    )
+    nq = queries_df.agg(F.countDistinct("vec_id").alias("n_queries"))
+    curves = []
+    for nprobe in (1, 2, 4):
+        ann = SIM.ivf_topk(
+            emb, queries_df, centroids, k=10, nprobe=nprobe
+        ).select("qid", "nid", F.col("rnk").alias("a_rnk"))
+        hits = exact.join(ann, ["qid", "nid"]).agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("e_rnk") <= kk) & (F.col("a_rnk") <= kk), 1
+                    ).otherwise(0)
+                ).alias(f"h{kk}")
+                for kk in (1, 5, 10)
+            ]
+        )
+        curve = hits.join(F.broadcast(nq)).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(kk).alias("k"),
+                            F.col(f"h{kk}").cast("long").alias("hits"),
+                        )
+                        for kk in (1, 5, 10)
+                    ]
+                )
+            ).alias("s"),
+            "n_queries",
+        )
+        curves.append(
+            curve.select(
+                F.lit(nprobe).alias("nprobe"),
+                F.col("s.k").alias("k"),
+                F.col("s.hits").alias("hits"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                (
+                    F.col("s.hits").cast("double")
+                    / (F.col("n_queries") * F.col("s.k")).cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("nprobe", "k")
+
+
 @query("partition_pruned_revenue")
 def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned scan, driver-certified — the third storage-layout

@@ -241,3 +241,19 @@ class TestKMeansFixedPoint:
         g = {(r.qid, r.nid) for r in got}
         e = {(r.qid, r.nid) for r in exact}
         assert len(g & e) / len(e) >= 0.5
+
+
+def test_ivf_probe_curve_monotone_recall(spark):
+    """r06: probing more cells can only add candidates, so recall@k must
+    be non-decreasing in nprobe, and nprobe=4 (a quarter of the 16
+    cells) must clear a useful floor at k=10."""
+    from database_migration_engine_spark.plans import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["ivf_probe_curve"](spark, SF_DIR).collect()
+    assert len(rows) == 9
+    by = {(r.nprobe, r.k): r.recall for r in rows}
+    for k in (1, 5, 10):
+        assert by[(1, k)] <= by[(2, k)] <= by[(4, k)] + 1e-12
+    assert by[(4, 10)] >= 0.5, by
