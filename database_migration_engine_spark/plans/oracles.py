@@ -5412,3 +5412,51 @@ nq AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM p WHERE vec_id < 50),"""
 
 
 ORACLES["ivf_probe_curve"] = _ivf_curve_sql()
+
+
+ORACLES["tfidf_doc_pairs"] = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS term
+    FROM t, UNNEST(range(1, len(toks))) AS u(i)
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM bg GROUP BY doc_id, term
+),
+dft AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) <= 50
+),
+idf AS (
+    SELECT term, df,
+           (CAST(10 AS BIGINT) * (SELECT COUNT(*) FROM documents)) // df
+               AS idf_int
+    FROM dft
+),
+w AS (
+    SELECT t2.doc_id, t2.term, i.df,
+           CAST(t2.tf * i.idf_int AS DECIMAL(19,0)) AS wt
+    FROM tf t2 JOIN idf i USING (term)
+),
+norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM w GROUP BY doc_id),
+num AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           SUM(a.wt * b.wt) AS num, COUNT(*) AS n_shared
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    WHERE a.df >= 2
+    GROUP BY a.doc_id, b.doc_id
+),
+c AS (
+    SELECT doc_a, doc_b, n_shared,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+           / (SQRT(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE))
+              * SQRT(CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE))) AS cos
+    FROM num
+    JOIN norms na ON na.doc_id = num.doc_a
+    JOIN norms nb ON nb.doc_id = num.doc_b
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, cos
+FROM c WHERE cos >= 0.5
+ORDER BY doc_a, doc_b
+"""

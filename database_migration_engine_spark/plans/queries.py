@@ -6706,6 +6706,92 @@ def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("nprobe", "k")
 
 
+@query("tfidf_doc_pairs")
+def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF doc-doc cosine near-dup pairs — the weighted
+    lexical similarity that needs NO embeddings (the tf-idf complement
+    of ngram_jaccard's set overlap and dedup_embedding's dense cosine).
+    Terms are token BIGRAMS (the fixture corpus draws from a ~31-word
+    pool, so unigram document frequency is degenerate; bigrams recover
+    a ~900-term discriminative vocabulary — the same reason shingling
+    exists), capped at df ≤ 50 (hot-term cap: keeps the posting join
+    sub-quadratic, Σdf² bounded by cap·Σdf). Weights are INTEGER tf·idf
+    with keyword_search's log-free floor-division idf; dot products and
+    norms are exact DECIMAL sums; the cosine is assembled from them in
+    IEEE ops both engines round identically (oracle routes its
+    DECIMAL→DOUBLE through VARCHAR). Pairs at cos ≥ 0.5, doc_a < doc_b
+    canonical order, via corpus_join (merge-pinned at corpus scale)."""
+    CAP = 50
+    SCALE = 10
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", TX.tokens().alias("toks"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("term"),
+    )
+    tf = bigrams.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CAP)
+    )
+    idf = dft.withColumn(
+        "idf_int",
+        F.expr(f"CAST({SCALE} AS BIGINT) * {n_docs} div df"),
+    )
+    w = JN.corpus_join(tf, idf, "term").select(
+        "doc_id",
+        "term",
+        "df",
+        (F.col("tf") * F.col("idf_int")).cast("decimal(19,0)").alias("wt"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("n2"))
+    pairable = w.filter(F.col("df") >= 2)
+    a = pairable.select(
+        "term", F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa")
+    )
+    b = pairable.select(
+        "term", F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb")
+    )
+    num = (
+        JN.corpus_join(a, b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("num"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cos = F.col("num").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        JN.corpus_join(JN.corpus_join(num, na, "doc_a"), nb, "doc_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            "cos",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query("partition_pruned_revenue")
 def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned scan, driver-certified — the third storage-layout
