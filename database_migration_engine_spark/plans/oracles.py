@@ -5460,3 +5460,37 @@ SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, cos
 FROM c WHERE cos >= 0.5
 ORDER BY doc_a, doc_b
 """
+
+
+ORACLES["bpe_apply_merge"] = f"""
+WITH toks AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+),
+t2 AS (SELECT tok FROM toks WHERE len(tok) >= 2),
+first_pairs AS (
+    SELECT substr(tok, i, 2) AS pair, COUNT(*) AS n
+    FROM t2, LATERAL unnest(range(1, len(tok))) t(i)
+    GROUP BY pair
+),
+m AS (
+    SELECT pair,
+           substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) AS pat
+    FROM first_pairs ORDER BY n DESC, pair LIMIT 1
+),
+merged AS (
+    SELECT string_split(
+               replace(trim(regexp_replace(tok, '(.)', '\\1 ', 'g')),
+                       (SELECT pat FROM m), (SELECT pair FROM m)),
+               ' ') AS syms
+    FROM toks
+),
+sym_pairs AS (
+    SELECT syms[i] || ' ' || syms[i + 1] AS pair
+    FROM merged, LATERAL unnest(range(1, len(syms))) t(i)
+    WHERE len(syms) >= 2
+)
+SELECT (SELECT pair FROM m) AS applied_merge, pair, COUNT(*) AS n
+FROM sym_pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""

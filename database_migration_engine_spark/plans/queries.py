@@ -5417,6 +5417,63 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_apply_merge")
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer iteration TWO — proof the loop actually closes:
+    take the argmax merge from the corpus-wide pair count
+    (bpe_first_merges' statistic, (count desc, pair) tiebreak), APPLY
+    it to every token occurrence (symbols as a space-joined string;
+    non-overlapping left-to-right replace == greedy BPE merge order in
+    both engines), and recount adjacent SYMBOL pairs in the rewritten
+    stream — the statistic the third merge would maximize. The merge
+    choice is a bounded 1-row driver action (the documented
+    centroid-style pattern); everything else is the same
+    map-side-combinable hash-groupBy as iteration one. Output: the
+    applied merge + the post-merge top-20 pair counts."""
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens()).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    first = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substr(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .collect()
+    )
+    top = first[0]["pair"]
+    pat, rep = f"{top[0]} {top[1]}", top
+    spaced = F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 "))
+    merged = F.split(F.replace(spaced, F.lit(pat), F.lit(rep)), " ")
+    sym_pairs = docs.select(
+        F.explode(TX.tokens()).alias("tok")
+    ).select(merged.alias("syms")).filter(F.size("syms") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        sym_pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+        .select(F.lit(rep).alias("applied_merge"), "pair", "n")
+    )
+
+
 @query("unigram_score")
 def unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable unigram language-model scoring WITHOUT logarithms: a
