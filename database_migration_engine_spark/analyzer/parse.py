@@ -34,8 +34,12 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
     """
     statements: list[tuple[int, str]] = []
     n = len(sql)
-    i = 0
-    start = 0
+    # psql strips a leading UTF-8 BOM before the server ever sees the
+    # file (fuzz round 6 wave 3): without this, the FIRST statement of a
+    # BOM-carrying dump classifies as 'other' and its danger rules are
+    # silently skipped while PostgreSQL happily executes it
+    i = 1 if sql.startswith("﻿") else 0
+    start = i
 
     def flush(end: int) -> bool:
         """Returns True when the flushed statement is COPY ... FROM

@@ -761,3 +761,49 @@ def test_quoted_identifiers_protect_their_content(ident, neighbor):
         P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
         n_exp,
     )
+
+
+# --- fuzz round 6 wave 3: file-level framing noise ------------------------
+# Real fix this wave (analyzer/parse.py): psql strips a leading UTF-8
+# BOM before the server sees the file, so a BOM-carrying dump's first
+# statement must split and classify normally — previously it classified
+# as 'other' and its danger rules were silently skipped.
+
+_FRAMING = st.sampled_from(["\ufeff", "", "\x0b\x0c", "\ufeff\n\n"])
+
+
+@given(_FRAMING, _ANY_STMT, _ANY_STMT)
+@settings(max_examples=100, deadline=None)
+def test_leading_bom_and_exotic_whitespace_are_framing(pre, first, second):
+    """A leading BOM (or VT/FF whitespace) is file framing, not
+    statement content: both statements classify exactly as without it."""
+    (s1, e1), (s2, e2) = first, second
+    parsed = P.parse_sql(f"{pre}{s1};\n{s2};")
+    assert len(parsed) == 2, (pre, parsed)
+    _check_features(
+        P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"]), e1
+    )
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]), e2
+    )
+
+
+@given(_ANY_STMT)
+@settings(max_examples=60, deadline=None)
+def test_copy_payload_midline_backslash_dot_not_terminator(neighbor):
+    """Inside a COPY payload, ``\\.`` terminates only as a line of its
+    own — mid-line occurrences are data."""
+    n_sql, n_exp = neighbor
+    sql = (
+        "COPY t FROM STDIN;\n"
+        "a\\tb with \\. inside\n"
+        "c\\td\n"
+        "\\.\n"
+        f"{n_sql};"
+    )
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 2, (sql, parsed)
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
