@@ -336,8 +336,14 @@ _CONST_RE = re.compile(
         '(?:[^']|'')*'            # string literal
         # numeric literal: 42, 3.5, 4., .001, 5e2, 1.925e-3 — all A_Const
         # to the real parser (r03 fuzz fix: scientific/leading-dot forms
-        # were misclassified volatile)
-      | -?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?
+        # were misclassified volatile). PostgreSQL 16 adds underscore
+        # digit separators (1_000_000) and hex/octal/binary forms
+        # (0x1F, 0o17, 0b101) — equally A_Const to the real grammar
+        # (fuzz round 6 wave 4)
+      | -?0[xX][0-9A-Fa-f](?:_?[0-9A-Fa-f])*
+      | -?0[oO][0-7](?:_?[0-7])*
+      | -?0[bB][01](?:_?[01])*
+      | -?(?:\d(?:_?\d)*\.?(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?
       | TRUE | FALSE | NULL
     )
     (?:\s*::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?)?   # optional ::type cast

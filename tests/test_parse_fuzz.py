@@ -181,6 +181,10 @@ def vacuum_stmt(draw):
 _CONST_DEFAULTS = [
     "42", "-7", "3.14", "1e6", "2.5e-3", ".5", "'txt'", "'it''s'",
     "TRUE", "NULL", "'x'::text", "CAST(5 AS int)", "'{}'::jsonb",
+    # PostgreSQL 16 literal forms (fuzz round 6 wave 4): underscore
+    # digit separators and hex/octal/binary integers are A_Const to the
+    # real grammar
+    "1_000_000", "0x1F", "0o17", "0b101", "-0xff", "1_0.5e1_0",
 ]
 _VOLATILE_DEFAULTS = [
     "now()", "random()", "uuid_generate_v4()", "nextval('s')",
@@ -807,3 +811,11 @@ def test_copy_payload_midline_backslash_dot_not_terminator(neighbor):
         P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
         n_exp,
     )
+
+
+def test_malformed_pg16_literals_stay_volatile():
+    """The conservative side of the wave-4 extension: trailing/leading/
+    doubled underscores and bare radix prefixes are NOT valid literals,
+    so they keep the volatile (HIGH-severity) classification."""
+    for expr in ["1_", "_1", "1__0", "0x", "0b", "0o8", "0xG"]:
+        assert P.is_volatile_default(expr), expr
