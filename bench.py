@@ -74,7 +74,7 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"^(text|token|quality|lang|doc_|vocab|bigram|unigram|bpe|top_terms"
      r"|corpus|repetition|pii|clean|pack_sequences|augment|typo"
      r"|multimodal|source_)", "text"),
-    (r"^(pagerank|triangle)", "graph"),
+    (r"^(pagerank|triangle|graph_)", "graph"),
     (r"^(events|funnel|user_|hourly|latest_event|zscore|value_outliers"
      r"|mad_outliers|count_min|scd2|cdc)", "events"),
     (r"^(approx|sampled_quantiles|bloom|key_skew|zorder|forecast"

@@ -5494,3 +5494,28 @@ FROM sym_pairs GROUP BY pair
 ORDER BY n DESC, pair
 LIMIT 20
 """
+
+
+ORACLES["graph_bfs_hops"] = f"""
+WITH {_JACC_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jacc
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jacc
+),
+seeds AS (
+    SELECT DISTINCT a AS node FROM edges ORDER BY node LIMIT 5
+),
+d0 AS (SELECT node FROM seeds),
+d1 AS (SELECT DISTINCT e.b AS node FROM d0 JOIN edges e ON e.a = d0.node),
+d2 AS (SELECT DISTINCT e.b AS node FROM d1 JOIN edges e ON e.a = d1.node),
+d3 AS (SELECT DISTINCT e.b AS node FROM d2 JOIN edges e ON e.a = d2.node),
+allhops AS (
+    SELECT node, 0 AS dist FROM d0
+    UNION ALL SELECT node, 1 FROM d1
+    UNION ALL SELECT node, 2 FROM d2
+    UNION ALL SELECT node, 3 FROM d3
+)
+SELECT node AS doc_id, CAST(MIN(dist) AS INTEGER) AS dist
+FROM allhops GROUP BY node ORDER BY doc_id
+"""

@@ -1680,6 +1680,60 @@ def _dedup_labels_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@query("graph_bfs_hops")
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop BFS over the near-dup pair graph — the frontier
+    -expansion primitive the graph family was missing next to connected
+    components (global), PageRank (stationary), and triangles (local):
+    from the 5 lowest-id docs that participate in any edge, expand 3
+    hops and report each reached doc's minimum distance. Per hop: one
+    frontier⋈edges equi-join + a distinct — the textbook distributed
+    BFS round, cost proportional to the expanded frontier, never the
+    whole graph. Edges are the session-shared certified Jaccard pairs
+    (both directions); the oracle unrolls the same 3 bounded
+    expansions, so no recursion is needed on either engine."""
+    from ..session import shuffle_width
+
+    ensure_deterministic(spark)
+    pairs = _ngram_pairs_shared(spark, sf_dir)
+    # the frontier is a sliver of the corpus: size the per-hop shuffles
+    # to it (and pin the result eagerly inside the context — Spark is
+    # lazy, so without the checkpoint the narrowed width would be gone
+    # by the time the driver collects), same discipline as the CC and
+    # PageRank loops
+    with shuffle_width(spark, min(16, spark.sparkContext.defaultParallelism)):
+        edges = (
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .unionByName(
+                pairs.select(
+                    F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                )
+            )
+        )
+        seeds = (
+            edges.select(F.col("a").alias("node")).distinct()
+            .orderBy("node").limit(5)
+        )
+        frontiers = [seeds.select("node", F.lit(0).alias("dist"))]
+        frontier = seeds
+        for hop in (1, 2, 3):
+            frontier = (
+                frontier.join(edges, frontier["node"] == edges["a"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+            )
+            frontiers.append(frontier.select("node", F.lit(hop).alias("dist")))
+        allhops = frontiers[0]
+        for fr in frontiers[1:]:
+            allhops = allhops.unionByName(fr)
+        result = (
+            allhops.groupBy(F.col("node").alias("doc_id"))
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return result.orderBy("doc_id")
+
+
 @query("dedup_clusters")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation: connected components over the 3-gram
