@@ -160,3 +160,56 @@ def test_suggest_salt_factor_from_measured_skew(spark):
     hist = SK.log2_histogram(df, "k")
     assert sum(r.n_rows for r in hist) == 10_000
     assert {r.bucket for r in hist} == {13, 3}  # 9000 → b13, 10 → b3
+
+
+def test_ensure_bucketed_idempotent_and_one_file_per_bucket(spark):
+    """r06: the second call must skip the write (stamp + catalog hit),
+    and the pre-write repartition must land each bucket in ONE file so
+    sortBy metadata stays usable."""
+    import glob
+    import os
+
+    from database_migration_engine_spark import warehouse as WH
+
+    orders = read_table(spark, SF_DIR, "orders")
+    t = WH.ensure_bucketed(
+        spark, orders, "t_idem_orders", "o_orderkey",
+        num_buckets=4, sort_by="o_orderkey",
+    )
+    path = [
+        r for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        if r.col_name == "Location"
+    ][0].data_type.replace("file:", "")
+    files = [f for f in glob.glob(os.path.join(path, "*.parquet"))]
+    assert len(files) == 4, files  # one file per bucket
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    # second call: no rewrite
+    assert WH.ensure_bucketed(
+        spark, orders, "t_idem_orders", "o_orderkey", num_buckets=4
+    ) == t
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+    assert spark.table(t).count() == orders.count()
+    spark.sql("DROP TABLE IF EXISTS t_idem_orders")
+
+
+def test_ensure_partitioned_prunes_and_is_idempotent(spark):
+    import os
+
+    from database_migration_engine_spark import warehouse as WH
+
+    orders = read_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    p = WH.ensure_partitioned(spark, orders, "t_idem_part", "o_year")
+    years = [
+        d for d in os.listdir(p) if d.startswith("o_year=")
+    ]
+    assert len(years) >= 2, years  # hive-style directory per year
+    stamp_m = os.path.getmtime(os.path.join(p, "_dbmig_stamp"))
+    assert WH.ensure_partitioned(spark, orders, "t_idem_part", "o_year") == p
+    assert os.path.getmtime(os.path.join(p, "_dbmig_stamp")) == stamp_m
+    sub = spark.read.parquet(p).filter(F.col("o_year") == 1997)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    want = orders.filter(F.col("o_year") == 1997).count()
+    assert sub.count() == want
