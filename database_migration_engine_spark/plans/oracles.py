@@ -5519,3 +5519,33 @@ allhops AS (
 SELECT node AS doc_id, CAST(MIN(dist) AS INTEGER) AS dist
 FROM allhops GROUP BY node ORDER BY doc_id
 """
+
+
+ORACLES["events_twa"] = f"""
+WITH rows_w AS (
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d') AS day,
+           value, event_id,
+           epoch_us(ts) AS us,
+           LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, event_id) AS next_us
+    FROM events
+),
+g AS (
+    SELECT user_id, day,
+           COUNT(*) AS n_events,
+           SUM(CAST((next_us - us) // 1000000 AS BIGINT)) AS span_sec,
+           SUM(CAST(value AS DECIMAL(28,10))
+               * CAST((next_us - us) // 1000000 AS DECIMAL(6,0))) AS num
+    FROM rows_w GROUP BY user_id, day
+)
+SELECT user_id, day, n_events,
+       CAST(COALESCE(span_sec, 0) AS BIGINT) AS span_sec,
+       CASE WHEN span_sec > 0
+            THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                 / CAST(span_sec AS DOUBLE)
+       END AS twa
+FROM g
+ORDER BY user_id, day
+"""

@@ -1680,6 +1680,56 @@ def _dedup_labels_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@query("events_twa")
+def events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average of the event value per (user, day) — the
+    billing/sensor aggregate where each reading holds until the next
+    one, so a value's weight is its holding time, not its row count
+    (a plain AVG over-weights bursts). Weights are whole seconds from
+    integer microsecond arithmetic (identical floor division in both
+    engines); value×weight products stay in exact DECIMAL
+    ((28,10)×(6,0) → (35,10), inside both engines' 38-digit ceiling
+    because a day span caps the weight at 86,400); the final division
+    is one IEEE op. The last reading of a day carries no weight (its
+    holding time is unobserved) and single-event days emit NULL — both
+    branches deterministic. One window + one groupBy, partitioned by
+    (user, day): no global ordering anywhere."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    rows = (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("next_us", F.lead("us").over(w))
+        .withColumn(
+            "wgt_sec",
+            F.expr("(next_us - us) div 1000000").cast("decimal(6,0)"),
+        )
+    )
+    return (
+        rows.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("wgt_sec").cast("long")).alias("span_sec"),
+            F.sum(
+                F.col("value").cast("decimal(28,10)") * F.col("wgt_sec")
+            ).alias("_num"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.coalesce("span_sec", F.lit(0)).alias("span_sec"),
+            F.when(
+                F.col("span_sec") > 0,
+                F.col("_num").cast("double")
+                / F.col("span_sec").cast("double"),
+            ).alias("twa"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 @query("graph_bfs_hops")
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded multi-hop BFS over the near-dup pair graph — the frontier
