@@ -5549,3 +5549,40 @@ SELECT user_id, day, n_events,
 FROM g
 ORDER BY user_id, day
 """
+
+
+ORACLES["session_paths"] = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+        CASE
+            WHEN lag(ts) OVER w IS NULL THEN 1
+            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                THEN 1
+            ELSE 0
+        END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+    FROM flagged
+),
+seqs AS (
+    SELECT user_id, session_seq,
+           list(event_type ORDER BY ts, event_id) AS seq
+    FROM sessions GROUP BY user_id, session_seq
+),
+paths AS (
+    SELECT array_to_string(seq[1:5], '>') AS path,
+           CAST(len(seq) > 5 AS INTEGER) AS truncated
+    FROM seqs
+)
+SELECT path, truncated, COUNT(*) AS n_sessions
+FROM paths GROUP BY path, truncated
+ORDER BY n_sessions DESC, path, truncated
+LIMIT 20
+"""

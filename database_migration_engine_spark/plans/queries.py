@@ -1680,6 +1680,59 @@ def _dedup_labels_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@query("session_paths")
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey PATHS: sessionize (the exact 30-min-gap lag/
+    cumsum machinery of events_sessionize), assemble each session's
+    ordered event-type sequence (deterministically: sort structs of
+    (ts, event_id, type) inside the array — collect_list alone is
+    partitioning-order-dependent and never hashable), truncate to the
+    first 5 steps, and rank the 20 most common journeys — the
+    product-analytics "what do users actually do" read that bigram
+    transition matrices (event_transitions) cannot express. One user
+    shuffle reused by both window functions, one path groupBy."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(order_w)
+    )
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    session_seq = F.sum(new_session).over(
+        order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    steps = (
+        ev.withColumn("session_seq", session_seq)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq"),
+        )
+    )
+    paths = steps.select(
+        F.concat_ws(
+            ">",
+            F.slice(F.transform(F.col("seq"), lambda s: s["et"]), 1, 5),
+        ).alias("path"),
+        (F.size("seq") > 5).cast("int").alias("truncated"),
+    )
+    return (
+        paths.groupBy("path", "truncated")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path", "truncated")
+        .limit(20)
+    )
+
+
 @query("events_twa")
 def events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-WEIGHTED average of the event value per (user, day) — the
