@@ -5586,3 +5586,31 @@ FROM paths GROUP BY path, truncated
 ORDER BY n_sessions DESC, path, truncated
 LIMIT 20
 """
+
+
+ORACLES["customer_rfm"] = f"""
+WITH ref AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders),
+c AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                          (SELECT maxd FROM ref)) AS INTEGER)
+               AS recency_days,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice', 'monetary')}
+    FROM orders GROUP BY o_custkey
+),
+s AS (
+    SELECT *,
+           NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+           NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_tile,
+           NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_tile
+    FROM c
+)
+SELECT o_custkey, recency_days, n_orders, monetary,
+       CAST(6 - r_tile AS INTEGER) AS r_score,
+       CAST(f_tile AS INTEGER) AS f_score,
+       CAST(m_tile AS INTEGER) AS m_score,
+       CAST((6 - r_tile) * 100 + f_tile * 10 + m_tile AS INTEGER)
+           AS rfm_cell
+FROM s ORDER BY o_custkey
+"""

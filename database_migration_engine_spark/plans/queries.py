@@ -1733,6 +1733,63 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("customer_rfm")
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring grid:
+    per customer, Recency (days since last order vs. the corpus max
+    date), Frequency (order count), Monetary (exact-decimal spend),
+    each scored into exact NTILE(5) quintiles via the two-pass bucketed
+    rank machinery (with_global_ranks + ntile_from_rn — NO unpartitioned
+    window; three rank passes = six bounded O(buckets) driver actions,
+    the documented mad_outliers-style deviation). R scores invert
+    (5 = most recent); rfm_cell packs the three digits. Ties break on
+    customer key so both engines order identically."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.to_date(F.max("o_orderdate")).alias("maxd"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.to_date(F.max("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_d").cast("int").alias("recency_days"),
+            "n_orders",
+            "monetary",
+        )
+    )
+    scored = cust
+    tiles = {}
+    for col, rn_name in (
+        ("recency_days", "rn_r"),
+        ("n_orders", "rn_f"),
+        ("monetary", "rn_m"),
+    ):
+        scored, total = RK.with_global_ranks(
+            scored, col, ["o_custkey"], ascending=True, rn_col=rn_name
+        )
+        tiles[rn_name] = total
+    r_tile = RK.ntile_from_rn(F.col("rn_r"), tiles["rn_r"], 5)
+    f_tile = RK.ntile_from_rn(F.col("rn_f"), tiles["rn_f"], 5)
+    m_tile = RK.ntile_from_rn(F.col("rn_m"), tiles["rn_m"], 5)
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        (F.lit(6) - r_tile).cast("int").alias("r_score"),
+        f_tile.cast("int").alias("f_score"),
+        m_tile.cast("int").alias("m_score"),
+        ((F.lit(6) - r_tile) * 100 + f_tile * 10 + m_tile)
+        .cast("int")
+        .alias("rfm_cell"),
+    ).orderBy("o_custkey")
+
+
 @query("events_twa")
 def events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-WEIGHTED average of the event value per (user, day) — the
