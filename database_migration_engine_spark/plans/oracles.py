@@ -5614,3 +5614,46 @@ SELECT o_custkey, recency_days, n_orders, monetary,
            AS rfm_cell
 FROM s ORDER BY o_custkey
 """
+
+
+ORACLES["order_backlog_monthly"] = """
+WITH placed AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_placed
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+),
+closed AS (
+    SELECT strftime(last_ship, '%Y-%m') AS month, COUNT(*) AS n_closed
+    FROM (
+        SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+    ) GROUP BY strftime(last_ship, '%Y-%m')
+),
+bounds AS (
+    SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS d0,
+           date_trunc('month',
+               greatest((SELECT MAX(o_orderdate) FROM orders),
+                        (SELECT MAX(l_shipdate) FROM lineitem))) AS d1
+),
+spine AS (
+    SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 MONTH)),
+                    '%Y-%m') AS month
+    FROM bounds
+),
+filled AS (
+    SELECT s.month,
+           CAST(COALESCE(p.n_placed, 0) AS BIGINT) AS n_placed,
+           CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed
+    FROM spine s
+    LEFT JOIN placed p ON p.month = s.month
+    LEFT JOIN closed c ON c.month = s.month
+)
+SELECT month, n_placed, n_closed,
+       CAST(SUM(n_placed) OVER w AS BIGINT) AS cum_placed,
+       CAST(SUM(n_closed) OVER w AS BIGINT) AS cum_closed,
+       CAST(SUM(n_placed) OVER w - SUM(n_closed) OVER w AS BIGINT)
+           AS backlog
+FROM filled
+WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+ORDER BY month
+"""

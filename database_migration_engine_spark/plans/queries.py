@@ -1733,6 +1733,71 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("order_backlog_monthly")
+def order_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG reconstruction — cumulative state derived
+    from two event streams, the event-sourcing read every ops dashboard
+    needs: an order opens in its placement month and closes in the
+    month of its LAST line-item shipment; backlog at month m is
+    cumulative placements minus cumulative closures on the gap-filled
+    month spine (months with no activity still carry the running
+    state). The heavy work is two fact-grain hash aggregations (orders,
+    and a per-order max-shipdate reduction over lineitem); the running
+    sums are a lag-style window over the ~tens of MONTH rows — the
+    accepted report-grain global window (monthly_revenue_growth
+    precedent), never a fact-partition one."""
+    ensure_deterministic(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    placed = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_placed"))
+    closed = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(F.date_format("last_ship", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    bounds = orders.crossJoin(
+        li.agg(F.max("l_shipdate").alias("max_ship"))
+    ).agg(
+        F.date_trunc("MONTH", F.min("o_orderdate")).alias("d0"),
+        F.date_trunc("MONTH", F.greatest(
+            F.max("o_orderdate"), F.max("max_ship")
+        )).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(d0, d1, interval 1 month)")
+        ).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+    filled = (
+        spine.join(placed, "month", "left")
+        .join(closed, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_placed", F.lit(0)).cast("long").alias("n_placed"),
+            F.coalesce("n_closed", F.lit(0)).cast("long").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        filled.select(
+            "month",
+            "n_placed",
+            "n_closed",
+            F.sum("n_placed").over(w).alias("cum_placed"),
+            F.sum("n_closed").over(w).alias("cum_closed"),
+            (F.sum("n_placed").over(w) - F.sum("n_closed").over(w)).alias(
+                "backlog"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
 @query("customer_rfm")
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic warehouse scoring grid:
