@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness check covers the first ~50 registry entries
 # per round. Priority for the CORRECTNESS_r06 window, front to back:
-# the 15 queries new in round 6 (first-ever driver record), then every
+# the 16 queries new in round 6 (first-ever driver record), then every
 # query whose r06 plan or derivation changed without semantic change
 # (size-adaptive corpus_join broadcasts at fixture scale, scaled
 # semdedup k, measured salt factor, DOUBLE-exact VALUES probes, w4
@@ -41,7 +41,7 @@ _RECHECK_FIRST = [
     "events_corr_hourly", "approx_join_size",
     "partition_pruned_revenue", "ivf_probe_curve", "tfidf_doc_pairs",
     "bpe_apply_merge", "graph_bfs_hops", "events_twa", "session_paths",
-    "customer_rfm", "order_backlog_monthly",
+    "customer_rfm", "order_backlog_monthly", "events_streak_lengths",
     # (0b) r06 semantic-preserving changes that must re-certify under
     # their new plans/derivations: scaled k-means k (semdedup), measured
     # salt factor (skewed_join_salted), size-adaptive corpus_join

@@ -5657,3 +5657,27 @@ WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW)
 ORDER BY month
 """
+
+
+ORACLES["events_streak_lengths"] = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+numbered AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', d) AS dn,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+               date_diff('day', DATE '1970-01-01', d)) AS rn
+    FROM days
+),
+streaks AS (
+    SELECT user_id, dn - rn AS island, COUNT(*) AS len
+    FROM numbered GROUP BY user_id, dn - rn
+),
+per_user AS (
+    SELECT user_id, CAST(MAX(len) AS INTEGER) AS max_streak
+    FROM streaks GROUP BY user_id
+)
+SELECT max_streak, COUNT(*) AS n_users
+FROM per_user GROUP BY max_streak ORDER BY max_streak
+"""

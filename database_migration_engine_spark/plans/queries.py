@@ -1733,6 +1733,38 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_streak_lengths")
+def events_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity STREAK per user, rolled into the
+    engagement distribution (how many users peak at an L-day streak) —
+    the retention metric behind DAU-quality dashboards, and the
+    day-grain gaps-and-islands: distinct user-days → island key =
+    day_number − row_number (consecutive days share it; both are
+    integers, no date arithmetic ambiguity) → streak lengths → per-user
+    max → distribution. Every window is user-partitioned; the final
+    rollup is a ≤tens-of-groups aggregate."""
+    ensure_deterministic(spark)
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct().withColumn("dn", F.datediff("d", F.lit("1970-01-01")))
+    w = Window.partitionBy("user_id").orderBy("dn")
+    islands = days.withColumn(
+        "island", F.col("dn") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").cast("int").alias("max_streak")
+    )
+    return (
+        per_user.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("max_streak")
+    )
+
+
 @query("order_backlog_monthly")
 def order_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order BACKLOG reconstruction — cumulative state derived
