@@ -606,6 +606,23 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
         feats.concurrent = bool(m.group("conc"))
         return feats
 
+    # REINDEX [(options)] {INDEX|TABLE|...} [CONCURRENTLY] name — a
+    # DELIBERATE superset of the reference, which routes only
+    # IndexStmt/DropStmt (internal/executor/concurrent.go:27-36) and so
+    # would wrap REINDEX CONCURRENTLY in a transaction block PostgreSQL
+    # 12+ refuses at apply time (fuzz round 6 wave 5)
+    m = re.match(
+        r"REINDEX\s+(?:\([^)]*\)\s+)?"
+        r"(?:INDEX|TABLE|SCHEMA|DATABASE|SYSTEM)\s+"
+        r"(?P<conc>CONCURRENTLY\s+)?",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        feats.stmt_type = "reindex"
+        feats.concurrent = bool(m.group("conc"))
+        return feats
+
     m = re.match(
         r"TRUNCATE\s+(?:TABLE\s+)?(?:ONLY\s+)?(?P<names>.+?)"
         r"(?:\s+(?:RESTART\s+IDENTITY|CONTINUE\s+IDENTITY|CASCADE|RESTRICT))*$",
@@ -738,6 +755,8 @@ def contains_concurrent_op(sql: str) -> bool:
         return False
     return any(
         f["concurrent"]
-        and f["stmt_type"] in ("create_index", "drop_index")
+        # reindex is a deliberate superset of the reference's
+        # IndexStmt/DropStmt routing — see the classifier comment
+        and f["stmt_type"] in ("create_index", "drop_index", "reindex")
         for f in parse_sql(sql)
     )

@@ -819,3 +819,46 @@ def test_malformed_pg16_literals_stay_volatile():
     so they keep the volatile (HIGH-severity) classification."""
     for expr in ["1_", "_1", "1__0", "0x", "0b", "0o8", "0xG"]:
         assert P.is_volatile_default(expr), expr
+
+
+# --- fuzz round 6 wave 5: concurrent-routing coverage beyond the reference
+# Probe sweep found no splitter/classifier fixes (IF NOT EXISTS forms,
+# ONLY variants, USING casts, multi-command ALTERs, anonymous indexes
+# all already correct) — ONE deliberate superset landed: the reference
+# routes only IndexStmt/DropStmt around transactions
+# (internal/executor/concurrent.go:27-36), so REINDEX ... CONCURRENTLY
+# would be wrapped in a transaction block PostgreSQL 12+ refuses at
+# apply time. The recognizer now classifies REINDEX and routes its
+# CONCURRENTLY form outside transactions.
+
+_REINDEX_TARGET = st.sampled_from(["INDEX", "TABLE", "SCHEMA"])
+_REINDEX_OPTS = st.sampled_from(["", "(VERBOSE) ", "(CONCURRENTLY FALSE) "])
+
+
+@given(_REINDEX_TARGET, st.booleans(), _ANY_STMT)
+@settings(max_examples=80, deadline=None)
+def test_reindex_concurrently_routes_outside_tx(target, conc, neighbor):
+    n_sql, n_exp = neighbor
+    kw = "CONCURRENTLY " if conc else ""
+    sql = f"REINDEX {target} {kw}obj_name;\n{n_sql};"
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 2, (sql, parsed)
+    feats = P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"])
+    assert feats.as_dict()["stmt_type"] == "reindex"
+    assert feats.as_dict()["concurrent"] is conc
+    assert P.contains_concurrent_op(sql) is conc
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
+
+
+def test_concurrently_inside_literals_does_not_route():
+    """The routing predicate must parse, not substring-match: the word
+    inside strings/comments is content."""
+    assert not P.contains_concurrent_op("SELECT 'REINDEX INDEX CONCURRENTLY i';")
+    assert not P.contains_concurrent_op("-- REINDEX INDEX CONCURRENTLY i\nSELECT 1;")
+    assert not P.contains_concurrent_op(
+        "CREATE FUNCTION f() RETURNS void AS $$ "
+        "REINDEX INDEX CONCURRENTLY i $$ LANGUAGE sql;"
+    )
