@@ -846,7 +846,12 @@ def test_reindex_concurrently_routes_outside_tx(target, conc, neighbor):
     feats = P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"])
     assert feats.as_dict()["stmt_type"] == "reindex"
     assert feats.as_dict()["concurrent"] is conc
-    assert P.contains_concurrent_op(sql) is conc
+    # the REINDEX alone routes iff concurrent; the combined migration
+    # routes when EITHER statement does (a concurrent neighbor — e.g. a
+    # generated CREATE INDEX CONCURRENTLY — legitimately routes it)
+    assert P.contains_concurrent_op(f"REINDEX {target} {kw}obj_name;") is conc
+    neighbor_routes = bool(n_exp.get("concurrent"))
+    assert P.contains_concurrent_op(sql) is (conc or neighbor_routes)
     _check_features(
         P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
         n_exp,
