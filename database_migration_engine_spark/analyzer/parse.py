@@ -612,7 +612,7 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
     # would wrap REINDEX CONCURRENTLY in a transaction block PostgreSQL
     # 12+ refuses at apply time (fuzz round 6 wave 5)
     m = re.match(
-        r"REINDEX\s+(?:\([^)]*\)\s+)?"
+        r"REINDEX\s+(?:\((?P<opts>[^)]*)\)\s+)?"
         r"(?:INDEX|TABLE|SCHEMA|DATABASE|SYSTEM)\s+"
         r"(?P<conc>CONCURRENTLY\s+)?",
         s,
@@ -621,6 +621,15 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
     if m:
         feats.stmt_type = "reindex"
         feats.concurrent = bool(m.group("conc"))
+        # PG 14+ parenthesized option form: REINDEX (CONCURRENTLY [bool])
+        # TABLE t — boolean options default to true when bare; explicit
+        # FALSE/OFF/0 disables (same option grammar as VACUUM below)
+        if not feats.concurrent and m.group("opts"):
+            for opt in _split_top_level(m.group("opts")):
+                tokens = opt.split()
+                if tokens and tokens[0].upper() == "CONCURRENTLY":
+                    value = tokens[1].lower() if len(tokens) > 1 else "true"
+                    feats.concurrent = value not in ("false", "off", "0", "no")
         return feats
 
     m = re.match(

@@ -210,10 +210,15 @@ def decode_png_pixels(data: bytes) -> dict:
         out.append(bytes(line))
     # stats over the first min(ch, 3) color channels (alpha excluded
     # for LA/RGBA would complicate the contract; LA's channel 1 IS its
-    # alpha — callers of gray+alpha get (gray, alpha) as ch0/ch1)
+    # alpha — callers of gray+alpha get (gray, alpha) as ch0/ch1).
+    # Channel→key mapping honors the FORMAT's storage order so the
+    # shared PIXEL_STATS contract means the same color everywhere: PNG
+    # truecolor stores R,G,B (ch0→r), unlike BMP's B,G,R (ch0→b);
+    # grayscale/LA keep the ch0→b positional convention (gray in 'b').
     n_px = width * height
     stats: dict = {"n_units": n_px}
-    for ci, name in enumerate(("b", "g", "r")):
+    names = ("r", "g", "b") if color_type in (2, 6) else ("b", "g", "r")
+    for ci, name in enumerate(names):
         if ci < ch:
             vals = [row[i] for row in out for i in range(ci, stride, ch)]
             stats[f"sum_{name}"] = sum(vals)
@@ -485,7 +490,12 @@ def decode_gif_pixels(data: bytes) -> dict:
                 )
             if palette is None:
                 raise ValueError("no color table")
-            vals = [palette[3 * j] for j in idx]  # red channel
+            # Single-channel stats in the first (*_b) slot, same
+            # positional convention as grayscale PNG/WAV: the tracked
+            # channel is the palette's RED byte (paletted formats have
+            # no per-pixel channel order; the choice is documented, not
+            # a color claim)
+            vals = [palette[3 * j] for j in idx]
             return {
                 "n_units": iw * ih,
                 "sum_b": sum(vals),

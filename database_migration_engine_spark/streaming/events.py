@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 from ..schemas import EVENTS, EVENTS_RAW
 
+# State-operator metrics of the most recent run_to_memory drain
+# (rows / memory-or-sst bytes per stateful operator), for the
+# state-sizing certification in tools/statestore_cert.py.
+LAST_DRAIN_STATE_METRICS: list[dict] = []
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -144,6 +149,25 @@ def run_to_memory(
             .start()
         )
         query.awaitTermination()
+        # Expose the drain's final state-operator metrics (rows held,
+        # memory-or-sst bytes) for state-sizing certification: the query
+        # object is stopped after awaitTermination and the manager drops
+        # it, so this is the only point lastProgress is still readable.
+        global LAST_DRAIN_STATE_METRICS
+        prog = query.lastProgress or {}
+        LAST_DRAIN_STATE_METRICS = [
+            {
+                "operatorName": op.get("operatorName"),
+                "numRowsTotal": op.get("numRowsTotal"),
+                "memoryUsedBytes": op.get("memoryUsedBytes"),
+                "customMetrics": {
+                    k: v
+                    for k, v in (op.get("customMetrics") or {}).items()
+                    if "SSTFiles" in k or "rocksdbTotalMemoryUsageBytes" in k
+                },
+            }
+            for op in prog.get("stateOperators") or []
+        ]
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return stream_df.sparkSession.table(name)

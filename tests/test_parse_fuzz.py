@@ -832,26 +832,43 @@ def test_malformed_pg16_literals_stay_volatile():
 # CONCURRENTLY form outside transactions.
 
 _REINDEX_TARGET = st.sampled_from(["INDEX", "TABLE", "SCHEMA"])
-_REINDEX_OPTS = st.sampled_from(["", "(VERBOSE) ", "(CONCURRENTLY FALSE) "])
+# (options, options_force_concurrent): the PG 14+ parenthesized form
+# can itself request concurrency — bare CONCURRENTLY defaults to true,
+# explicit FALSE/OFF/0 disables (fuzz round 7: r06 ADVICE found the
+# bare form misrouted into a transaction block)
+_REINDEX_OPTS = st.sampled_from([
+    ("", False),
+    ("(VERBOSE) ", False),
+    ("(CONCURRENTLY FALSE) ", False),
+    ("(CONCURRENTLY OFF) ", False),
+    ("(CONCURRENTLY) ", True),
+    ("(CONCURRENTLY TRUE) ", True),
+    ("(VERBOSE, CONCURRENTLY) ", True),
+    ("(CONCURRENTLY, VERBOSE FALSE) ", True),
+])
 
 
-@given(_REINDEX_TARGET, st.booleans(), _ANY_STMT)
-@settings(max_examples=80, deadline=None)
-def test_reindex_concurrently_routes_outside_tx(target, conc, neighbor):
+@given(_REINDEX_TARGET, _REINDEX_OPTS, st.booleans(), _ANY_STMT)
+@settings(max_examples=120, deadline=None)
+def test_reindex_concurrently_routes_outside_tx(target, opts, conc, neighbor):
     n_sql, n_exp = neighbor
+    opt_sql, opt_conc = opts
     kw = "CONCURRENTLY " if conc else ""
-    sql = f"REINDEX {target} {kw}obj_name;\n{n_sql};"
+    expect_conc = conc or opt_conc
+    sql = f"REINDEX {opt_sql}{target} {kw}obj_name;\n{n_sql};"
     parsed = P.parse_sql(sql)
     assert len(parsed) == 2, (sql, parsed)
     feats = P.classify_statement(parsed[0]["stmt_index"], parsed[0]["stmt_sql"])
     assert feats.as_dict()["stmt_type"] == "reindex"
-    assert feats.as_dict()["concurrent"] is conc
+    assert feats.as_dict()["concurrent"] is expect_conc
     # the REINDEX alone routes iff concurrent; the combined migration
     # routes when EITHER statement does (a concurrent neighbor — e.g. a
     # generated CREATE INDEX CONCURRENTLY — legitimately routes it)
-    assert P.contains_concurrent_op(f"REINDEX {target} {kw}obj_name;") is conc
+    assert P.contains_concurrent_op(
+        f"REINDEX {opt_sql}{target} {kw}obj_name;"
+    ) is expect_conc
     neighbor_routes = bool(n_exp.get("concurrent"))
-    assert P.contains_concurrent_op(sql) is (conc or neighbor_routes)
+    assert P.contains_concurrent_op(sql) is (expect_conc or neighbor_routes)
     _check_features(
         P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
         n_exp,

@@ -618,7 +618,9 @@ def test_png_decode_all_filters_gray_and_rgb():
         sum(flat), min(flat), max(flat),
     )
 
-    # RGB with Paeth + Average rows: per-channel stats
+    # RGB with Paeth + Average rows: per-channel stats. PNG stores
+    # R,G,B, so channel 0 lands in the *_r keys (r06 ADVICE: the old
+    # positional ch0->b mapping put red values under 'b')
     rgb_rows = [
         bytes((x * 5 + y * 13 + c * 37) % 256
               for x in range(4) for c in range(3))
@@ -626,7 +628,7 @@ def test_png_decode_all_filters_gray_and_rgb():
     ]
     raw = _png_filter_encode(rgb_rows, 3, [4, 3, 1])
     got = decode_png_pixels(_make_png_raw(4, 3, 2, raw))
-    for ci, name in enumerate(("b", "g", "r")):
+    for ci, name in enumerate(("r", "g", "b")):
         chv = [r[i] for r in rgb_rows for i in range(ci, 12, 3)]
         assert (got[f"sum_{name}"], got[f"min_{name}"], got[f"max_{name}"]) \
             == (sum(chv), min(chv), max(chv)), name

@@ -4,8 +4,9 @@ gate, session built with SPARK_GRAFT_STATE_STORE=rocksdb semantics, plus
 recorded state-store metrics (rows / memory-or-sst bytes per stateful
 operator) so the 100 TB state-sizing story is measured, not assumed.
 
-Usage:  python tools/statestore_cert.py [sf_dir]   (default sf0.01)
-Writes: CERT_ROCKSDB_r06.txt in the repo root.
+Usage:  python tools/statestore_cert.py [sf_dir] [round_tag]
+        (defaults: sf0.01, r07)
+Writes: CERT_ROCKSDB_<round_tag>.txt in the repo root.
 """
 
 from __future__ import annotations
@@ -78,18 +79,26 @@ def main() -> None:
                 and sorted(got.columns) == sorted(want.columns)
                 and vhash(got) == vhash(want)
             )
-            # state metrics from the most recent streaming query run
-            metrics = ""
-            streams = spark.streams.active
-            # drained queries are stopped; read the last progress of the
-            # most recently finished query via the manager's listener is
-            # not retained — so re-run cheaply is skipped; metrics come
-            # from the rows themselves
+            # state metrics captured by run_to_memory from the drain's
+            # lastProgress (the query is stopped by the time we get here,
+            # so the module-level snapshot is the only readable record)
+            from database_migration_engine_spark.streaming import events as SE
+            parts = []
+            for op in SE.LAST_DRAIN_STATE_METRICS:
+                sst = sum(
+                    int(v) for k, v in op["customMetrics"].items()
+                    if "SSTFiles" in k
+                )
+                mem = op["memoryUsedBytes"] or 0
+                parts.append(
+                    f"{op['operatorName']}:rows={op['numRowsTotal']}"
+                    f",bytes={max(int(mem), sst)}"
+                )
+            metrics = f" state[{'; '.join(parts)}]" if parts else ""
             line = (
                 f"{name}: {'OK' if ok else 'MISMATCH'} "
                 f"rows={len(got)}/{len(want)}{metrics}"
             )
-            del streams
         except Exception as exc:  # noqa: BLE001
             ok = False
             line = f"{name}: ERROR {type(exc).__name__}: {str(exc)[:160]}"
@@ -98,7 +107,8 @@ def main() -> None:
         if not ok:
             fails.append(name)
     lines.append(f"FAILS: {', '.join(fails) if fails else 'none'}")
-    out = os.path.join("/root/repo", "CERT_ROCKSDB_r06.txt")
+    tag = sys.argv[2] if len(sys.argv) > 2 else "r07"
+    out = os.path.join("/root/repo", f"CERT_ROCKSDB_{tag}.txt")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[-2:]))
