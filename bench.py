@@ -36,6 +36,20 @@ masquerade as a plan regression):
   automatically (the r05 forensics, mechanized): a host-drift swing
   moves every family uniformly; a plan regression is family-local.
 
+Contamination sentinel (VERDICT.md r06 item 1 — the r06 recorded run
+was 2.3× slow from concurrent load DURING the passes, invisible to a
+before-pass probe):
+
+* The calibration probe is INTERLEAVED into the timed region — once
+  every ``PROBE_EVERY`` queries in every pass — so load arriving
+  mid-run is observed, not inferred.
+* If any mid-run probe exceeds ``CONTAMINATION_RATIO`` (1.5×) of the
+  pre-run probe median, the run is CONTAMINATED: bench.py appends a
+  rejected-run row to ``BENCH_HISTORY.md``, writes the evidence to
+  ``BENCH_DETAIL.json`` with ``"contaminated": true``, prints NO
+  summary JSON, and exits 3 — so the driver never records the number
+  as ``BENCH_r*.json``. ``SPARK_GRAFT_BENCH_FORCE=1`` overrides.
+
 Each query is materialized via ``df.collect()`` (every registered query
 returns an aggregate or bounded top-k), so the measured time covers scan →
 shuffle → result, not just plan construction. A warmup pass on sf0.001
@@ -58,6 +72,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 INLINE_SLOWEST = 15
 MAX_SAMPLES = 3
+PROBE_EVERY = 25          # interleave a calibration probe every N queries
+CONTAMINATION_RATIO = 1.5  # mid-run probe > ratio × pre-run ⇒ reject run
 
 # Stable query families for the decomposition. First match wins; rules are
 # on NAME ONLY so a query never silently changes family across rounds.
@@ -124,7 +140,22 @@ def estimate(samples: list[float]) -> float:
     return min(samples)
 
 
-def bench(sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]], list[float]]:
+def contamination_verdict(
+    pre_probe: float,
+    mid_probes: list[float],
+    ratio: float = CONTAMINATION_RATIO,
+) -> list[float]:
+    """Mid-run probes that betray concurrent load: anything slower than
+    ``ratio`` × the pre-run probe. Empty list ⇒ clean run. Pure function
+    so the reject path is unit-testable without an 11-minute run."""
+    if pre_probe <= 0:
+        return []
+    return [p for p in mid_probes if p / pre_probe > ratio]
+
+
+def bench(sf_dir: str) -> tuple[
+    dict[str, float], dict[str, list[float]], list[float], float, list[float]
+]:
     from database_migration_engine_spark.plans import QUERIES
     from database_migration_engine_spark.session import build_session
 
@@ -144,13 +175,29 @@ def bench(sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]], list[f
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     samples: dict[str, list[float]] = {}
     calib: list[float] = []
+    mid_probes: list[float] = []
+
+    # Pre-run probe: median of 3 — the reference speed of THIS box at
+    # the moment the run starts. Mid-run probes are judged against it.
+    pre = [round(calibration_probe(spark), 4) for _ in range(3)]
+    pre_probe = statistics.median(pre)
+    calib.extend(pre)
+
+    def probe_mid() -> None:
+        p = round(calibration_probe(spark), 4)
+        calib.append(p)
+        mid_probes.append(p)
 
     # Pass 1: one sample for every query (never budget-skipped — a
     # missing number is worse than a noisy one). Passes 2..MAX_SAMPLES:
     # slowest-first re-measures until the budget runs out, so the heavy
-    # queries — where drift hurts most — get their median first.
-    calib.append(round(calibration_probe(spark), 4))
-    for name, fn in QUERIES.items():
+    # queries — where drift hurts most — get their median first. A
+    # calibration probe is interleaved every PROBE_EVERY queries so
+    # load arriving MID-RUN is measured (r06's contaminated record
+    # passed its before-pass probe).
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        if qi and qi % PROBE_EVERY == 0:
+            probe_mid()
         try:
             samples[name] = [round(run_query(fn, spark, sf_dir), 4)]
         except Exception as exc:  # pragma: no cover - report, don't die
@@ -159,13 +206,15 @@ def bench(sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]], list[f
     for _pass in range(1, MAX_SAMPLES):
         if time.perf_counter() - bench_start > budget_s:
             break
-        calib.append(round(calibration_probe(spark), 4))
+        probe_mid()
         order = sorted(samples, key=lambda n: -min(samples[n]))
-        for name in order:
+        for qi, name in enumerate(order):
             if samples[name][0] < 0:
                 continue
             if time.perf_counter() - bench_start > budget_s:
                 break
+            if qi and qi % PROBE_EVERY == 0:
+                probe_mid()
             try:
                 samples[name].append(
                     round(run_query(QUERIES[name], spark, sf_dir), 4)
@@ -177,7 +226,7 @@ def bench(sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]], list[f
         name: (-1.0 if s[0] < 0 else round(estimate(s), 4))
         for name, s in samples.items()
     }
-    return timings, samples, calib
+    return timings, samples, calib, pre_probe, mid_probes
 
 
 def summarize(
@@ -311,13 +360,17 @@ def main() -> None:
     sys.stdout = os.fdopen(os.dup(1), "w")
     try:
         prev = load_previous_detail()
-        timings, samples, calib = bench(sf_dir)
+        timings, samples, calib, pre_probe, mid_probes = bench(sf_dir)
     finally:
         sys.stdout.flush()
         os.dup2(saved_stdout, 1)
         sys.stdout = os.fdopen(saved_stdout, "w")
 
+    offenders = contamination_verdict(pre_probe, mid_probes)
+    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     summary = summarize(timings, sf, calib)
+    summary["pre_probe_sec"] = round(pre_probe, 3)
+    summary["contaminated"] = bool(offenders)
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {
@@ -325,12 +378,36 @@ def main() -> None:
                 "queries": timings,
                 "samples": samples,
                 "calib_samples": calib,
+                "mid_probes": mid_probes,
+                "contamination_offenders": offenders,
                 "families": family_totals(timings),
             },
             f,
             indent=1,
             sort_keys=True,
         )
+    if offenders and not forced:
+        # Refuse the number: no stdout JSON ⇒ the driver has nothing to
+        # record as BENCH_r*.json. The evidence stays in the detail file
+        # and a rejected-run row in the history.
+        with open(os.path.join(REPO, "BENCH_HISTORY.md"), "a") as f:
+            f.write(
+                f"\n## CONTAMINATED RUN REJECTED — pre-run probe "
+                f"{pre_probe:.3f}s, mid-run probes up to "
+                f"{max(offenders):.3f}s ({max(offenders) / pre_probe:.2f}×, "
+                f"threshold {CONTAMINATION_RATIO}×); total would have been "
+                f"{summary['value']}s over {summary['n_queries']} queries. "
+                f"Re-run on a quiet box.\n"
+            )
+        print(
+            f"bench: CONTAMINATED — {len(offenders)}/{len(mid_probes)} "
+            f"mid-run probes exceeded {CONTAMINATION_RATIO}x the pre-run "
+            f"probe ({pre_probe:.3f}s); worst {max(offenders):.3f}s. "
+            "Refusing to emit a summary line; re-run on a quiet box "
+            "(SPARK_GRAFT_BENCH_FORCE=1 overrides).",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     append_history(summary, timings, prev)
     line = json.dumps(summary, separators=(",", ":"))
     # Belt and braces: the driver's round-1 capture held ~2000 chars.
