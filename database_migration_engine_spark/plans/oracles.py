@@ -5681,3 +5681,15 @@ per_user AS (
 SELECT max_streak, COUNT(*) AS n_users
 FROM per_user GROUP BY max_streak ORDER BY max_streak
 """
+
+
+ORACLES["layout_composed_revenue"] = f"""
+SELECT o_orderkey, o_orderpriority,
+       COUNT(*) AS n_lines,
+       {_dsum(_DISC_PRICE, 'revenue')}
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+"""

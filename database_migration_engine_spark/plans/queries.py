@@ -7374,3 +7374,56 @@ def approx_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+@query("layout_composed_revenue")
+def layout_composed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED storage layout, driver-certified: lineitem is written
+    ONCE as a table that is BOTH hive-partitioned by ship year AND
+    bucketed by order key (warehouse.ensure_partitioned_bucketed) —
+    the layout a real 100 TB fact table uses, where the two certified
+    single-lever queries (partition_pruned_revenue, bucketed_join_revenue)
+    compose in ONE physical plan: the 1997 ship-year filter resolves as
+    a PartitionFilter against the directory listing (no data-side year
+    predicate), and the join to the co-bucketed orders table runs with
+    ZERO exchanges (both scans satisfy the SMJ distribution; the
+    per-order groupBy rides the join's partitioning because its keys
+    contain the bucket key). Both properties are pinned together by
+    tests/test_plan_quality.py::test_layout_composed_prunes_and_zero_exchange.
+    Oracle: the plain join + rollup filtered on year(l_shipdate) —
+    layout must be invisible to values."""
+    import hashlib
+
+    from .. import warehouse as WH
+
+    ensure_deterministic(spark)
+    sfx = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:6]
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("l_shipyear", F.year("l_shipdate"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    t_l = WH.ensure_partitioned_bucketed(
+        spark, li, f"pb_lineitem_{sfx}", "l_shipyear", "o_orderkey",
+        num_buckets=8, sort_by="o_orderkey",
+    )
+    t_o = WH.ensure_bucketed(
+        spark, orders, f"b_orders_{sfx}", "o_orderkey",
+        num_buckets=8, sort_by="o_orderkey",
+    )
+    joined = (
+        spark.table(t_l)
+        .filter(F.col("l_shipyear") == 1997)
+        .hint("MERGE")
+        .join(spark.table(t_o), "o_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.expr(DISC_PRICE), "revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

@@ -108,6 +108,48 @@ def ensure_partitioned(
     return path
 
 
+def ensure_partitioned_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_by: str,
+    bucket_by: str,
+    num_buckets: int = 8,
+    sort_by: str | None = None,
+) -> str:
+    """Idempotent EXTERNAL table that composes BOTH ingest-time layout
+    levers — hive partitioning (directory per ``partition_by`` value →
+    partition pruning on time-range filters) AND bucketing on
+    ``bucket_by`` (→ exchange-free joins/aggregations on the bucket
+    key). This is the layout a production 100 TB fact table actually
+    uses: partition by the time column queries range-filter on, bucket
+    by the join key queries co-locate on; one write-time shuffle buys
+    both a listing-level scan cut AND shuffle-free joins forever after.
+
+    The pre-write ``repartition(num_buckets, bucket_by)`` mirrors the
+    bucket spec's murmur3 pmod placement so each task holds exactly one
+    bucket and each (partition dir, bucket) lands in one file."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    app = spark.sparkContext.applicationId
+    path = os.path.join(base, f"dbmig_wh_{app}", table)
+    stamp = os.path.join(path, "_dbmig_stamp")
+    if spark.catalog.tableExists(table) and os.path.exists(stamp):
+        return table
+    writer = (
+        df.repartition(num_buckets, F.col(bucket_by))
+        .write.mode("overwrite")
+        .option("path", path)
+        .partitionBy(partition_by)
+        .bucketBy(num_buckets, bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+    with open(stamp, "w") as fh:
+        fh.write("ok\n")
+    return table
+
+
 def shuffle_free_join(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> DataFrame:

@@ -408,3 +408,24 @@ def test_partition_pruned_revenue_scans_one_partition(spark):
     # the year predicate is resolved ENTIRELY against the listing: no
     # data-side filter remains on the scan
     assert "DataFilters: []" in plan, plan
+
+
+def test_layout_composed_prunes_and_zero_exchange(spark):
+    """r07: the composed partitioned+bucketed lineitem layout must show
+    BOTH certified layout properties in ONE physical plan — the ship-year
+    filter resolved entirely as a PartitionFilter (no data-side year
+    predicate) AND a fully exchange-free bucketed join + per-order
+    rollup."""
+    plan = _plan(spark, "layout_composed_revenue")
+    # partition pruning: listing-level, not data-level — the year
+    # predicate lives ONLY in PartitionFilters; DataFilters carry just
+    # the join-key null guard
+    assert "PartitionFilters: [isnotnull(l_shipyear" in plan, plan
+    assert "= 1997)" in plan
+    for seg in plan.split("DataFilters: ")[1:]:
+        assert "l_shipyear" not in seg.split("]")[0], plan
+    # bucketed co-located join: zero exchanges anywhere
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "TakeOrderedAndProject" in plan
