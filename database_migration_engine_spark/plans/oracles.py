@@ -5693,3 +5693,51 @@ GROUP BY o_orderkey, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT 20
 """
+
+
+def _bpe_merge_table_sql(n_steps: int = 10) -> str:
+    """Unrolled n-step BPE trainer (pagerank/kmeans unrolled-oracle
+    precedent): each step recounts symbol pairs, picks the argmax with
+    the (count desc, left, right) two-column tiebreak, and applies the
+    merge with the same double-delimiter plain-replace encoding the
+    Spark plan uses (|l||r| -> |lr| — exact greedy non-overlapping
+    semantics in both engines)."""
+    ctes = [
+        f"""toks AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+),
+t2 AS (SELECT tok FROM toks WHERE len(tok) >= 2),
+enc0 AS (
+    SELECT '||' || regexp_replace(tok, '(.)', '\\1||', 'g') AS enc FROM t2
+)"""
+    ]
+    for k in range(1, n_steps + 1):
+        ctes.append(f"""syms{k} AS (
+    SELECT list_filter(string_split(enc, '||'), x -> x != '') AS syms
+    FROM enc{k - 1}
+),
+pairs{k} AS (
+    SELECT syms[i] AS l, syms[i + 1] AS r
+    FROM syms{k}, LATERAL unnest(range(1, len(syms))) t(i)
+),
+best{k} AS (
+    SELECT {k} AS step, l, r, COUNT(*) AS n
+    FROM pairs{k} GROUP BY l, r
+    ORDER BY n DESC, l, r LIMIT 1
+),
+enc{k} AS (
+    SELECT replace(e.enc, '|' || b.l || '||' || b.r || '|',
+                   '|' || b.l || b.r || '|') AS enc
+    FROM enc{k - 1} e, best{k} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM best{k}" for k in range(1, n_steps + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT step, l AS left_sym, r AS right_sym, n AS pair_count"
+        f"\nFROM ({union})\nORDER BY step"
+    )
+
+
+ORACLES["bpe_merge_table"] = _bpe_merge_table_sql()

@@ -7427,3 +7427,73 @@ def layout_composed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@query("bpe_merge_table")
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training as a certified ARTIFACT: the first 10 BPE
+    merges learned from the corpus, emitted as an oracle-checked merge
+    table (the thing a real tokenizer ships). Closes the loop that
+    bpe_first_merges (statistic) and bpe_apply_merge (one iteration)
+    opened, on the pagerank/kmeans unrolled-oracle precedent.
+
+    Exact greedy semantics via a double-delimiter encoding: a token's
+    symbols live in a string as ``||s1||s2||...||`` and applying merge
+    (l, r) is the plain non-overlapping left-to-right replacement of
+    ``|l||r|`` with ``|lr|`` — the double delimiter means adjacent
+    matches never share a boundary character (both of ``a b a b``'s
+    pairs merge) and a pattern can never match mid-symbol (``|ab||c|``
+    cannot match inside ``dab c``). Plain string replace has identical
+    left-to-right semantics in the JVM and DuckDB, so the 10-step
+    unrolled oracle mirrors exactly; tests replay the merges with an
+    independent pure-Python list-greedy BPE. Tiebreak is (count desc,
+    left, right) — two COLUMNS, not the joined string, so both engines
+    order identically.
+
+    Scale shape: each step is one map-side-combinable pair count over
+    the rewritten token stream + a bounded 1-row argmax collect (the
+    documented centroid-style driver action); the rewrite itself is a
+    chained JVM expression, never materialized."""
+    ensure_deterministic(spark)
+    n_steps = 10
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens()).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    enc = F.concat(
+        F.lit("||"), F.regexp_replace(F.col("tok"), "(.)", "$1||")
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_steps + 1):
+        syms = F.filter(
+            F.split(enc, r"\|\|"), lambda x: x != F.lit("")
+        )
+        pairs = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("pr")
+        )
+        best = (
+            pairs.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((step, l, r, n))
+        enc = F.replace(enc, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|"))
+    rows = ", ".join(
+        f"({s}, '{l}', '{r}', CAST({n} AS BIGINT))" for s, l, r, n in merges
+    )
+    return spark.sql(
+        "SELECT step, left_sym, right_sym, pair_count "
+        f"FROM (VALUES {rows}) AS t(step, left_sym, right_sym, pair_count) "
+        "ORDER BY step"
+    )
