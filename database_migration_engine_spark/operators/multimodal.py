@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 import wave
 import zlib
@@ -269,6 +270,532 @@ def make_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
     dht = seg(0xC4, b"\x00" + b"\x01" + b"\x00" * 15 + b"\x00")
     sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     return JPEG_SOI + app0 + dqt + sof + dht + sos + b"\x00" + b"\xff\xd9"
+
+
+# --- JPEG baseline sequential codec (r07, stdlib-only) -------------------
+#
+# Zigzag scan order: entry k is the NATURAL (row*8+col) index of the
+# k-th zigzag coefficient (ITU-T T.81 figure 5 / libjpeg
+# jpeg_natural_order).
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K "typical" huffman tables (T.81 K.3.3): (BITS counts for code
+# lengths 1..16, HUFFVAL). The encoder ships these; the decoder builds
+# whatever the file's DHT carries.
+_JPEG_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]):
+    """(value -> (code, length)) canonical huffman assignment per T.81
+    C.2: codes of each length are consecutive, starting from twice the
+    previous length's end."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]):
+    """((length, code) -> value) — the decoder-side view of the same
+    canonical assignment."""
+    return {
+        (length, code): v
+        for v, (code, length) in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+_JPEG_IDCT_COS = [
+    [
+        (0.3535533905932738 if u == 0 else 0.5)
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _jpeg_idct_block(coef: list[int]) -> list[list[int]]:
+    """8x8 inverse DCT (T.81 A.3.3) + level shift + clamp: natural-order
+    integer coefficients -> 8x8 spatial samples 0..255. Separable form:
+    rows then columns through the precomputed basis."""
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for r in range(8):
+        row = coef[r * 8 : r * 8 + 8]
+        for x in range(8):
+            tmp[r][x] = sum(
+                _JPEG_IDCT_COS[u][x] * row[u] for u in range(8)
+            )
+    out = [[0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            v = sum(_JPEG_IDCT_COS[u][y] * tmp[u][x] for u in range(8))
+            out[y][x] = min(255, max(0, int(round(v + 128))))
+    return out
+
+
+def _jpeg_fdct_block(samples: list[list[int]]) -> list[int]:
+    """8x8 forward DCT (T.81 A.3.1) on level-shifted samples, rounded to
+    integer coefficients in natural order (quant table all ones)."""
+    shifted = [[s - 128 for s in row] for row in samples]
+    coef = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            acc = 0.0
+            for y in range(8):
+                cv = _JPEG_IDCT_COS[u][y]
+                row = shifted[y]
+                for x in range(8):
+                    acc += row[x] * _JPEG_IDCT_COS[v][x] * cv
+            coef[u * 8 + v] = int(round(acc))
+    return coef
+
+
+class _JpegBitWriter:
+    """MSB-first bit packing with 0xFF 0x00 byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # 1-bit padding per spec
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient — the
+    variable-length integer encoding of T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def jpeg_pixel(x: int, y: int) -> int:
+    """Deterministic BLOCK-CONSTANT grayscale value of synthetic pixel
+    (x, y): constant inside each aligned 8x8 block, so the DCT of every
+    block is DC-only and the (quant=1) round trip is bit-exact — the
+    generative formula the DuckDB oracle recomputes analytically, the
+    lossless corner of a lossy codec."""
+    return ((x // 8) * 13 + (y // 8) * 29 + 7) % 256
+
+
+def make_jpeg_baseline(
+    width: int, height: int, pixel_fn=None, restart_interval: int = 0
+) -> bytes:
+    """REAL baseline sequential grayscale JPEG encoder, stdlib-only:
+    level shift -> 8x8 FDCT -> quant (all-ones table) -> zigzag ->
+    canonical huffman entropy coding with byte stuffing, wrapped in
+    SOI/APP0/DQT/SOF0/DHT/SOS/EOI (plus DRI + RSTn markers when
+    ``restart_interval`` is set). Edge blocks pad by edge replication.
+    With the block-constant ``jpeg_pixel`` pattern the file decodes
+    back bit-exactly (DC-only blocks, integer DC)."""
+    pixel_fn = pixel_fn or jpeg_pixel
+    dc_codes = _jpeg_canonical_codes(*_JPEG_STD_DC_LUMA)
+    ac_codes = _jpeg_canonical_codes(*_JPEG_STD_AC_LUMA)
+    w = _JpegBitWriter()
+    pred = 0
+    segments = [bytearray()]  # entropy bytes between restart markers
+    mcu_count = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                segments[-1] += w.flush()
+                segments.append(bytearray())
+                w = _JpegBitWriter()
+                pred = 0
+            mcu_count += 1
+            block = [
+                [
+                    pixel_fn(min(bx + x, width - 1), min(by + y, height - 1))
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+            coef = _jpeg_fdct_block(block)
+            zz = [coef[JPEG_ZIGZAG[k]] for k in range(64)]
+            cat, bits = _jpeg_magnitude(zz[0] - pred)
+            pred = zz[0]
+            c, ln = dc_codes[cat]
+            w.put(c, ln)
+            if cat:
+                w.put(bits, cat)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    w.put(c, ln)
+                    run -= 16
+                cat, bits = _jpeg_magnitude(zz[k])
+                c, ln = ac_codes[(run << 4) | cat]
+                w.put(c, ln)
+                w.put(bits, cat)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]  # EOB
+                w.put(c, ln)
+    segments[-1] += w.flush()
+    entropy = bytearray(segments[0])
+    for si, later in enumerate(segments[1:]):
+        entropy += bytes([0xFF, 0xD0 + (si % 8)]) + later
+    entropy = bytes(entropy)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dc_bits, dc_vals = _JPEG_STD_DC_LUMA
+    ac_bits, ac_vals = _JPEG_STD_AC_LUMA
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
+    )
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        JPEG_SOI + app0 + dri + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment bit reader honoring 0xFF00 byte
+    stuffing; stops (returns None) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.i = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> bool:
+        b = self.d[self.i]
+        if b == 0xFF:
+            if self.d[self.i + 1] == 0x00:
+                self.i += 2
+            else:
+                return False  # marker
+        else:
+            self.i += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self._n == 0 and not self._fill():
+            raise ValueError("hit marker inside entropy segment")
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 B.2.1.2)."""
+        self._acc = 0
+        self._n = 0
+        if not (self.d[self.i] == 0xFF and 0xD0 <= self.d[self.i + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.i += 2
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_read_code(bits: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid huffman code")
+
+
+def decode_jpeg_pixels(data: bytes) -> dict:
+    """FULL pixel decode of a BASELINE SEQUENTIAL JPEG (SOF0: huffman
+    entropy decode with byte stuffing + restart markers, dequantize,
+    zigzag reorder, 8x8 IDCT, sampling-factor upsampling, and JFIF
+    YCbCr->RGB for 3-component scans) — stdlib-only, ~math+struct. The
+    third genuinely COMPRESSED format this module decodes end to end
+    (after PNG's inflate+unfilter and GIF's LZW). Returns the shared
+    PIXEL_STATS dict: grayscale stats ride the positional *_b keys
+    (like gray PNG/WAV); 3-component scans map R->r, G->g, B->b.
+    Progressive (SOF2), arithmetic coding and 12-bit precision raise
+    NotImplementedError — the remaining documented seam."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    restart_interval = 0
+    frame = None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        body = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qt[tq] = list(body[p : p + 64])
+                    p += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack(">H", body[p + 2 * k : p + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits_counts = list(body[p + 1 : p + 17])
+                nvals = sum(bits_counts)
+                vals = list(body[p + 17 : p + 17 + nvals])
+                huff[(tc, th)] = _jpeg_decode_table(bits_counts, vals)
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker in _JPEG_SOF_MARKERS:
+            if marker != 0xC0 and marker != 0xC1:
+                raise NotImplementedError(
+                    "only baseline sequential JPEG (SOF0/SOF1) decodes;"
+                    f" SOF{marker - 0xC0} (progressive/arithmetic) is the"
+                    " remaining seam"
+                )
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6]
+            )
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s : 3 + 2 * s]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append(
+                    {"comp": comp, "dc": tdta >> 4, "ac": tdta & 0x0F}
+                )
+            i = i + 2 + seglen
+            planes = _jpeg_decode_scan(
+                data, i, frame, scan, qt, huff, restart_interval
+            )
+            return _jpeg_planes_to_stats(frame, planes)
+        i += 2 + seglen
+    raise ValueError("no SOS marker found")
+
+
+def _jpeg_decode_scan(
+    data: bytes, pos: int, frame, scan, qt, huff, restart_interval
+):
+    """Entropy-decode every MCU of a (single, interleaved) baseline scan
+    into per-component sample planes."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for sc in scan:
+        c = sc["comp"]
+        planes[c["id"]] = [
+            [0] * (mcux * c["h"] * 8) for _ in range(mcuy * c["v"] * 8)
+        ]
+    bits = _JpegBitReader(data, pos)
+    preds = {sc["comp"]["id"]: 0 for sc in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bits.align_restart()
+                preds = {k: 0 for k in preds}
+            mcu_count += 1
+            for sc in scan:
+                c = sc["comp"]
+                quant = qt[c["tq"]]
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        zz = [0] * 64
+                        cat = _jpeg_read_code(bits, huff[(0, sc["dc"])])
+                        diff = _jpeg_extend(bits.receive(cat), cat)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_read_code(bits, huff[(1, sc["ac"])])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            zz[k] = _jpeg_extend(bits.receive(s), s)
+                            k += 1
+                        coef = [0] * 64
+                        for k2 in range(64):
+                            coef[JPEG_ZIGZAG[k2]] = zz[k2] * quant[k2]
+                        block = _jpeg_idct_block(coef)
+                        oy = (my * c["v"] + bv) * 8
+                        ox = (mx * c["h"] + bh) * 8
+                        plane = planes[c["id"]]
+                        for y in range(8):
+                            row = plane[oy + y]
+                            brow = block[y]
+                            for x in range(8):
+                                row[ox + x] = brow[x]
+    return planes
+
+
+def _jpeg_planes_to_stats(frame, planes) -> dict:
+    """Upsample component planes to image resolution, convert to the
+    output color space, and reduce to the shared PIXEL_STATS dict."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    def sample(c, x, y):
+        return planes[c["id"]][(y * c["v"]) // vmax][(x * c["h"]) // hmax]
+
+    n_px = w * h
+    if len(comps) == 1:
+        c0 = comps[0]
+        vals = [sample(c0, x, y) for y in range(h) for x in range(w)]
+        return {
+            "n_units": n_px,
+            "sum_b": sum(vals), "min_b": min(vals), "max_b": max(vals),
+            "sum_g": None, "min_g": None, "max_g": None,
+            "sum_r": None, "min_r": None, "max_r": None,
+        }
+    if len(comps) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEGs supported")
+    cy, cb, cr = comps
+    sums = [0, 0, 0]
+    mins = [255, 255, 255]
+    maxs = [0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            Y = sample(cy, x, y)
+            Cb = sample(cb, x, y) - 128
+            Cr = sample(cr, x, y) - 128
+            rgb = (
+                Y + 1.402 * Cr,
+                Y - 0.344136 * Cb - 0.714136 * Cr,
+                Y + 1.772 * Cb,
+            )
+            for ci, v in enumerate(rgb):
+                iv = min(255, max(0, int(round(v))))
+                sums[ci] += iv
+                mins[ci] = min(mins[ci], iv)
+                maxs[ci] = max(maxs[ci], iv)
+    return {
+        "n_units": n_px,
+        "sum_r": sums[0], "min_r": mins[0], "max_r": maxs[0],
+        "sum_g": sums[1], "min_g": mins[1], "max_g": maxs[1],
+        "sum_b": sums[2], "min_b": mins[2], "max_b": maxs[2],
+    }
 
 
 def parse_jpeg_header(data: bytes) -> tuple[int, int]:
@@ -824,10 +1351,11 @@ def _decode_real(b: bytes) -> tuple[int, int]:
         "only PNG, JPEG, GIF, BMP, WAV, AVI and MP4 headers are parseable"
         " without media libraries; FULL decode is real for 24bpp BMP"
         " pixels (decode_bmp_pixels), 8/16-bit WAV PCM"
-        " (decode_wav_samples) and 8-bit PNG pixels (decode_png_pixels,"
-        " zlib inflate + unfilter) — JPEG entropy decode, MP3, and video"
-        " frames still need PIL/ffmpeg; use mode='fake' for"
-        " format-agnostic plumbing"
+        " (decode_wav_samples), 8-bit PNG pixels (decode_png_pixels,"
+        " zlib inflate + unfilter), palette GIF (decode_gif_pixels, LZW)"
+        " and baseline sequential JPEG (decode_jpeg_pixels, huffman +"
+        " IDCT) — progressive JPEG, MP3, and video frames still need"
+        " PIL/ffmpeg; use mode='fake' for format-agnostic plumbing"
     )
 
 
@@ -852,12 +1380,15 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
-    """Deterministic FULLY-DECODABLE assets cycling i%4: 24bpp BMP with
+    """Deterministic FULLY-DECODABLE assets cycling i%5: 24bpp BMP with
     a real pixel array (``bmp_pixel`` pattern), 8-bit PCM WAV
     (``make_wav`` ramp pattern), 8-bit grayscale PNG (``png_pixel``
     pattern — zlib-compressed, genuinely decompressed+unfiltered on
-    decode), and single-frame GIF (``gif_pixel`` pattern — genuinely
-    LZW-compressed and LZW-decoded). Distributed Arrow-batched
+    decode), single-frame GIF (``gif_pixel`` pattern — genuinely
+    LZW-compressed and LZW-decoded), and baseline JPEG (``jpeg_pixel``
+    block-constant pattern — genuinely huffman-entropy-decoded +
+    IDCT'd, bit-exact because DC-only blocks at quant=1 are the
+    lossless corner of the codec). Distributed Arrow-batched
     generation, same shape as ``synth_real_assets``."""
     ensure_worker_imports(spark)
 
@@ -866,20 +1397,26 @@ def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 4 == 0:
+                if i % 5 == 0:
                     payload = make_bmp(5 + i % 13, 3 + i % 7, pixels=True)
                     modality, mime = "image", "image/bmp"
-                elif i % 4 == 1:
+                elif i % 5 == 1:
                     payload = make_wav(40 + i % 160, amplitude=1 + i % 9)
                     modality, mime = "audio", "audio/wav"
-                elif i % 4 == 2:
+                elif i % 5 == 2:
                     payload = make_png(
                         6 + i % 12, 4 + i % 6, pattern=True
                     )
                     modality, mime = "image", "image/png"
-                else:
+                elif i % 5 == 3:
                     payload = make_gif(4 + i % 14, 3 + i % 8, pixels=True)
                     modality, mime = "image", "image/gif"
+                else:
+                    payload = make_jpeg_baseline(
+                        9 + i % 24, 7 + i % 19,
+                        restart_interval=(i % 3),
+                    )
+                    modality, mime = "image", "image/jpeg"
                 rows.append(
                     {
                         "asset_id": i,
@@ -922,11 +1459,15 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     stats = decode_gif_pixels(b)
                     kind = "gif"
+                elif b[:2] == JPEG_SOI:
+                    stats = decode_jpeg_pixels(b)
+                    kind = "jpeg"
                 else:
                     raise NotImplementedError(
                         "pixel_stats full-decodes 24bpp BMP, 8/16-bit"
-                        " PCM WAV, 8-bit PNG and palette GIF; JPEG and"
-                        " video frames need PIL/ffmpeg"
+                        " PCM WAV, 8-bit PNG, palette GIF and baseline"
+                        " JPEG; progressive JPEG and video frames need"
+                        " PIL/ffmpeg"
                     )
                 rows.append({"asset_id": int(aid), "kind": kind, **stats})
             yield pd.DataFrame(rows)

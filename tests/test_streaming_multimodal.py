@@ -492,6 +492,7 @@ def test_pixel_stats_matches_reference(spark):
 
     from database_migration_engine_spark.operators.multimodal import (
         gif_pixel,
+        jpeg_pixel,
         png_pixel,
     )
 
@@ -502,12 +503,12 @@ def test_pixel_stats_matches_reference(spark):
     assert len(got) == 21
     for i in range(21):
         r = got[i]
-        if i % 4 == 0:
+        if i % 5 == 0:
             ref = _bmp_ref_stats(5 + i % 13, 3 + i % 7)
             assert r["kind"] == "bmp"
             for k, v in ref.items():
                 assert r[k] == v, (i, k)
-        elif i % 4 == 1:
+        elif i % 5 == 1:
             n, a = 40 + i % 160, 1 + i % 9
             sams = [128 + (j * a) % 64 for j in range(n)]
             assert r["kind"] == "wav"
@@ -515,7 +516,7 @@ def test_pixel_stats_matches_reference(spark):
                 n, sum(sams), min(sams), max(sams),
             )
             assert r["sum_g"] is None and r["min_r"] is None
-        elif i % 4 == 2:
+        elif i % 5 == 2:
             w, h = 6 + i % 12, 4 + i % 6
             vals = [png_pixel(x, y) for y in range(h) for x in range(w)]
             assert r["kind"] == "png"
@@ -523,10 +524,18 @@ def test_pixel_stats_matches_reference(spark):
                 w * h, sum(vals), min(vals), max(vals),
             )
             assert r["sum_g"] is None and r["min_r"] is None
-        else:
+        elif i % 5 == 3:
             w, h = 4 + i % 14, 3 + i % 8
             vals = [gif_pixel(x, y) for y in range(h) for x in range(w)]
             assert r["kind"] == "gif"
+            assert (r["n_units"], r["sum_b"], r["min_b"], r["max_b"]) == (
+                w * h, sum(vals), min(vals), max(vals),
+            )
+            assert r["sum_g"] is None and r["min_r"] is None
+        else:
+            w, h = 9 + i % 24, 7 + i % 19
+            vals = [jpeg_pixel(x, y) for y in range(h) for x in range(w)]
+            assert r["kind"] == "jpeg"
             assert (r["n_units"], r["sum_b"], r["min_b"], r["max_b"]) == (
                 w * h, sum(vals), min(vals), max(vals),
             )
@@ -772,3 +781,151 @@ def test_decode_gif_pixels_error_paths():
     # headers-only fixture has no image descriptor
     with pytest.raises(ValueError, match="no image descriptor"):
         decode_gif_pixels(make_gif(4, 4))
+
+
+def _flat_color_jpeg(w, h, ycbcr, sampling=((1, 1), (1, 1), (1, 1))):
+    """Hand-built 3-component baseline JPEG with per-component FLAT
+    values (DC-only blocks, quant=1 → lossless) and arbitrary sampling
+    factors — independent of make_jpeg_baseline, for exercising the
+    decoder's color conversion and chroma upsampling paths."""
+    import struct as _struct
+
+    from database_migration_engine_spark.operators.multimodal import (
+        _JPEG_STD_AC_LUMA,
+        _JPEG_STD_DC_LUMA,
+        _jpeg_canonical_codes,
+        _jpeg_magnitude,
+        _JpegBitWriter,
+        JPEG_SOI,
+    )
+
+    dc = _jpeg_canonical_codes(*_JPEG_STD_DC_LUMA)
+    ac = _jpeg_canonical_codes(*_JPEG_STD_AC_LUMA)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            for ci, (sh, sv) in enumerate(sampling):
+                for _b in range(sh * sv):
+                    dc_val = 8 * (ycbcr[ci] - 128)
+                    cat, bits = _jpeg_magnitude(dc_val - preds[ci])
+                    preds[ci] = dc_val
+                    c, ln = dc[cat]
+                    bw.put(c, ln)
+                    if cat:
+                        bw.put(bits, cat)
+                    c, ln = ac[0x00]  # EOB
+                    bw.put(c, ln)
+    entropy = bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof_comps = b"".join(
+        bytes([cid + 1, (sh << 4) | sv, 0])
+        for cid, (sh, sv) in enumerate(sampling)
+    )
+    sof = seg(0xC0, _struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    dcb, dcv = _JPEG_STD_DC_LUMA
+    acb, acv = _JPEG_STD_AC_LUMA
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dcb) + bytes(dcv) + b"\x10" + bytes(acb) + bytes(acv),
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+    return JPEG_SOI + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def test_jpeg_baseline_roundtrip_exact():
+    """Block-constant pattern at quant=1 is the lossless corner of the
+    codec: decode(make_jpeg_baseline(w,h)) reproduces jpeg_pixel
+    bit-exactly, with and without restart markers."""
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_pixel,
+        make_jpeg_baseline,
+        parse_jpeg_header,
+    )
+
+    for w, h, ri in [(8, 8, 0), (6, 5, 0), (23, 17, 0), (40, 33, 2),
+                     (80, 80, 1), (24, 16, 5)]:
+        data = make_jpeg_baseline(w, h, restart_interval=ri)
+        assert parse_jpeg_header(data) == (w, h)
+        got = decode_jpeg_pixels(data)
+        vals = [jpeg_pixel(x, y) for y in range(h) for x in range(w)]
+        assert (got["n_units"], got["sum_b"], got["min_b"], got["max_b"]) \
+            == (w * h, sum(vals), min(vals), max(vals)), (w, h, ri)
+        assert got["sum_g"] is None and got["sum_r"] is None
+
+
+def test_jpeg_ac_entropy_path():
+    """Arbitrary pixels exercise the AC run-length/ZRL codes: the decode
+    must equal IDCT(round(FDCT(block))) computed independently per
+    block — i.e. the entropy layer is exact even when the DCT is not."""
+    from database_migration_engine_spark.operators.multimodal import (
+        _jpeg_fdct_block,
+        _jpeg_idct_block,
+        decode_jpeg_pixels,
+        make_jpeg_baseline,
+    )
+
+    def px(x, y):
+        return (x * 31 + y * 57 + (x * y) % 7) % 256
+
+    data = make_jpeg_baseline(24, 16, pixel_fn=px)
+    got = decode_jpeg_pixels(data)
+    exp_sum, exp_min, exp_max = 0, 255, 0
+    for by in range(0, 16, 8):
+        for bx in range(0, 24, 8):
+            block = [[px(bx + x, by + y) for x in range(8)] for y in range(8)]
+            rec = _jpeg_idct_block(_jpeg_fdct_block(block))
+            for row in rec:
+                for v in row:
+                    exp_sum += v
+                    exp_min = min(exp_min, v)
+                    exp_max = max(exp_max, v)
+    assert (got["sum_b"], got["min_b"], got["max_b"]) == \
+        (exp_sum, exp_min, exp_max)
+
+
+def test_jpeg_color_and_subsampling():
+    """3-component scans convert YCbCr->RGB with the JFIF matrix; 4:2:0
+    chroma upsamples by replication. Flat planes make the expectation a
+    single arithmetic triple."""
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    y0, cb0, cr0 = 90, 100, 180
+    exp = (
+        min(255, max(0, round(y0 + 1.402 * (cr0 - 128)))),
+        min(255, max(0, round(y0 - 0.344136 * (cb0 - 128)
+                              - 0.714136 * (cr0 - 128)))),
+        min(255, max(0, round(y0 + 1.772 * (cb0 - 128)))),
+    )
+    for sampling in [((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))]:
+        w, h = (12, 9) if sampling[0] == (1, 1) else (20, 13)
+        got = decode_jpeg_pixels(
+            _flat_color_jpeg(w, h, (y0, cb0, cr0), sampling)
+        )
+        n = w * h
+        assert got["n_units"] == n
+        for name, v in zip(("r", "g", "b"), exp):
+            assert (got[f"sum_{name}"], got[f"min_{name}"],
+                    got[f"max_{name}"]) == (n * v, v, v), (sampling, name)
+
+
+def test_jpeg_progressive_rejected():
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(make_jpeg(8, 8, progressive=True))
