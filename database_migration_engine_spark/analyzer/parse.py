@@ -27,9 +27,14 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
     """Split SQL into (start_offset, statement_text) at top-level ';'.
 
     State machine over: single quotes (with '' escapes and E'\\' escapes),
-    double-quoted identifiers, $tag$ dollar quoting, line comments, and
-    nested block comments (PostgreSQL nests /* */). Mirrors the statement
-    stream + offset slicing of the reference
+    double-quoted identifiers, $tag$ dollar quoting, line comments,
+    nested block comments (PostgreSQL nests /* */), and PG 14+
+    SQL-standard function bodies (fuzz round 7: ``CREATE FUNCTION ...
+    BEGIN ATOMIC stmt; stmt; END;`` is ONE statement — the body is bare
+    SQL, not a dollar-quoted literal, so without body tracking its
+    internal semicolons split one CREATE into fragments and the
+    danger-rule scan runs on garbage). Mirrors the statement stream +
+    offset slicing of the reference
     (internal/parser/parser.go:29-32, internal/analyzer/rules.go:61-80).
     """
     statements: list[tuple[int, str]] = []
@@ -40,6 +45,11 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
     # silently skipped while PostgreSQL happily executes it
     i = 1 if sql.startswith("﻿") else 0
     start = i
+    # BEGIN ATOMIC ... END nesting depth. While > 0, ';' does not end
+    # the statement. CASE expressions inside a body pair with their own
+    # END, so CASE also increments; nested BEGIN ATOMIC bodies (a
+    # CREATE FUNCTION inside a body) increment via the BEGIN path.
+    atomic_depth = 0
 
     def flush(end: int) -> bool:
         """Returns True when the flushed statement is COPY ... FROM
@@ -145,10 +155,31 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
             else:
                 i += 1
         elif ch == ";":
-            if flush(i):
+            if atomic_depth:
+                i += 1
+            elif flush(i):
                 i = skip_copy_payload(i + 1)
             else:
                 i += 1
+        elif ch.isalpha() or ch == "_":
+            # whole-word scan so keyword tracking never fires on a
+            # substring (identifiers may continue with $ — leave the $
+            # to the dollar-quote branch, matching the old behavior)
+            j = i + 1
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = sql[i:j].upper()
+            if word == "BEGIN":
+                m_at = re.match(r"\s+ATOMIC\b", sql[j:], re.IGNORECASE)
+                if m_at:
+                    atomic_depth += 1
+                    j += m_at.end()
+            elif atomic_depth:
+                if word == "CASE":
+                    atomic_depth += 1
+                elif word == "END":
+                    atomic_depth -= 1
+            i = j
         else:
             i += 1
     flush(n)

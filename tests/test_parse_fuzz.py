@@ -884,3 +884,60 @@ def test_concurrently_inside_literals_does_not_route():
         "CREATE FUNCTION f() RETURNS void AS $$ "
         "REINDEX INDEX CONCURRENTLY i $$ LANGUAGE sql;"
     )
+
+
+# --- fuzz round 7: PG 14+ SQL-standard function bodies. Probe sweep
+# covered REINDEX-in-DO routing, \r-only COPY payload terminators,
+# dollar tags containing keywords ($reindex$/$end$/$do$), prefix-
+# colliding tags, U& strings/identifiers, DO with single-quoted bodies,
+# and nested block comments — all already correct. ONE real fix landed:
+# CREATE FUNCTION/PROCEDURE ... BEGIN ATOMIC stmt; stmt; END is bare
+# SQL (not a dollar-quoted literal), and the splitter fragmented it at
+# the body's internal semicolons.
+
+_ATOMIC_BODY = st.sampled_from([
+    "SELECT 1; SELECT 2;",
+    "SELECT CASE WHEN true THEN 1 ELSE 2 END; RETURN 1;",
+    "INSERT INTO audit VALUES (1); DELETE FROM audit WHERE id = 2;",
+    # nested SQL-standard body
+    "CREATE FUNCTION g() RETURNS int LANGUAGE sql BEGIN ATOMIC"
+    " SELECT 3; RETURN 4; END; SELECT 5;",
+])
+
+
+@given(_ATOMIC_BODY, _ANY_STMT)
+@settings(max_examples=60, deadline=None)
+def test_begin_atomic_body_is_one_statement(body, neighbor):
+    n_sql, n_exp = neighbor
+    sql = (
+        f"CREATE PROCEDURE p() LANGUAGE sql BEGIN ATOMIC {body} END;\n"
+        f"{n_sql};"
+    )
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 2, (sql, [p["stmt_sql"][:60] for p in parsed])
+    assert parsed[0]["stmt_sql"].upper().startswith("CREATE PROCEDURE")
+    _check_features(
+        P.classify_statement(parsed[1]["stmt_index"], parsed[1]["stmt_sql"]),
+        n_exp,
+    )
+
+
+def test_begin_atomic_does_not_misfire():
+    """Plain BEGIN/END transaction statements, CASE outside bodies,
+    BEGIN ATOMIC inside strings/comments/dollar-quotes, and identifiers
+    containing the keywords must all split exactly as before."""
+    cases = [
+        ("BEGIN;\nDROP TABLE t;\nCOMMIT;", 3),
+        ("BEGIN;\nSELECT 1;\nEND;", 3),  # END == COMMIT
+        ("SELECT 'BEGIN ATOMIC x; y';\nSELECT 2;", 2),
+        ("-- BEGIN ATOMIC\nSELECT 1;\nSELECT 2;", 2),
+        ("DO $$ BEGIN ATOMIC_HELPER(); END $$;\nSELECT 2;", 2),
+        ("SELECT may_begin FROM t; SELECT 2;", 2),
+        ("SELECT CASE WHEN a THEN 1 END FROM t;\nSELECT 2;", 2),
+        # whitespace/newline variants between BEGIN and ATOMIC
+        ("CREATE PROCEDURE p() LANGUAGE sql BEGIN\r\nATOMIC"
+         " SELECT 1; END;\r\nSELECT 2;", 2),
+    ]
+    for sql, want in cases:
+        parsed = P.parse_sql(sql)
+        assert len(parsed) == want, (sql, parsed)
