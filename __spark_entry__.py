@@ -27,16 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check covers the first ~50 registry entries
-# per round. Priority for the CORRECTNESS_r06 window, front to back:
-# the 16 queries new in round 6 (first-ever driver record), then every
-# query whose r06 plan or derivation changed without semantic change
-# (size-adaptive corpus_join broadcasts at fixture scale, scaled
-# semdedup k, measured salt factor, DOUBLE-exact VALUES probes, w4
-# chained-stream width), then the freshest-first re-certification
-# backlog. Earlier green rows stand where the window ends.
+# per round. Priority for the CORRECTNESS_r07 window, front to back:
+# the queries new in round 7 (first-ever driver record), then the one
+# whose r07 VALUES changed (multimodal_pixel_stats: the asset cycle
+# went i%4 -> i%5 to add the JPEG leg, so every row's kind/stats
+# shifted), then the r06 backlog order unchanged. Earlier green rows
+# stand where the window ends.
 _RECHECK_FIRST = [
-    # (0) NEW in round 6 — first-ever driver record
-    "multimodal_pixel_stats", "corpus_capstone",
+    # (0) NEW in round 7 — first-ever driver record
+    "layout_composed_revenue", "bpe_merge_table",
+    # (0a) r07 value-changing edit: JPEG leg added to the asset cycle
+    "multimodal_pixel_stats",
+    # (1) round-6 window (r06-green, freshest)
+    "corpus_capstone",
     "bucketed_join_revenue", "incremental_mv_revenue",
     "events_corr_hourly", "approx_join_size",
     "partition_pruned_revenue", "ivf_probe_curve", "tfidf_doc_pairs",

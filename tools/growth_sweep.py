@@ -21,11 +21,19 @@ sys.path.insert(0, "/root/repo")
 from database_migration_engine_spark.plans import QUERIES  # noqa: E402
 from database_migration_engine_spark.session import build_session  # noqa: E402
 
+import os
+
 FIXTURES = [
     (1, "/root/testdata/sf0.1"),
     (3, "/tmp/dbmig_sf03"),
     (10, "/tmp/dbmig_sf1"),
 ]
+# r07 (verdict item 4): one more octave for the legs whose exponent
+# rose with scale — present only when the x30 fixture was generated
+# (SCALE_FIXTURE_DIR=/tmp/dbmig_sf3 SCALE_FIXTURE_COPIES=30
+#  python tools/gen_scale_fixture.py)
+if os.path.isdir("/tmp/dbmig_sf3"):
+    FIXTURES.append((30, "/tmp/dbmig_sf3"))
 DEFAULT = [
     "dedup_incremental",
     "dedup_near_minhash",
@@ -49,15 +57,18 @@ def main() -> None:
             pts.append((scale, dt, n_out))
             print(f"{name} x{scale}: {dt:.1f}s out_rows={n_out}",
                   file=sys.stderr)
-        (s1, t1, _), (s3, t3, _), (s10, t10, _) = pts
-        k13 = math.log(t3 / t1) / math.log(s3 / s1)
-        k310 = math.log(t10 / t3) / math.log(s10 / s3)
-        k110 = math.log(t10 / t1) / math.log(s10 / s1)
+        ks = [
+            (
+                f"{sa}->{sb}",
+                math.log(tb / ta) / math.log(sb / sa),
+            )
+            for (sa, ta, _), (sb, tb, _) in zip(pts, pts[1:])
+        ]
+        (s_lo, t_lo, _), (s_hi, t_hi, _) = pts[0], pts[-1]
+        k_all = math.log(t_hi / t_lo) / math.log(s_hi / s_lo)
         rows = " ".join(f"x{s}:{t:.1f}s(out={n})" for s, t, n in pts)
-        print(
-            f"{name}: {rows} | exponent 1->3: {k13:.2f}, 3->10: {k310:.2f},"
-            f" overall: {k110:.2f}"
-        )
+        exps = ", ".join(f"{lbl}: {k:.2f}" for lbl, k in ks)
+        print(f"{name}: {rows} | exponent {exps}, overall: {k_all:.2f}")
 
 
 if __name__ == "__main__":
