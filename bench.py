@@ -43,12 +43,17 @@ before-pass probe):
 * The calibration probe is INTERLEAVED into the timed region — once
   every ``PROBE_EVERY`` queries in every pass — so load arriving
   mid-run is observed, not inferred.
-* If any mid-run probe exceeds ``CONTAMINATION_RATIO`` (1.5×) of the
-  pre-run probe median, the run is CONTAMINATED: bench.py appends a
-  rejected-run row to ``BENCH_HISTORY.md``, writes the evidence to
-  ``BENCH_DETAIL.json`` with ``"contaminated": true``, prints NO
-  summary JSON, and exits 3 — so the driver never records the number
-  as ``BENCH_r*.json``. ``SPARK_GRAFT_BENCH_FORCE=1`` overrides.
+* If any mid-run probe exceeds ``CONTAMINATION_RATIO`` (2×) of the
+  run's own QUIETEST mid-run probe, the run is CONTAMINATED: bench.py
+  appends a rejected-run row to ``BENCH_HISTORY.md``, writes the
+  evidence to ``BENCH_DETAIL.json`` with ``"contaminated": true``,
+  prints NO summary JSON, and exits 3 — so the driver never records
+  the number as ``BENCH_r*.json``. ``SPARK_GRAFT_BENCH_FORCE=1``
+  overrides. (The baseline is run-internal because in-run probes sit
+  systematically 1.4-1.8× above the pre-run probe on a measured quiet
+  box — hot-heap tax — while their internal spread stays ≤ 1.27×;
+  load uniform from before the run is the cross-run drift ratio's
+  job, as before.)
 
 Each query is materialized via ``df.collect()`` (every registered query
 returns an aggregate or bounded top-k), so the measured time covers scan →
@@ -73,7 +78,7 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 INLINE_SLOWEST = 15
 MAX_SAMPLES = 3
 PROBE_EVERY = 25          # interleave a calibration probe every N queries
-CONTAMINATION_RATIO = 1.5  # mid-run probe > ratio × pre-run ⇒ reject run
+CONTAMINATION_RATIO = 2.0  # mid-run probe > ratio × min(mid-run) ⇒ reject
 
 # Stable query families for the decomposition. First match wins; rules are
 # on NAME ONLY so a query never silently changes family across rounds.
@@ -145,12 +150,31 @@ def contamination_verdict(
     mid_probes: list[float],
     ratio: float = CONTAMINATION_RATIO,
 ) -> list[float]:
-    """Mid-run probes that betray concurrent load: anything slower than
-    ``ratio`` × the pre-run probe. Empty list ⇒ clean run. Pure function
-    so the reject path is unit-testable without an 11-minute run."""
-    if pre_probe <= 0:
+    """Mid-run probes that betray load ARRIVING DURING the run (the r06
+    failure mode: the before-pass probe read fast while queries mid-run
+    ran 2-10x slow). The baseline is the run's OWN quietest mid-probe —
+    never the pre-run probe: two instrumented quiet-box runs measured
+    in-run probes sitting systematically 1.4-1.8x above the pre value
+    (hot-heap GC pressure from resident session-shared dataframes; pre
+    0.526/0.472 s vs mids 0.61-0.86 s on runs whose totals matched the
+    clean trend exactly) while the mids' INTERNAL spread stayed <= 1.27x
+    — so pre-relative tests reject clean runs, floor-relative tests
+    don't. Any probe > ``ratio`` x min(mid_probes) is an offender.
+
+    Deliberately out of scope: load that is uniform from before the
+    first query — that inflates pre and mids alike, reads as a slow
+    box, and is already surfaced by BENCH_HISTORY's cross-run
+    calibration drift ratio and per-query regression list (the r05
+    machinery). ``pre_probe`` stays recorded for that cross-run story.
+    Pure function so the reject path is unit-testable without an
+    11-minute run."""
+    del pre_probe  # recorded upstream; see docstring
+    if len(mid_probes) < 2:
         return []
-    return [p for p in mid_probes if p / pre_probe > ratio]
+    floor = min(mid_probes)
+    if floor <= 0:
+        return []
+    return [p for p in mid_probes if p / floor > ratio]
 
 
 def bench(sf_dir: str) -> tuple[
@@ -392,17 +416,19 @@ def main() -> None:
         # and a rejected-run row in the history.
         with open(os.path.join(REPO, "BENCH_HISTORY.md"), "a") as f:
             f.write(
-                f"\n## CONTAMINATED RUN REJECTED — pre-run probe "
-                f"{pre_probe:.3f}s, mid-run probes up to "
-                f"{max(offenders):.3f}s ({max(offenders) / pre_probe:.2f}×, "
-                f"threshold {CONTAMINATION_RATIO}×); total would have been "
-                f"{summary['value']}s over {summary['n_queries']} queries. "
-                f"Re-run on a quiet box.\n"
+                f"\n## CONTAMINATED RUN REJECTED — quietest mid-run "
+                f"probe {min(mid_probes):.3f}s, offenders up to "
+                f"{max(offenders):.3f}s "
+                f"({max(offenders) / min(mid_probes):.2f}×, threshold "
+                f"{CONTAMINATION_RATIO}×; pre-run probe {pre_probe:.3f}s); "
+                f"total would have been {summary['value']}s over "
+                f"{summary['n_queries']} queries. Re-run on a quiet box.\n"
             )
         print(
             f"bench: CONTAMINATED — {len(offenders)}/{len(mid_probes)} "
-            f"mid-run probes exceeded {CONTAMINATION_RATIO}x the pre-run "
-            f"probe ({pre_probe:.3f}s); worst {max(offenders):.3f}s. "
+            f"mid-run probes exceeded {CONTAMINATION_RATIO}x the run's "
+            f"quietest mid-run probe ({min(mid_probes):.3f}s); worst "
+            f"{max(offenders):.3f}s. "
             "Refusing to emit a summary line; re-run on a quiet box "
             "(SPARK_GRAFT_BENCH_FORCE=1 overrides).",
             file=sys.stderr,

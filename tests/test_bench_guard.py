@@ -28,17 +28,30 @@ def _load_bench():
 
 def test_contamination_verdict_pure():
     bench = _load_bench()
-    # clean: all mid probes within 1.5x of the pre-run probe
-    assert bench.contamination_verdict(0.6, [0.55, 0.7, 0.89]) == []
-    # contaminated: one probe 2x slow
-    assert bench.contamination_verdict(0.6, [0.55, 1.21]) == [1.21]
-    # boundary: exactly at the threshold is NOT contamination (>)
-    assert bench.contamination_verdict(0.6, [0.9]) == []
-    assert bench.contamination_verdict(0.6, [0.91]) == [0.91]
-    # degenerate pre-probe never divides by zero
-    assert bench.contamination_verdict(0.0, [99.0]) == []
-    # empty mid-probe list (tiny registry, < PROBE_EVERY queries)
+    # clean: BOTH measured quiet-box hot-heap patterns (runs 1 and 2,
+    # 2026-08-15) must NOT reject — these exact series falsely tripped
+    # the first two pre-probe-relative guard designs (mids sit 1.4-1.8x
+    # above the volatile pre value but spread <= 1.27x internally)
+    quiet1 = [0.8567, 0.8179, 0.6531, 0.7257, 0.6853,
+              0.7296, 0.6441, 0.6116, 0.7316]
+    quiet2 = [0.8295, 0.8401, 0.7897, 0.7224, 0.6903,
+              0.78, 0.6898, 0.7152, 0.6621]
+    assert bench.contamination_verdict(0.526, quiet1) == []
+    assert bench.contamination_verdict(0.472, quiet2) == []
+    # load arriving mid-run: probes in the loaded window spike vs the
+    # run's own quiet floor (the r06 failure mode)
+    assert bench.contamination_verdict(0.5, [0.62, 0.65, 1.9, 2.4, 0.7]) \
+        == [1.9, 2.4]
+    # boundary: exactly 2x the floor is NOT contamination (>)
+    assert bench.contamination_verdict(0.5, [0.6, 1.2]) == []
+    assert bench.contamination_verdict(0.5, [0.6, 1.21]) == [1.21]
+    # the pre-run probe value is NOT part of the verdict (hot-heap tax
+    # makes it apples-to-oranges) — identical mids, any pre, same answer
+    assert bench.contamination_verdict(99.0, [0.6, 1.21]) == [1.21]
+    assert bench.contamination_verdict(0.0, [0.6, 0.7]) == []
+    # fewer than 2 mid probes (tiny registry): no internal baseline
     assert bench.contamination_verdict(0.6, []) == []
+    assert bench.contamination_verdict(0.6, [5.0]) == []
 
 
 def _run_main_with_fake_bench(monkeypatch, tmp_path, mid_probes):
@@ -100,7 +113,7 @@ def test_main_accepts_clean_run(monkeypatch, tmp_path, capfd):
 
 def test_main_force_overrides_reject(monkeypatch, tmp_path, capfd):
     bench = _run_main_with_fake_bench(
-        monkeypatch, tmp_path, mid_probes=[1.8]
+        monkeypatch, tmp_path, mid_probes=[0.6, 1.8]
     )
     monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
     bench.main()
