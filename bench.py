@@ -208,9 +208,14 @@ def bench(sf_dir: str) -> tuple[
     calib.extend(pre)
 
     def probe_mid() -> None:
-        p = round(calibration_probe(spark), 4)
-        calib.append(p)
-        mid_probes.append(p)
+        # median of 3 back-to-back probes per checkpoint: a single
+        # full-GC pause or host blip can swallow ONE probe (observed
+        # 2.56x on an otherwise-clean run), but not two of three;
+        # sustained external load inflates all three. Raw samples stay
+        # in calib for the record.
+        ps = [round(calibration_probe(spark), 4) for _ in range(3)]
+        calib.extend(ps)
+        mid_probes.append(round(statistics.median(ps), 4))
 
     # Pass 1: one sample for every query (never budget-skipped — a
     # missing number is worse than a noisy one). Passes 2..MAX_SAMPLES:
