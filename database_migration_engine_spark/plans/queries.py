@@ -7453,36 +7453,51 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     left, right) — two COLUMNS, not the joined string, so both engines
     order identically.
 
-    Scale shape: each step is one map-side-combinable pair count over
-    the rewritten token stream + a bounded 1-row argmax collect (the
-    documented centroid-style driver action); the rewrite itself is a
-    chained JVM expression, never materialized."""
+    Scale shape — the one real BPE trainers use at any corpus size: the
+    working state is the VOCABULARY (distinct token encodings weighted
+    by occurrence count), not the token stream. One corpus pass builds
+    (encoding, cnt); every trainer step then runs over vocab-sized
+    data: pair counts are sum(cnt) per adjacent symbol pair, the merge
+    rewrites the distinct encodings and re-groups (two types CAN
+    collapse post-merge: 'a b c' and 'ab c' meet once (a,b) merges).
+    The vocab is materialized per step (persist/unpersist — the
+    kmeans/pagerank iterative-state pattern); the argmax is the
+    documented bounded 1-row driver action. Measured at sf0.1: 35.8 s
+    as a token-stream chain, ~4 s over the weighted vocab."""
     ensure_deterministic(spark)
     n_steps = 10
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(TX.tokens()).alias("tok")).filter(
-        F.length("tok") >= 2
-    )
-    enc = F.concat(
-        F.lit("||"), F.regexp_replace(F.col("tok"), "(.)", "$1||")
+    cur = (
+        docs.select(F.explode(TX.tokens()).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(
+            F.concat(
+                F.lit("||"),
+                F.regexp_replace(F.col("tok"), "(.)", "$1||"),
+            ).alias("enc")
+        )
+        .groupBy("enc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_steps + 1):
         syms = F.filter(
-            F.split(enc, r"\|\|"), lambda x: x != F.lit("")
+            F.split(F.col("enc"), r"\|\|"), lambda x: x != F.lit("")
         )
-        pairs = toks.select(
+        pairs = cur.select(
+            F.col("cnt"),
             F.explode(
                 F.zip_with(
                     F.slice(syms, 1, F.size(syms) - 1),
                     F.slice(syms, 2, F.size(syms) - 1),
                     lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                 )
-            ).alias("pr")
+            ).alias("pr"),
         )
         best = (
             pairs.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), "l", "r")
             .limit(1)
             .collect()
@@ -7491,7 +7506,21 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merges.append((step, l, r, n))
-        enc = F.replace(enc, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|"))
+        nxt = (
+            cur.select(
+                F.replace(
+                    F.col("enc"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+                ).alias("enc"),
+                "cnt",
+            )
+            .groupBy("enc")
+            .agg(F.sum("cnt").alias("cnt"))
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the parent
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
     rows = ", ".join(
         f"({s}, '{l}', '{r}', CAST({n} AS BIGINT))" for s, l, r, n in merges
     )
