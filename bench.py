@@ -40,20 +40,23 @@ Contamination sentinel (VERDICT.md r06 item 1 — the r06 recorded run
 was 2.3× slow from concurrent load DURING the passes, invisible to a
 before-pass probe):
 
-* The calibration probe is INTERLEAVED into the timed region — once
-  every ``PROBE_EVERY`` queries in every pass — so load arriving
-  mid-run is observed, not inferred.
-* If any mid-run probe exceeds ``CONTAMINATION_RATIO`` (2×) of the
-  run's own QUIETEST mid-run probe, the run is CONTAMINATED: bench.py
-  appends a rejected-run row to ``BENCH_HISTORY.md``, writes the
-  evidence to ``BENCH_DETAIL.json`` with ``"contaminated": true``,
-  prints NO summary JSON, and exits 3 — so the driver never records
-  the number as ``BENCH_r*.json``. ``SPARK_GRAFT_BENCH_FORCE=1``
-  overrides. (The baseline is run-internal because in-run probes sit
-  systematically 1.4-1.8× above the pre-run probe on a measured quiet
-  box — hot-heap tax — while their internal spread stays ≤ 1.27×;
-  load uniform from before the run is the cross-run drift ratio's
-  job, as before.)
+* The reject decision is a DIRECT measurement of foreign load, not a
+  probe heuristic: over the timed region, the box's consumed CPU
+  seconds (/proc/stat) minus this bench's own process tree's CPU
+  seconds (/proc/<pid>/stat incl. the py4j JVM, its worker daemons,
+  and reaped children) is the CPU foreign processes burned. If that
+  exceeds ``FOREIGN_SHARE_MAX`` (8%) of the box's capacity, the run is
+  CONTAMINATED: bench.py appends a rejected-run row to
+  ``BENCH_HISTORY.md``, writes the evidence to ``BENCH_DETAIL.json``
+  with ``"contaminated": true``, prints NO summary JSON, and exits 3 —
+  so the driver never records the number as ``BENCH_r*.json``.
+  ``SPARK_GRAFT_BENCH_FORCE=1`` overrides. (Probe-relative designs
+  were tried and measured unusable: in-run probes carry a systematic
+  1.4-1.8× hot-heap tax over the pre-run value and their checkpoint
+  medians legitimately spread up to 3× with residual heap state, so
+  any threshold tight enough to catch 2× contamination also rejected
+  demonstrably-clean runs. The interleaved probes remain recorded as
+  drift diagnostics.)
 
 Each query is materialized via ``df.collect()`` (every registered query
 returns an aggregate or bounded top-k), so the measured time covers scan →
@@ -77,8 +80,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 INLINE_SLOWEST = 15
 MAX_SAMPLES = 3
-PROBE_EVERY = 25          # interleave a calibration probe every N queries
-CONTAMINATION_RATIO = 2.0  # mid-run probe > ratio × min(mid-run) ⇒ reject
+PROBE_EVERY = 25        # interleave a calibration probe every N queries
+FOREIGN_SHARE_MAX = 0.08  # foreign CPU > 8% of the box ⇒ reject the run
 
 # Stable query families for the decomposition. First match wins; rules are
 # on NAME ONLY so a query never silently changes family across rounds.
@@ -145,40 +148,75 @@ def estimate(samples: list[float]) -> float:
     return min(samples)
 
 
-def contamination_verdict(
-    pre_probe: float,
-    mid_probes: list[float],
-    ratio: float = CONTAMINATION_RATIO,
-) -> list[float]:
-    """Mid-run probes that betray load ARRIVING DURING the run (the r06
-    failure mode: the before-pass probe read fast while queries mid-run
-    ran 2-10x slow). The baseline is the run's OWN quietest mid-probe —
-    never the pre-run probe: two instrumented quiet-box runs measured
-    in-run probes sitting systematically 1.4-1.8x above the pre value
-    (hot-heap GC pressure from resident session-shared dataframes; pre
-    0.526/0.472 s vs mids 0.61-0.86 s on runs whose totals matched the
-    clean trend exactly) while the mids' INTERNAL spread stayed <= 1.27x
-    — so pre-relative tests reject clean runs, floor-relative tests
-    don't. Any probe > ``ratio`` x min(mid_probes) is an offender.
+def box_busy_seconds() -> float:
+    """Whole-box consumed CPU seconds since boot (/proc/stat cpu line:
+    everything that is not idle/iowait — steal counts as busy because a
+    stolen core slows us exactly like a foreign process)."""
+    with open("/proc/stat") as fh:
+        vals = [int(v) for v in fh.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
 
-    Deliberately out of scope: load that is uniform from before the
-    first query — that inflates pre and mids alike, reads as a slow
-    box, and is already surfaced by BENCH_HISTORY's cross-run
-    calibration drift ratio and per-query regression list (the r05
-    machinery). ``pre_probe`` stays recorded for that cross-run story.
-    Pure function so the reject path is unit-testable without an
-    11-minute run."""
-    del pre_probe  # recorded upstream; see docstring
-    if len(mid_probes) < 2:
-        return []
-    floor = min(mid_probes)
-    if floor <= 0:
-        return []
-    return [p for p in mid_probes if p / floor > ratio]
+
+def tree_cpu_seconds() -> float:
+    """CPU seconds consumed by THIS process tree: self + every live
+    descendant (the py4j JVM outlives spark.stop(), and pyspark worker
+    daemons are its children) + each member's reaped children
+    (cutime/cstime), via /proc accounting."""
+    hz = os.sysconf("SC_CLK_TCK")
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                fields = fh.read().rsplit(")", 1)[1].split()
+            children.setdefault(int(fields[1]), []).append(int(d))
+        except (OSError, IndexError, ValueError):
+            continue
+    total = 0.0
+    stack = [os.getpid()]
+    seen = set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        stack.extend(children.get(pid, []))
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                fields = fh.read().rsplit(")", 1)[1].split()
+            total += sum(int(fields[i]) for i in (11, 12, 13, 14)) / hz
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
+def foreign_cpu_share(
+    busy_delta: float, tree_delta: float, wall: float, ncpus: int
+) -> float:
+    """Fraction of the BOX's capacity consumed by processes outside this
+    bench's tree during the run — the direct measurement of the r06
+    failure mode (a concurrent 32-core pytest read ~0.5; a quiet box
+    reads < 0.03: harness + OS housekeeping). Pure function so the
+    reject decision is unit-testable without an 11-minute run.
+
+    This replaced two probe-relative designs: interleaved calibration
+    probes CANNOT separate foreign load from the JVM's own state — on
+    instrumented quiet-box runs the probes carried a systematic
+    1.4-1.8x hot-heap tax over the pre-run value and their checkpoint
+    medians legitimately spread up to 3x with residual heap pressure,
+    so any probe threshold tight enough to catch 2x contamination also
+    rejected clean runs (three false rejections on 2026-08-15). The
+    probes remain recorded per checkpoint as drift diagnostics."""
+    if wall <= 0 or ncpus <= 0:
+        return 0.0
+    return max(0.0, busy_delta - tree_delta) / (wall * ncpus)
 
 
 def bench(sf_dir: str) -> tuple[
-    dict[str, float], dict[str, list[float]], list[float], float, list[float]
+    dict[str, float], dict[str, list[float]], list[float], float,
+    list[float], float,
 ]:
     from database_migration_engine_spark.plans import QUERIES
     from database_migration_engine_spark.session import build_session
@@ -202,10 +240,15 @@ def bench(sf_dir: str) -> tuple[
     mid_probes: list[float] = []
 
     # Pre-run probe: median of 3 — the reference speed of THIS box at
-    # the moment the run starts. Mid-run probes are judged against it.
+    # the moment the run starts (cross-run drift diagnostics only).
     pre = [round(calibration_probe(spark), 4) for _ in range(3)]
     pre_probe = statistics.median(pre)
     calib.extend(pre)
+
+    # Contamination accounting window opens here: everything the timed
+    # region consumes is in THIS tree (python + JVM + worker daemons);
+    # whatever else the box burns is foreign.
+    busy0, tree0, wall0 = box_busy_seconds(), tree_cpu_seconds(), time.time()
 
     def probe_mid() -> None:
         # median of 3 back-to-back probes per checkpoint: a single
@@ -250,12 +293,20 @@ def bench(sf_dir: str) -> tuple[
                 )
             except Exception:  # pragma: no cover
                 pass
+    # close the accounting window BEFORE spark.stop(): the JVM and its
+    # worker daemons are still live and fully visible to the tree walk
+    share = foreign_cpu_share(
+        box_busy_seconds() - busy0,
+        tree_cpu_seconds() - tree0,
+        time.time() - wall0,
+        os.cpu_count() or 1,
+    )
     spark.stop()
     timings = {
         name: (-1.0 if s[0] < 0 else round(estimate(s), 4))
         for name, s in samples.items()
     }
-    return timings, samples, calib, pre_probe, mid_probes
+    return timings, samples, calib, pre_probe, mid_probes, share
 
 
 def summarize(
@@ -389,17 +440,18 @@ def main() -> None:
     sys.stdout = os.fdopen(os.dup(1), "w")
     try:
         prev = load_previous_detail()
-        timings, samples, calib, pre_probe, mid_probes = bench(sf_dir)
+        timings, samples, calib, pre_probe, mid_probes, share = bench(sf_dir)
     finally:
         sys.stdout.flush()
         os.dup2(saved_stdout, 1)
         sys.stdout = os.fdopen(saved_stdout, "w")
 
-    offenders = contamination_verdict(pre_probe, mid_probes)
+    contaminated = share > FOREIGN_SHARE_MAX
     forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     summary = summarize(timings, sf, calib)
     summary["pre_probe_sec"] = round(pre_probe, 3)
-    summary["contaminated"] = bool(offenders)
+    summary["foreign_cpu_share"] = round(share, 4)
+    summary["contaminated"] = contaminated
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {
@@ -408,33 +460,31 @@ def main() -> None:
                 "samples": samples,
                 "calib_samples": calib,
                 "mid_probes": mid_probes,
-                "contamination_offenders": offenders,
                 "families": family_totals(timings),
             },
             f,
             indent=1,
             sort_keys=True,
         )
-    if offenders and not forced:
+    if contaminated and not forced:
         # Refuse the number: no stdout JSON ⇒ the driver has nothing to
         # record as BENCH_r*.json. The evidence stays in the detail file
         # and a rejected-run row in the history.
         with open(os.path.join(REPO, "BENCH_HISTORY.md"), "a") as f:
             f.write(
-                f"\n## CONTAMINATED RUN REJECTED — quietest mid-run "
-                f"probe {min(mid_probes):.3f}s, offenders up to "
-                f"{max(offenders):.3f}s "
-                f"({max(offenders) / min(mid_probes):.2f}×, threshold "
-                f"{CONTAMINATION_RATIO}×; pre-run probe {pre_probe:.3f}s); "
-                f"total would have been {summary['value']}s over "
-                f"{summary['n_queries']} queries. Re-run on a quiet box.\n"
+                f"\n## CONTAMINATED RUN REJECTED — foreign processes "
+                f"consumed {share:.1%} of the box during the timed "
+                f"region (threshold {FOREIGN_SHARE_MAX:.0%}); total "
+                f"would have been {summary['value']}s over "
+                f"{summary['n_queries']} queries. Re-run on a quiet "
+                f"box.\n"
             )
         print(
-            f"bench: CONTAMINATED — {len(offenders)}/{len(mid_probes)} "
-            f"mid-run probes exceeded {CONTAMINATION_RATIO}x the run's "
-            f"quietest mid-run probe ({min(mid_probes):.3f}s); worst "
-            f"{max(offenders):.3f}s. "
-            "Refusing to emit a summary line; re-run on a quiet box "
+            f"bench: CONTAMINATED — foreign processes consumed "
+            f"{share:.1%} of the box's CPU during the timed region "
+            f"(threshold {FOREIGN_SHARE_MAX:.0%}, measured from "
+            "/proc/stat minus this process tree). Refusing to emit a "
+            "summary line; re-run on a quiet box "
             "(SPARK_GRAFT_BENCH_FORCE=1 overrides).",
             file=sys.stderr,
         )

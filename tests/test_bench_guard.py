@@ -1,16 +1,21 @@
-"""The bench contamination sentinel (r06 verdict item 1): a recorded
-run whose mid-run calibration probes betray concurrent load must be
+"""The bench contamination sentinel (r06 verdict item 1): a run during
+which foreign processes consumed a material share of the box must be
 REJECTED — no stdout summary line, exit 3 — so the driver never records
 a contaminated number as BENCH_r*.json. The r06 record (531.6 s vs a
-228.6 s quiet re-run of identical code) passed its before-pass probe;
-only an interleaved probe can see that failure mode."""
+228.6 s quiet re-run of identical code) was inflated by concurrent load
+invisible to a before-pass probe; the detector measures that load
+DIRECTLY as /proc/stat box CPU minus this process tree's CPU. (Three
+probe-relative designs were tried first and rejected clean runs — see
+bench.py's contamination docstrings.)"""
 
 from __future__ import annotations
 
 import importlib.util
 import json
+import multiprocessing
 import os
 import sys
+import time
 
 import pytest
 
@@ -26,35 +31,79 @@ def _load_bench():
     return mod
 
 
-def test_contamination_verdict_pure():
+def test_foreign_cpu_share_pure():
     bench = _load_bench()
-    # clean: BOTH measured quiet-box hot-heap patterns (runs 1 and 2,
-    # 2026-08-15) must NOT reject — these exact series falsely tripped
-    # the first two pre-probe-relative guard designs (mids sit 1.4-1.8x
-    # above the volatile pre value but spread <= 1.27x internally)
-    quiet1 = [0.8567, 0.8179, 0.6531, 0.7257, 0.6853,
-              0.7296, 0.6441, 0.6116, 0.7316]
-    quiet2 = [0.8295, 0.8401, 0.7897, 0.7224, 0.6903,
-              0.78, 0.6898, 0.7152, 0.6621]
-    assert bench.contamination_verdict(0.526, quiet1) == []
-    assert bench.contamination_verdict(0.472, quiet2) == []
-    # load arriving mid-run: probes in the loaded window spike vs the
-    # run's own quiet floor (the r06 failure mode)
-    assert bench.contamination_verdict(0.5, [0.62, 0.65, 1.9, 2.4, 0.7]) \
-        == [1.9, 2.4]
-    # boundary: exactly 2x the floor is NOT contamination (>)
-    assert bench.contamination_verdict(0.5, [0.6, 1.2]) == []
-    assert bench.contamination_verdict(0.5, [0.6, 1.21]) == [1.21]
-    # the pre-run probe value is NOT part of the verdict (hot-heap tax
-    # makes it apples-to-oranges) — identical mids, any pre, same answer
-    assert bench.contamination_verdict(99.0, [0.6, 1.21]) == [1.21]
-    assert bench.contamination_verdict(0.0, [0.6, 0.7]) == []
-    # fewer than 2 mid probes (tiny registry): no internal baseline
-    assert bench.contamination_verdict(0.6, []) == []
-    assert bench.contamination_verdict(0.6, [5.0]) == []
+    # quiet box: tree consumed everything the box consumed
+    assert bench.foreign_cpu_share(100.0, 100.0, 10.0, 32) == 0.0
+    # accounting jitter can make tree > busy: clamps at 0, never negative
+    assert bench.foreign_cpu_share(100.0, 103.0, 10.0, 32) == 0.0
+    # r06-style: half the box burned by someone else for the whole run
+    share = bench.foreign_cpu_share(320.0, 160.0, 10.0, 32)
+    assert abs(share - 0.5) < 1e-9
+    # an 8%-of-box intruder sits exactly at the threshold boundary
+    share = bench.foreign_cpu_share(160.0, 160.0 - 25.6, 10.0, 32)
+    assert abs(share - 0.08) < 1e-9
+    # degenerate window never divides by zero
+    assert bench.foreign_cpu_share(1.0, 0.0, 0.0, 32) == 0.0
+    assert bench.foreign_cpu_share(1.0, 0.0, 1.0, 0) == 0.0
 
 
-def _run_main_with_fake_bench(monkeypatch, tmp_path, mid_probes):
+def test_tree_cpu_accounting_sees_foreign_burn():
+    """End-to-end on the real /proc counters: a CPU burner OUTSIDE our
+    measurement tree must show up as foreign share, and our own burn
+    must NOT."""
+    bench = _load_bench()
+    ncpus = os.cpu_count() or 1
+
+    def burn(seconds: float) -> None:
+        end = time.time() + seconds
+        while time.time() < end:
+            pass
+
+    # (a) our own burn is attributed to the tree -> near-zero foreign
+    busy0, tree0, w0 = (
+        bench.box_busy_seconds(), bench.tree_cpu_seconds(), time.time(),
+    )
+    procs = [multiprocessing.Process(target=burn, args=(1.0,))
+             for _ in range(2)]
+    [p.start() for p in procs]
+    [p.join() for p in procs]
+    share_own = bench.foreign_cpu_share(
+        bench.box_busy_seconds() - busy0,
+        bench.tree_cpu_seconds() - tree0,
+        time.time() - w0,
+        ncpus,
+    )
+    # reaped children land in our cutime/cstime; tolerance for harness
+    # background activity on a shared box
+    assert share_own < 0.06, share_own
+
+    # (b) a detached burner (daemonized via double-fork so it leaves our
+    # tree) reads as foreign
+    pid = os.fork()
+    if pid == 0:  # child: detach and burn
+        if os.fork() == 0:  # grandchild, reparented to init
+            end = time.time() + 1.5
+            while time.time() < end:
+                pass
+            os._exit(0)
+        os._exit(0)
+    os.waitpid(pid, 0)  # reap the intermediate child immediately
+    busy0, tree0, w0 = (
+        bench.box_busy_seconds(), bench.tree_cpu_seconds(), time.time(),
+    )
+    time.sleep(1.2)  # the grandchild burns one full core meanwhile
+    share_foreign = bench.foreign_cpu_share(
+        bench.box_busy_seconds() - busy0,
+        bench.tree_cpu_seconds() - tree0,
+        time.time() - w0,
+        ncpus,
+    )
+    # one core of ncpus for the window ~= 1/ncpus of the box
+    assert share_foreign > 0.5 / ncpus, (share_foreign, ncpus)
+
+
+def _run_main_with_fake_bench(monkeypatch, tmp_path, share):
     """Drive bench.main() end-to-end with bench() stubbed to a synthetic
     measurement: exercises the real reject/accept branch, the history
     append, the detail file, and the stdout contract."""
@@ -66,9 +115,10 @@ def _run_main_with_fake_bench(monkeypatch, tmp_path, mid_probes):
         lambda sf_dir: (
             {"q1": 1.0, "q2": 2.0},
             {"q1": [1.0], "q2": [2.0]},
-            [0.6, 0.6, 0.6] + mid_probes,
+            [0.6, 0.6, 0.6, 0.65, 0.7],
             0.6,
-            mid_probes,
+            [0.65, 0.7],
+            share,
         ),
     )
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -77,44 +127,38 @@ def _run_main_with_fake_bench(monkeypatch, tmp_path, mid_probes):
 
 
 def test_main_rejects_contaminated_run(monkeypatch, tmp_path, capfd):
-    bench = _run_main_with_fake_bench(
-        monkeypatch, tmp_path, mid_probes=[0.62, 1.8, 0.61]
-    )
+    bench = _run_main_with_fake_bench(monkeypatch, tmp_path, share=0.42)
     with pytest.raises(SystemExit) as exc:
         bench.main()
     assert exc.value.code == 3
     out, err = capfd.readouterr()
     # the driver-parsed stdout carries NO summary JSON line
     assert '"metric"' not in out
-    assert "CONTAMINATED" in err
+    assert "CONTAMINATED" in err and "42.0%" in err
     # evidence persisted: detail file flags it, history records the reject
     detail = json.load(open(tmp_path / "BENCH_DETAIL.json"))
     assert detail["contaminated"] is True
-    assert detail["contamination_offenders"] == [1.8]
+    assert detail["foreign_cpu_share"] == 0.42
     hist = open(tmp_path / "BENCH_HISTORY.md").read()
     assert "CONTAMINATED RUN REJECTED" in hist
 
 
 def test_main_accepts_clean_run(monkeypatch, tmp_path, capfd):
-    bench = _run_main_with_fake_bench(
-        monkeypatch, tmp_path, mid_probes=[0.62, 0.7, 0.61]
-    )
+    bench = _run_main_with_fake_bench(monkeypatch, tmp_path, share=0.02)
     bench.main()
     out, _err = capfd.readouterr()
     line = [l for l in out.splitlines() if l.startswith("{")][-1]
     summary = json.loads(line)
     assert summary["metric"] == "total_query_time"
     assert summary["contaminated"] is False
-    assert summary["pre_probe_sec"] == 0.6
+    assert summary["foreign_cpu_share"] == 0.02
     assert summary["value"] == 3.0
     detail = json.load(open(tmp_path / "BENCH_DETAIL.json"))
     assert detail["contaminated"] is False
 
 
 def test_main_force_overrides_reject(monkeypatch, tmp_path, capfd):
-    bench = _run_main_with_fake_bench(
-        monkeypatch, tmp_path, mid_probes=[0.6, 1.8]
-    )
+    bench = _run_main_with_fake_bench(monkeypatch, tmp_path, share=0.42)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
     bench.main()
     out, _err = capfd.readouterr()
