@@ -10,11 +10,15 @@ genuinely parses PNG headers (IHDR width/height via ``struct``), JPEG
 headers (SOFn segment walk — baseline and progressive), and WAV headers
 (stdlib ``wave``) — no PIL/librosa needed; payloads in any OTHER format
 still raise NotImplementedError at the exact seam where full media
-libraries would go (pixel decode, spectrograms, video frames remain out
-of reach in this container). ``mode="fake"`` produces deterministic hash-derived
-features with the real batch shape for format-agnostic plumbing tests.
-Everything Spark-side — schema, partitioning, UDF signature, batch
-iteration — is real and tested in both modes.
+libraries would go. Full PIXEL/SAMPLE decode (the ``pixel_stats`` /
+``avi_frame_stats`` path) covers 24bpp BMP, PCM WAV, 8-bit PNG
+(zlib inflate + unfilter), palette GIF (complete LZW), baseline JPEG
+(huffman + IDCT) and multi-frame uncompressed-DIB AVI video — the
+remaining seam is progressive JPEG, MP3 and compressed video codecs.
+``mode="fake"`` produces deterministic hash-derived features with the
+real batch shape for format-agnostic plumbing tests. Everything
+Spark-side — schema, partitioning, UDF signature, batch iteration — is
+real and tested in both modes.
 """
 
 from __future__ import annotations
@@ -1212,19 +1216,221 @@ def parse_wav_header(data: bytes) -> tuple[int, int, int, int]:
         return (w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth())
 
 
-def make_avi(width: int, height: int, n_frames: int) -> bytes:
+def avi_pixel(x: int, y: int, f: int) -> tuple[int, int, int]:
+    """Generative (b, g, r) for AVI frame ``f`` at ``(x, y)`` — the
+    ``bmp_pixel`` linear-congruence family extended with a per-frame
+    term so every frame differs and the oracle can recompute each
+    frame's statistics analytically."""
+    return (
+        (x * 7 + y * 13 + f * 19) % 256,
+        (x * 11 + y * 3 + f * 23) % 256,
+        (x * 5 + y * 17 + f * 29) % 256,
+    )
+
+
+def make_avi(
+    width: int, height: int, n_frames: int, pixels: bool = False
+) -> bytes:
     """Minimal structurally-valid RIFF AVI: the ``hdrl`` LIST with a
     56-byte ``avih`` main header (dwTotalFrames / dwWidth / dwHeight at
-    their spec offsets) plus an empty ``movi`` LIST — the container
-    shape every AVI demuxer probes first."""
+    their spec offsets) plus a ``movi`` LIST — the container shape
+    every AVI demuxer probes first. With ``pixels=True`` the movi LIST
+    carries ``n_frames`` real uncompressed-DIB ``00db`` frame chunks
+    (bottom-up BGR rows padded to 4 bytes — the exact BMP pixel-array
+    layout, per the Video-for-Windows DIB-frame convention), pixel
+    values from ``avi_pixel``."""
     avih = struct.pack(
         "<14I", 33333, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
     )
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
     lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
-    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    movi_body = b"movi"
+    if pixels:
+        row_pad = b"\x00" * ((-width * 3) % 4)
+        for f in range(n_frames):
+            rows = []
+            for y in range(height - 1, -1, -1):  # bottom-up like BMP
+                row = bytearray()
+                for x in range(width):
+                    row += bytes(avi_pixel(x, y, f))
+                rows.append(bytes(row) + row_pad)
+            frame = b"".join(rows)
+            chunk = b"00db" + struct.pack("<I", len(frame)) + frame
+            if len(frame) % 2:  # RIFF chunks are word-aligned
+                chunk += b"\x00"
+            movi_body += chunk
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     body = b"AVI " + lst + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _iter_avi_dib_frames(data: bytes):
+    """Demux an uncompressed-DIB AVI: yields ``(frame_idx, width,
+    height, body)`` for every ``00db`` chunk in the ``movi`` LIST (body
+    = bottom-up BGR rows padded to 4 bytes). Raises ValueError when the
+    container is malformed or the avih frame count disagrees with the
+    movi chunk count — compressed codecs (``00dc`` etc.) are skipped
+    and therefore surface as that count mismatch, the documented
+    seam."""
+    width, height, n_frames = parse_avi_header(data)
+    p = data.find(b"LIST", 12)
+    movi_start = movi_end = -1
+    while 0 <= p <= len(data) - 12:
+        size = struct.unpack("<I", data[p + 4 : p + 8])[0]
+        if data[p + 8 : p + 12] == b"movi":
+            movi_start, movi_end = p + 12, p + 8 + size
+            break
+        p = data.find(b"LIST", p + 8 + size + (size % 2))
+    if movi_start < 0:
+        raise ValueError("AVI missing movi LIST")
+    row_size = (width * 3 + 3) & ~3
+    frame_size = row_size * height
+    decoded = 0
+    q = movi_start
+    while q + 8 <= movi_end:
+        cid = data[q : q + 4]
+        csize = struct.unpack("<I", data[q + 4 : q + 8])[0]
+        body = data[q + 8 : q + 8 + csize]
+        q += 8 + csize + (csize % 2)
+        if cid != b"00db":
+            continue
+        if len(body) < frame_size:
+            raise ValueError("truncated AVI DIB frame")
+        yield decoded, width, height, body
+        decoded += 1
+    if decoded != n_frames:
+        raise ValueError(
+            f"avih promises {n_frames} frames, movi carries {decoded}"
+        )
+
+
+def _dib_channel_stats(body: bytes, width: int, height: int):
+    """(sums, mins, maxs) per BGR channel over one DIB frame body."""
+    row_size = (width * 3 + 3) & ~3
+    sums = [0, 0, 0]
+    mins = [255, 255, 255]
+    maxs = [0, 0, 0]
+    for r in range(height):
+        row = body[r * row_size : r * row_size + width * 3]
+        for c in range(3):
+            ch = row[c::3]
+            sums[c] += sum(ch)
+            mins[c] = min(mins[c], min(ch))
+            maxs[c] = max(maxs[c], max(ch))
+    return sums, mins, maxs
+
+
+def decode_avi_frames(data: bytes) -> dict:
+    """FULL frame decode of an uncompressed-DIB AVI — stdlib struct
+    only, no ffmpeg: walks the ``movi`` LIST, decodes every ``00db``
+    DIB frame (bottom-up BGR rows padded to 4 bytes) and returns
+    integer per-channel statistics over ALL frames' pixels in the
+    ``decode_bmp_pixels`` shape (n_units = w*h*frames). Raises
+    ValueError outside the uncompressed-DIB envelope; compressed video
+    codecs remain the documented seam."""
+    sums = [0, 0, 0]
+    mins = [255, 255, 255]
+    maxs = [0, 0, 0]
+    n_px = 0
+    for _idx, width, height, body in _iter_avi_dib_frames(data):
+        fs, fmin, fmax = _dib_channel_stats(body, width, height)
+        for c in range(3):
+            sums[c] += fs[c]
+            mins[c] = min(mins[c], fmin[c])
+            maxs[c] = max(maxs[c], fmax[c])
+        n_px += width * height
+    return {
+        "n_units": n_px,
+        "sum_b": sums[0], "min_b": mins[0], "max_b": maxs[0],
+        "sum_g": sums[1], "min_g": mins[1], "max_g": maxs[1],
+        "sum_r": sums[2], "min_r": mins[2], "max_r": maxs[2],
+    }
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("min_b", T.LongType()),
+        T.StructField("max_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("min_g", T.LongType()),
+        T.StructField("max_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("min_r", T.LongType()),
+        T.StructField("max_r", T.LongType()),
+    ]
+)
+
+
+def synth_video_assets(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic multi-frame uncompressed-DIB AVIs (``avi_pixel``
+    pattern, up to 8 frames each) — distributed Arrow-batched
+    generation, same shape as ``synth_pixel_assets``."""
+    ensure_worker_imports(spark)
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = make_avi(
+                    4 + i % 9, 3 + i % 6, 2 + i % 7, pixels=True
+                )
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "modality": "video",
+                        "payload": payload,
+                        "meta": {
+                            "mime": "video/x-msvideo",
+                            "n_bytes": len(payload),
+                            "source_uri": f"synthetic://video/{i}",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(build, schema=ASSET_SCHEMA)
+
+
+def avi_frame_stats(assets: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame-sampling over video payloads: demux each AVI's movi
+    LIST, decode every ``every_n``-th ``00db`` DIB frame, one output
+    row per (asset, sampled frame) with integer per-channel stats —
+    the decoded-pixels upgrade of ``frame_sample``'s byte-offset
+    plumbing. Arrow-batched ``mapInPandas``; per-asset work is
+    O(payload) with no cross-row state."""
+    ensure_worker_imports(assets.sparkSession)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for idx, w, h, body in _iter_avi_dib_frames(bytes(payload)):
+                    if idx % every_n:
+                        continue
+                    sums, mins, maxs = _dib_channel_stats(body, w, h)
+                    rows.append(
+                        {
+                            "asset_id": int(aid),
+                            "frame_idx": idx,
+                            "n_px": w * h,
+                            "sum_b": sums[0], "min_b": mins[0],
+                            "max_b": maxs[0],
+                            "sum_g": sums[1], "min_g": mins[1],
+                            "max_g": maxs[1],
+                            "sum_r": sums[2], "min_r": mins[2],
+                            "max_r": maxs[2],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_STATS_SCHEMA])
+
+    return assets.filter(F.col("modality") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
 def parse_avi_header(data: bytes) -> tuple[int, int, int]:
@@ -1320,6 +1526,83 @@ def parse_mp4_header(data: bytes) -> tuple[int, int, int, int]:
     return width, height, timescale, duration
 
 
+# MPEG-1 Layer III frame-header tables (ISO/IEC 11172-3 §2.4.2.3):
+# bitrate index → kbps, sampling-frequency index → Hz. Index 0 is the
+# "free" bitrate and 15 is forbidden; 1152 samples per Layer III frame.
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def make_mp3(
+    n_frames: int, bitrate_kbps: int = 128, samplerate: int = 44100,
+    padding_every: int = 0,
+) -> bytes:
+    """Structurally-valid MPEG-1 Layer III stream: ``n_frames`` frames
+    with spec-exact 4-byte headers (sync / version / layer / bitrate /
+    samplerate / padding bits) and zeroed main_data — a header WALK
+    (frame count, duration, CBR bitrate) parses this exactly like a
+    real encoder's output; the audio payload itself is silence-shaped
+    filler since Layer III entropy coding is the documented seam.
+    ``padding_every=k`` sets the padding bit on every k-th frame (the
+    44.1 kHz rate-adaptation case a real CBR stream exhibits)."""
+    bidx = _MP3_BITRATES.index(bitrate_kbps)
+    ridx = _MP3_RATES.index(samplerate)
+    out = bytearray()
+    for f in range(n_frames):
+        pad = 1 if (padding_every and (f + 1) % padding_every == 0) else 0
+        # 0xFF 0xFB = sync + MPEG1 (0b11) + Layer III (0b01) + no-CRC (1)
+        hdr = bytes(
+            [0xFF, 0xFB, (bidx << 4) | (ridx << 2) | (pad << 1), 0x00]
+        )
+        frame_len = (144 * bitrate_kbps * 1000) // samplerate + pad
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def parse_mp3_frames(data: bytes) -> tuple[int, int, int, int]:
+    """Frame-header WALK of an MPEG-1 Layer III stream — stdlib only:
+    validates each 4-byte header (sync, version, layer, bitrate and
+    samplerate indices), steps by the spec frame-length formula
+    ``144 * bitrate / samplerate + padding``, and returns
+    ``(samplerate_hz, bitrate_kbps, n_frames, duration_ms)`` with
+    duration from 1152 samples per frame. Raises ValueError on broken
+    sync or forbidden indices; Layer III entropy DECODE (huffman +
+    IMDCT + synthesis filterbank) remains the documented seam."""
+    if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE0) != 0xE0:
+        raise ValueError("not an MPEG audio stream")
+    p = 0
+    n_frames = 0
+    bitrate_kbps = samplerate = None
+    while p + 4 <= len(data):
+        if data[p] != 0xFF or (data[p + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {p}")
+        version = (data[p + 1] >> 3) & 0x3
+        layer = (data[p + 1] >> 1) & 0x3
+        if version != 0b11 or layer != 0b01:
+            raise ValueError("only MPEG-1 Layer III frames supported")
+        bidx = (data[p + 2] >> 4) & 0xF
+        ridx = (data[p + 2] >> 2) & 0x3
+        pad = (data[p + 2] >> 1) & 0x1
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError("free/forbidden bitrate or samplerate index")
+        br = _MP3_BITRATES[bidx]
+        sr = _MP3_RATES[ridx]
+        if bitrate_kbps is None:
+            bitrate_kbps, samplerate = br, sr
+        elif (br, sr) != (bitrate_kbps, samplerate):
+            raise ValueError("VBR/rate-switch streams not supported")
+        frame_len = (144 * br * 1000) // sr + pad
+        if p + frame_len > len(data):
+            raise ValueError("truncated final MP3 frame")
+        p += frame_len
+        n_frames += 1
+    duration_ms = n_frames * _MP3_SAMPLES_PER_FRAME * 1000 // samplerate
+    return samplerate, bitrate_kbps, n_frames, duration_ms
+
+
 def _decode_real(b: bytes) -> tuple[int, int]:
     """Header-level decode for the formats stdlib can parse. Returns the
     (width, height) feature pair; for audio the temporal dimensions map
@@ -1347,6 +1630,9 @@ def _decode_real(b: bytes) -> tuple[int, int]:
     if b[4:8] == b"ftyp":
         w, h, _ts, _dur = parse_mp4_header(b)
         return int(w), int(h)
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        samplerate, _bitrate, n_frames, _dur = parse_mp3_frames(b)
+        return int(samplerate), int(n_frames)
     raise NotImplementedError(
         "only PNG, JPEG, GIF, BMP, WAV, AVI and MP4 headers are parseable"
         " without media libraries; FULL decode is real for 24bpp BMP"
@@ -1380,7 +1666,7 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
-    """Deterministic FULLY-DECODABLE assets cycling i%5: 24bpp BMP with
+    """Deterministic FULLY-DECODABLE assets cycling i%6: 24bpp BMP with
     a real pixel array (``bmp_pixel`` pattern), 8-bit PCM WAV
     (``make_wav`` ramp pattern), 8-bit grayscale PNG (``png_pixel``
     pattern — zlib-compressed, genuinely decompressed+unfiltered on
@@ -1388,7 +1674,9 @@ def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
     LZW-compressed and LZW-decoded), and baseline JPEG (``jpeg_pixel``
     block-constant pattern — genuinely huffman-entropy-decoded +
     IDCT'd, bit-exact because DC-only blocks at quant=1 are the
-    lossless corner of the codec). Distributed Arrow-batched
+    lossless corner of the codec), and multi-frame uncompressed-DIB
+    AVI (``avi_pixel`` pattern — real ``movi``/``00db`` frame chunks,
+    demuxed and decoded frame by frame). Distributed Arrow-batched
     generation, same shape as ``synth_real_assets``."""
     ensure_worker_imports(spark)
 
@@ -1397,26 +1685,31 @@ def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 5 == 0:
+                if i % 6 == 0:
                     payload = make_bmp(5 + i % 13, 3 + i % 7, pixels=True)
                     modality, mime = "image", "image/bmp"
-                elif i % 5 == 1:
+                elif i % 6 == 1:
                     payload = make_wav(40 + i % 160, amplitude=1 + i % 9)
                     modality, mime = "audio", "audio/wav"
-                elif i % 5 == 2:
+                elif i % 6 == 2:
                     payload = make_png(
                         6 + i % 12, 4 + i % 6, pattern=True
                     )
                     modality, mime = "image", "image/png"
-                elif i % 5 == 3:
+                elif i % 6 == 3:
                     payload = make_gif(4 + i % 14, 3 + i % 8, pixels=True)
                     modality, mime = "image", "image/gif"
-                else:
+                elif i % 6 == 4:
                     payload = make_jpeg_baseline(
                         9 + i % 24, 7 + i % 19,
                         restart_interval=(i % 3),
                     )
                     modality, mime = "image", "image/jpeg"
+                else:
+                    payload = make_avi(
+                        4 + i % 9, 3 + i % 6, 2 + i % 4, pixels=True
+                    )
+                    modality, mime = "video", "video/x-msvideo"
                 rows.append(
                     {
                         "asset_id": i,
@@ -1462,11 +1755,15 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                 elif b[:2] == JPEG_SOI:
                     stats = decode_jpeg_pixels(b)
                     kind = "jpeg"
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    stats = decode_avi_frames(b)
+                    kind = "avi"
                 else:
                     raise NotImplementedError(
                         "pixel_stats full-decodes 24bpp BMP, 8/16-bit"
-                        " PCM WAV, 8-bit PNG, palette GIF and baseline"
-                        " JPEG; progressive JPEG and video frames need"
+                        " PCM WAV, 8-bit PNG, palette GIF, baseline"
+                        " JPEG and uncompressed-DIB AVI; progressive"
+                        " JPEG and compressed video codecs need"
                         " PIL/ffmpeg"
                     )
                 rows.append({"asset_id": int(aid), "kind": kind, **stats})

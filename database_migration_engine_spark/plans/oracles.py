@@ -3362,7 +3362,7 @@ ORDER BY asset_id
 # for WAV's missing g/r channels.
 ORACLES["multimodal_pixel_stats"] = """
 WITH ids AS (SELECT unnest(range(80)) AS i),
-bmp AS (SELECT i, 5 + i % 13 AS w, 3 + i % 7 AS h FROM ids WHERE i % 5 = 0),
+bmp AS (SELECT i, 5 + i % 13 AS w, 3 + i % 7 AS h FROM ids WHERE i % 6 = 0),
 px AS (
     SELECT b.i,
            (x.x * 7 + y.y * 13) % 256 AS vb,
@@ -3385,7 +3385,7 @@ bmp_stats AS (
            CAST(MAX(vr) AS BIGINT) AS max_r
     FROM px GROUP BY i
 ),
-wav AS (SELECT i, 40 + i % 160 AS n, 1 + i % 9 AS a FROM ids WHERE i % 5 = 1),
+wav AS (SELECT i, 40 + i % 160 AS n, 1 + i % 9 AS a FROM ids WHERE i % 6 = 1),
 smp AS (
     SELECT w.i, 128 + (j.j * w.a) % 64 AS s
     FROM wav w JOIN (SELECT unnest(range(200)) AS j) j ON j.j < w.n
@@ -3400,7 +3400,7 @@ wav_stats AS (
            CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
     FROM smp GROUP BY i
 ),
-png AS (SELECT i, 6 + i % 12 AS w, 4 + i % 6 AS h FROM ids WHERE i % 5 = 2),
+png AS (SELECT i, 6 + i % 12 AS w, 4 + i % 6 AS h FROM ids WHERE i % 6 = 2),
 gpx AS (
     SELECT g.i, (x.x * 3 + y.y * 7) % 256 AS v
     FROM png g
@@ -3417,7 +3417,7 @@ png_stats AS (
            CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
     FROM gpx GROUP BY i
 ),
-gif AS (SELECT i, 4 + i % 14 AS w, 3 + i % 8 AS h FROM ids WHERE i % 5 = 3),
+gif AS (SELECT i, 4 + i % 14 AS w, 3 + i % 8 AS h FROM ids WHERE i % 6 = 3),
 fpx AS (
     SELECT g.i, (x.x * 5 + y.y * 11) % 256 AS v
     FROM gif g
@@ -3434,7 +3434,7 @@ gif_stats AS (
            CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
     FROM fpx GROUP BY i
 ),
-jpg AS (SELECT i, 9 + i % 24 AS w, 7 + i % 19 AS h FROM ids WHERE i % 5 = 4),
+jpg AS (SELECT i, 9 + i % 24 AS w, 7 + i % 19 AS h FROM ids WHERE i % 6 = 4),
 jpx AS (
     SELECT j.i, ((x.x // 8) * 13 + (y.y // 8) * 29 + 7) % 256 AS v
     FROM jpg j
@@ -3449,14 +3449,75 @@ jpg_stats AS (
            CAST(-1 AS BIGINT) AS sum_g, CAST(-1 AS BIGINT) AS min_g,
            CAST(-1 AS BIGINT) AS max_g, CAST(-1 AS BIGINT) AS sum_r,
            CAST(-1 AS BIGINT) AS min_r, CAST(-1 AS BIGINT) AS max_r
-    FROM jpx GROUP BY i
+    FROM jpx GROUP BY i),
+avi AS (SELECT i, 4 + i % 9 AS w, 3 + i % 6 AS h, 2 + i % 4 AS n
+        FROM ids WHERE i % 6 = 5),
+apx AS (
+    SELECT a.i,
+           (x.x * 7 + y.y * 13 + f.f * 19) % 256 AS vb,
+           (x.x * 11 + y.y * 3 + f.f * 23) % 256 AS vg,
+           (x.x * 5 + y.y * 17 + f.f * 29) % 256 AS vr
+    FROM avi a
+    JOIN (SELECT unnest(range(13)) AS x) x ON x.x < a.w
+    JOIN (SELECT unnest(range(9)) AS y) y ON y.y < a.h
+    JOIN (SELECT unnest(range(6)) AS f) f ON f.f < a.n
+),
+avi_stats AS (
+    SELECT i, 'avi' AS kind, CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(MIN(vb) AS BIGINT) AS min_b,
+           CAST(MAX(vb) AS BIGINT) AS max_b,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(MIN(vg) AS BIGINT) AS min_g,
+           CAST(MAX(vg) AS BIGINT) AS max_g,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(MIN(vr) AS BIGINT) AS min_r,
+           CAST(MAX(vr) AS BIGINT) AS max_r
+    FROM apx GROUP BY i
 )
 SELECT i AS asset_id, kind, n_units,
        sum_b, min_b, max_b, sum_g, min_g, max_g, sum_r, min_r, max_r
 FROM (SELECT * FROM bmp_stats UNION ALL SELECT * FROM wav_stats
       UNION ALL SELECT * FROM png_stats UNION ALL SELECT * FROM gif_stats
-      UNION ALL SELECT * FROM jpg_stats)
+      UNION ALL SELECT * FROM jpg_stats UNION ALL SELECT * FROM avi_stats)
 ORDER BY asset_id
+"""
+
+
+# video_frame_stats: the engine demuxes real AVI movi LISTs and decodes
+# every 2nd DIB frame's pixels; the oracle recomputes identical integer
+# statistics from the avi_pixel generative formula (frame-indexed linear
+# congruences) — frame decode certified without ffmpeg.
+ORACLES["video_frame_stats"] = """
+WITH ids AS (SELECT unnest(range(40)) AS i),
+avi AS (SELECT i, 4 + i % 9 AS w, 3 + i % 6 AS h, 2 + i % 7 AS n FROM ids),
+fr AS (
+    SELECT a.i, a.w, a.h, f.f
+    FROM avi a
+    JOIN (SELECT unnest(range(9)) AS f) f ON f.f < a.n AND f.f % 2 = 0
+),
+px AS (
+    SELECT fr.i, fr.f,
+           (x.x * 7 + y.y * 13 + fr.f * 19) % 256 AS vb,
+           (x.x * 11 + y.y * 3 + fr.f * 23) % 256 AS vg,
+           (x.x * 5 + y.y * 17 + fr.f * 29) % 256 AS vr
+    FROM fr
+    JOIN (SELECT unnest(range(13)) AS x) x ON x.x < fr.w
+    JOIN (SELECT unnest(range(9)) AS y) y ON y.y < fr.h
+)
+SELECT i AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(vb) AS BIGINT) AS sum_b,
+       CAST(MIN(vb) AS BIGINT) AS min_b,
+       CAST(MAX(vb) AS BIGINT) AS max_b,
+       CAST(SUM(vg) AS BIGINT) AS sum_g,
+       CAST(MIN(vg) AS BIGINT) AS min_g,
+       CAST(MAX(vg) AS BIGINT) AS max_g,
+       CAST(SUM(vr) AS BIGINT) AS sum_r,
+       CAST(MIN(vr) AS BIGINT) AS min_r,
+       CAST(MAX(vr) AS BIGINT) AS max_r
+FROM px GROUP BY i, f
+ORDER BY asset_id, frame_idx
 """
 
 

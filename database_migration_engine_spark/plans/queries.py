@@ -1233,18 +1233,21 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_pixel_stats")
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL media decode with stdlib only (r05 item 5 + r07 JPEG): asset
-    ids cycle 24bpp BMP (real pixel array) / 8-bit PCM WAV / 8-bit
-    grayscale PNG (zlib inflate + scanline unfilter) / palette GIF
-    (real LZW decompression) / baseline JPEG (huffman entropy decode +
-    dequant + IDCT, restart markers included — THREE genuinely
+    """FULL media decode with stdlib only (r05 item 5 + r07 JPEG/AVI):
+    asset ids cycle 24bpp BMP (real pixel array) / 8-bit PCM WAV /
+    8-bit grayscale PNG (zlib inflate + scanline unfilter) / palette
+    GIF (real LZW decompression) / baseline JPEG (huffman entropy
+    decode + dequant + IDCT, restart markers included — THREE genuinely
     COMPRESSED formats decoded end-to-end with no media library; the
     JPEG pattern is block-constant so the lossy codec's round trip is
-    bit-exact at quant=1); the engine genuinely decodes
-    bytes → per-channel integer sum/min/max
-    (operators/multimodal.py: decode_bmp_pixels / decode_wav_samples /
-    decode_png_pixels / decode_gif_pixels / decode_jpeg_pixels,
-    Arrow-batched mapInPandas). The oracle
+    bit-exact at quant=1) / multi-frame uncompressed-DIB AVI (the movi
+    LIST demuxed, every 00db frame's BGR rows decoded — video frames
+    now decode for the uncompressed codec; compressed codecs remain the
+    seam); the engine genuinely decodes bytes → per-channel integer
+    sum/min/max (operators/multimodal.py: decode_bmp_pixels /
+    decode_wav_samples / decode_png_pixels / decode_gif_pixels /
+    decode_jpeg_pixels / decode_avi_frames, Arrow-batched mapInPandas).
+    The oracle
     recomputes the same statistics analytically from the generative
     pixel/sample formulas — integer-exact, so the decode path is
     value-certified without any reference media library. Missing
@@ -1265,6 +1268,25 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("min_r", neg1).alias("min_r"),
         F.coalesce("max_r", neg1).alias("max_r"),
     ).orderBy("asset_id")
+
+
+@query("video_frame_stats")
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling with REAL pixel decode (r07): 40 synthetic
+    multi-frame uncompressed-DIB AVIs → demux each movi LIST, decode
+    every 2nd 00db frame (bottom-up BGR rows, the VfW DIB layout), one
+    row per (asset, sampled frame) with integer per-channel sum/min/max
+    (operators/multimodal.py: synth_video_assets / avi_frame_stats,
+    Arrow-batched mapInPandas — the decoded-pixels upgrade of the
+    frame_sample byte-offset plumbing). The oracle recomputes the same
+    statistics analytically from the avi_pixel generative formula, so
+    the demux + frame decode is value-certified without ffmpeg."""
+    from ..operators import multimodal as MM
+
+    ensure_deterministic(spark)
+    return MM.avi_frame_stats(
+        MM.synth_video_assets(spark, 40), every_n=2
+    ).orderBy("asset_id", "frame_idx")
 
 
 @query("dedup_embedding")

@@ -482,7 +482,7 @@ def test_resize_real_bmp_distributed(spark):
         F.col("meta.mime") == "image/bmp"
     )
     rows = MM.resize(assets, target_w=4, target_h=4, mode="real").collect()
-    assert len(rows) == 4  # ids 0, 4, 8, 12
+    assert len(rows) == 3  # ids 0, 6, 12 (the %6 cycle's BMP slots)
     for r in rows:
         assert MM.parse_bmp_header(bytes(r.payload)) == (4, 4)
 
@@ -491,6 +491,7 @@ def test_pixel_stats_matches_reference(spark):
     from database_migration_engine_spark.operators import multimodal as MM
 
     from database_migration_engine_spark.operators.multimodal import (
+        avi_pixel,
         gif_pixel,
         jpeg_pixel,
         png_pixel,
@@ -498,17 +499,17 @@ def test_pixel_stats_matches_reference(spark):
 
     got = {
         r.asset_id: r.asDict()
-        for r in MM.pixel_stats(MM.synth_pixel_assets(spark, 21)).collect()
+        for r in MM.pixel_stats(MM.synth_pixel_assets(spark, 24)).collect()
     }
-    assert len(got) == 21
-    for i in range(21):
+    assert len(got) == 24
+    for i in range(24):
         r = got[i]
-        if i % 5 == 0:
+        if i % 6 == 0:
             ref = _bmp_ref_stats(5 + i % 13, 3 + i % 7)
             assert r["kind"] == "bmp"
             for k, v in ref.items():
                 assert r[k] == v, (i, k)
-        elif i % 5 == 1:
+        elif i % 6 == 1:
             n, a = 40 + i % 160, 1 + i % 9
             sams = [128 + (j * a) % 64 for j in range(n)]
             assert r["kind"] == "wav"
@@ -516,7 +517,7 @@ def test_pixel_stats_matches_reference(spark):
                 n, sum(sams), min(sams), max(sams),
             )
             assert r["sum_g"] is None and r["min_r"] is None
-        elif i % 5 == 2:
+        elif i % 6 == 2:
             w, h = 6 + i % 12, 4 + i % 6
             vals = [png_pixel(x, y) for y in range(h) for x in range(w)]
             assert r["kind"] == "png"
@@ -524,7 +525,7 @@ def test_pixel_stats_matches_reference(spark):
                 w * h, sum(vals), min(vals), max(vals),
             )
             assert r["sum_g"] is None and r["min_r"] is None
-        elif i % 5 == 3:
+        elif i % 6 == 3:
             w, h = 4 + i % 14, 3 + i % 8
             vals = [gif_pixel(x, y) for y in range(h) for x in range(w)]
             assert r["kind"] == "gif"
@@ -532,7 +533,7 @@ def test_pixel_stats_matches_reference(spark):
                 w * h, sum(vals), min(vals), max(vals),
             )
             assert r["sum_g"] is None and r["min_r"] is None
-        else:
+        elif i % 6 == 4:
             w, h = 9 + i % 24, 7 + i % 19
             vals = [jpeg_pixel(x, y) for y in range(h) for x in range(w)]
             assert r["kind"] == "jpeg"
@@ -540,6 +541,23 @@ def test_pixel_stats_matches_reference(spark):
                 w * h, sum(vals), min(vals), max(vals),
             )
             assert r["sum_g"] is None and r["min_r"] is None
+        else:
+            w, h, n = 4 + i % 9, 3 + i % 6, 2 + i % 4
+            chans = [
+                [
+                    avi_pixel(x, y, f)[c]
+                    for f in range(n)
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                for c in range(3)
+            ]
+            assert r["kind"] == "avi"
+            assert r["n_units"] == w * h * n
+            for c, name in enumerate("bgr"):
+                assert r[f"sum_{name}"] == sum(chans[c]), i
+                assert r[f"min_{name}"] == min(chans[c]), i
+                assert r[f"max_{name}"] == max(chans[c]), i
 
 
 def _png_filter_encode(rows, ch, ftypes):
@@ -929,3 +947,102 @@ def test_jpeg_progressive_rejected():
 
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(make_jpeg(8, 8, progressive=True))
+
+
+def test_decode_avi_frames_matches_generative_formula():
+    """Real AVI demux + DIB frame decode (r07): make_avi(pixels=True)
+    embeds genuine 00db frame chunks; decode_avi_frames must reproduce
+    the avi_pixel formula's statistics exactly, including odd widths
+    (row padding) and odd frame sizes (RIFF word alignment)."""
+    from database_migration_engine_spark.operators.multimodal import (
+        avi_pixel,
+        decode_avi_frames,
+        make_avi,
+        parse_avi_header,
+    )
+
+    for w, h, n in [(4, 3, 2), (9, 6, 5), (5, 3, 4), (12, 8, 1), (3, 7, 6)]:
+        data = make_avi(w, h, n, pixels=True)
+        assert parse_avi_header(data) == (w, h, n)
+        got = decode_avi_frames(data)
+        assert got["n_units"] == w * h * n
+        for c, name in enumerate("bgr"):
+            vals = [
+                avi_pixel(x, y, f)[c]
+                for f in range(n)
+                for y in range(h)
+                for x in range(w)
+            ]
+            assert got[f"sum_{name}"] == sum(vals), (w, h, n, name)
+            assert got[f"min_{name}"] == min(vals)
+            assert got[f"max_{name}"] == max(vals)
+
+
+def test_decode_avi_frames_error_paths():
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_avi_frames,
+        make_avi,
+    )
+    import pytest as _pytest
+
+    # header-only AVI: avih promises frames the movi LIST doesn't carry
+    with _pytest.raises(ValueError):
+        decode_avi_frames(make_avi(8, 6, 3))
+    with _pytest.raises(ValueError):
+        decode_avi_frames(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
+
+
+def test_avi_frame_stats_sampling(spark):
+    """avi_frame_stats decodes every 2nd frame: per-frame rows match
+    the generative formula and skipped frames are absent."""
+    from database_migration_engine_spark.operators import multimodal as MM
+
+    assets = MM.synth_video_assets(spark, 12)
+    rows = MM.avi_frame_stats(assets, every_n=2).collect()
+    by_key = {(r.asset_id, r.frame_idx): r for r in rows}
+    expected_keys = set()
+    for i in range(12):
+        w, h, n = 4 + i % 9, 3 + i % 6, 2 + i % 7
+        for f in range(0, n, 2):
+            expected_keys.add((i, f))
+            r = by_key[(i, f)]
+            assert r.n_px == w * h
+            for c, name in enumerate("bgr"):
+                vals = [
+                    MM.avi_pixel(x, y, f)[c]
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                assert getattr(r, f"sum_{name}") == sum(vals), (i, f, name)
+                assert getattr(r, f"min_{name}") == min(vals)
+                assert getattr(r, f"max_{name}") == max(vals)
+    assert set(by_key) == expected_keys
+
+
+def test_mp3_frame_header_walk():
+    """MPEG-1 Layer III frame-header walk (r07): spec frame-length
+    stepping (144*bitrate/samplerate + padding), CBR validation,
+    duration from 1152 samples/frame — stdlib only; entropy decode
+    stays the documented seam."""
+    from database_migration_engine_spark.operators.multimodal import (
+        _decode_real,
+        make_mp3,
+        parse_mp3_frames,
+    )
+    import pytest as _pytest
+
+    data = make_mp3(30, 128, 44100, padding_every=3)
+    assert parse_mp3_frames(data) == (44100, 128, 30, 30 * 1152 * 1000 // 44100)
+    assert _decode_real(data) == (44100, 30)
+    for br, sr in [(32, 32000), (320, 48000), (96, 44100)]:
+        assert parse_mp3_frames(make_mp3(7, br, sr))[:3] == (sr, br, 7)
+    with _pytest.raises(ValueError):
+        parse_mp3_frames(b"\x00\x01\x02\x03")
+    with _pytest.raises(ValueError):
+        parse_mp3_frames(make_mp3(3)[:-1])  # truncated final frame
+    # forbidden bitrate index (0xF0 = index 15)
+    with _pytest.raises(ValueError):
+        parse_mp3_frames(b"\xff\xfb\xf0\x00" + b"\x00" * 400)
+    # rate-switch mid-stream rejected (CBR-only walk)
+    with _pytest.raises(ValueError):
+        parse_mp3_frames(make_mp3(2, 128, 44100) + make_mp3(2, 64, 44100))
