@@ -579,7 +579,19 @@ def _parse_alter_command(cmd: str) -> AlterCommand:
 
 
 def _names_list(raw: str) -> list[str]:
-    return [normalize_name(p) for p in _split_top_level(raw)]
+    """Comma-separated relation list. In the LOCK/TRUNCATE grammar every
+    element may carry its own inheritance markers — ``[ONLY] name [*]``
+    — which libpg_query's RangeVar walk never surfaces as part of the
+    relation name (fuzz wave 8: ``LOCK ONLY t1, ONLY t2`` produced a
+    relation literally named "only t2"). ONLY is a reserved keyword, so
+    stripping the unquoted prefix can never eat a real name; a quoted
+    ``"only"`` identifier is untouched."""
+    out = []
+    for p in _split_top_level(raw):
+        p = re.sub(r"^ONLY\s+", "", p.strip(), flags=re.IGNORECASE)
+        p = re.sub(r"\s*\*$", "", p)
+        out.append(normalize_name(p))
+    return out
 
 
 def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:

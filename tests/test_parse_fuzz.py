@@ -941,3 +941,76 @@ def test_begin_atomic_does_not_misfire():
     for sql, want in cases:
         parsed = P.parse_sql(sql)
         assert len(parsed) == want, (sql, parsed)
+
+
+# --- fuzz round 7 wave 8: per-relation inheritance markers + keyword-
+# collision identifiers. Probe sweep covered quoted identifiers named
+# CONCURRENTLY (index name, REINDEX target, DROP INDEX target), ADD
+# COLUMN IF NOT EXISTS with volatile defaults, plain-string backslash
+# semantics (standard_conforming_strings), COMMENT payloads carrying
+# statement-looking text, parenthesized statements, and NOT VALID split
+# across newlines/comments — all already correct. ONE real fix landed:
+# in the LOCK/TRUNCATE grammar every relation may carry its own
+# [ONLY] name [*] inheritance markers, and the comma-list extractor
+# only stripped the FIRST ONLY — "LOCK ONLY t1, ONLY t2" produced a
+# finding against a relation literally named "only t2" where
+# libpg_query's RangeVar walk yields clean relnames.
+
+_LOCK_MARKED_NAMES = st.lists(
+    st.tuples(
+        st.sampled_from(["t1", "s.t2", '"Only T"', "only_tab", '"only"']),
+        st.booleans(),  # ONLY prefix
+        st.booleans(),  # * descendant suffix
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(_LOCK_MARKED_NAMES, st.booleans(), st.booleans())
+@settings(max_examples=120, deadline=None)
+def test_lock_truncate_strip_inheritance_markers(names, use_table_kw, trunc):
+    import re as _re
+
+    parts = [
+        f"{'ONLY ' if only else ''}{name}{' *' if star else ''}"
+        for name, only, star in names
+    ]
+    kw = ("TRUNCATE" if trunc else "LOCK") + (" TABLE" if use_table_kw else "")
+    tail = " CASCADE" if trunc else " IN ACCESS EXCLUSIVE MODE"
+    sql = f"{kw} {', '.join(parts)}{tail};"
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 1
+    feats = P.classify_statement(
+        parsed[0]["stmt_index"], parsed[0]["stmt_sql"]
+    ).as_dict()
+    expected = [_re.sub(r'"', "", n) for n, _, _ in names]
+    assert feats["stmt_type"] == ("truncate" if trunc else "lock"), sql
+    assert feats["tables"] == expected, (sql, feats["tables"])
+
+
+def test_keyword_collision_identifiers_do_not_route():
+    """Quoted identifiers that spell routing keywords are names, not
+    keywords: none of these are concurrent operations."""
+    cases_not_concurrent = [
+        'CREATE INDEX "CONCURRENTLY" ON t (c);',
+        'REINDEX INDEX "CONCURRENTLY";',
+    ]
+    for sql in cases_not_concurrent:
+        parsed = P.parse_sql(sql)
+        feats = P.classify_statement(
+            parsed[0]["stmt_index"], parsed[0]["stmt_sql"]
+        ).as_dict()
+        assert feats["concurrent"] is False, sql
+        assert P.contains_concurrent_op(sql) is False, sql
+    cases_concurrent = [
+        'CREATE INDEX CONCURRENTLY "CONCURRENTLY" ON t (c);',
+        'DROP INDEX CONCURRENTLY IF EXISTS "CONCURRENTLY";',
+    ]
+    for sql in cases_concurrent:
+        parsed = P.parse_sql(sql)
+        feats = P.classify_statement(
+            parsed[0]["stmt_index"], parsed[0]["stmt_sql"]
+        ).as_dict()
+        assert feats["concurrent"] is True, sql
+        assert P.contains_concurrent_op(sql) is True, sql
