@@ -12,9 +12,11 @@ headers (SOFn segment walk — baseline and progressive), and WAV headers
 still raise NotImplementedError at the exact seam where full media
 libraries would go. Full PIXEL/SAMPLE decode (the ``pixel_stats`` /
 ``avi_frame_stats`` path) covers 24bpp BMP, PCM WAV, 8-bit PNG
-(zlib inflate + unfilter), palette GIF (complete LZW), baseline JPEG
-(huffman + IDCT) and multi-frame uncompressed-DIB AVI video — the
-remaining seam is progressive JPEG, MP3 and compressed video codecs.
+(zlib inflate + unfilter), palette GIF (complete LZW), baseline AND
+huffman-progressive JPEG (entropy decode + IDCT; progressive scans
+accumulate per T.81 Annex G) and multi-frame uncompressed-DIB AVI
+video — the remaining seam is MP3 sample decode, compressed video
+codecs, and JPEG's arithmetic/hierarchical/12-bit modes.
 ``mode="fake"`` produces deterministic hash-derived features with the
 real batch shape for format-agnostic plumbing tests. Everything
 Spark-side — schema, partitioning, UDF signature, batch iteration — is
@@ -535,6 +537,165 @@ def make_jpeg_baseline(
     )
 
 
+def make_jpeg_progressive(
+    width: int, height: int, pixel_fn=None
+) -> bytes:
+    """REAL progressive grayscale JPEG encoder (SOF2), stdlib-only,
+    exercising all four progressive scan types of T.81 Annex G the way
+    libjpeg's jcphuff.c does: DC first with successive approximation
+    (Al=1), DC refinement (one raw bit per block), AC first over the
+    1..31 band at Al=1 with EOB-run coding, AC refinement of that band
+    (newly-significant coefficients + buffered correction bits), and a
+    final AC first scan over the 32..63 band. Coefficients are computed
+    once (same FDCT + all-ones quant as ``make_jpeg_baseline``), so the
+    entropy layers are lossless re-encodings: progressive and baseline
+    files of the same pixels decode to IDENTICAL pixels, which is what
+    the parity test asserts."""
+    pixel_fn = pixel_fn or jpeg_pixel
+    dc_codes = _jpeg_canonical_codes(*_JPEG_STD_DC_LUMA)
+    ac_codes = _jpeg_canonical_codes(*_JPEG_STD_AC_LUMA)
+    blocks = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                [
+                    pixel_fn(min(bx + x, width - 1), min(by + y, height - 1))
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+            coef = _jpeg_fdct_block(block)
+            blocks.append([coef[JPEG_ZIGZAG[k]] for k in range(64)])
+
+    def dc_first_scan(al: int) -> bytes:
+        w = _JpegBitWriter()
+        pred = 0
+        for zz in blocks:
+            v = zz[0] >> al  # arithmetic shift per T.81 point transform
+            cat, bits = _jpeg_magnitude(v - pred)
+            pred = v
+            c, ln = dc_codes[cat]
+            w.put(c, ln)
+            if cat:
+                w.put(bits, cat)
+        return w.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        w = _JpegBitWriter()
+        for zz in blocks:
+            w.put((zz[0] >> al) & 1, 1)
+        return w.flush()
+
+    def ac_first_scan(ss: int, se: int, al: int) -> bytes:
+        # Annex K's AC table carries no EOBn (run>0) codes — those need
+        # custom tables (why libjpeg always builds optimal tables for
+        # progressive) — so this encoder ends every early block with a
+        # plain EOB1 (0x00). The DECODER handles general EOB runs; the
+        # handcrafted-stream test exercises EOBn > 1.
+        w = _JpegBitWriter()
+        for zz in blocks:
+            run = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = zz[k]
+                sign = v < 0
+                t = (-v if sign else v) >> al  # magnitude point transform
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    w.put(c, ln)
+                    run -= 16
+                cat, bits = _jpeg_magnitude(-t if sign else t)
+                c, ln = ac_codes[(run << 4) | cat]
+                w.put(c, ln)
+                w.put(bits, cat)
+                run = 0
+                wrote = True
+            if run or not wrote:
+                c, ln = ac_codes[0x00]  # EOB1
+                w.put(c, ln)
+        return w.flush()
+
+    def ac_refine_scan(ss: int, se: int, ah: int, al: int) -> bytes:
+        # per-block EOB1 for the same Annex-K reason as ac_first_scan;
+        # correction bits for coefficients after the last newly-
+        # significant one ride behind that EOB (T.81 G.1.2.3 ordering)
+        w = _JpegBitWriter()
+        for zz in blocks:
+            absval = [0] * (se + 1)
+            eob_k = ss - 1  # last newly-significant index in this block
+            for k in range(ss, se + 1):
+                t = zz[k]
+                t = (-t if t < 0 else t) >> al
+                absval[k] = t
+                if t == 1:
+                    eob_k = k
+            run = 0
+            br: list[int] = []  # pending correction bits
+            for k in range(ss, se + 1):
+                t = absval[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_k:
+                    c, ln = ac_codes[0xF0]
+                    w.put(c, ln)
+                    run -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:
+                    # already significant at Ah: append its correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant: run/1 code + sign bit + pending bits
+                c, ln = ac_codes[(run << 4) | 1]
+                w.put(c, ln)
+                w.put(0 if zz[k] < 0 else 1, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                run = 0
+            if run or br:
+                c, ln = ac_codes[0x00]  # EOB1 + trailing correction bits
+                w.put(c, ln)
+                for b in br:
+                    w.put(b, 1)
+        return w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(
+            0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        )
+
+    app0 = seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dc_bits, dc_vals = _JPEG_STD_DC_LUMA
+    ac_bits, ac_vals = _JPEG_STD_AC_LUMA
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
+    )
+    return (
+        JPEG_SOI + app0 + dqt + sof + dht
+        + sos(0, 0, 0, 1) + dc_first_scan(1)
+        + sos(0, 0, 1, 0) + dc_refine_scan(0)
+        + sos(1, 31, 0, 1) + ac_first_scan(1, 31, 1)
+        + sos(1, 31, 1, 0) + ac_refine_scan(1, 31, 1, 0)
+        + sos(32, 63, 0, 0) + ac_first_scan(32, 63, 0)
+        + b"\xff\xd9"
+    )
+
+
 class _JpegBitReader:
     """MSB-first entropy-segment bit reader honoring 0xFF00 byte
     stuffing; stops (returns None) at any real marker."""
@@ -603,14 +764,19 @@ def decode_jpeg_pixels(data: bytes) -> dict:
     (after PNG's inflate+unfilter and GIF's LZW). Returns the shared
     PIXEL_STATS dict: grayscale stats ride the positional *_b keys
     (like gray PNG/WAV); 3-component scans map R->r, G->g, B->b.
-    Progressive (SOF2), arithmetic coding and 12-bit precision raise
-    NotImplementedError — the remaining documented seam."""
+    Huffman PROGRESSIVE (SOF2) decodes too since r07: scans accumulate
+    into a per-component coefficient store (DC first/refine, AC first
+    with EOB runs, AC refine with correction bits — T.81 Annex G /
+    libjpeg jdphuff.c) and reconstruct at EOI. Arithmetic coding,
+    hierarchical modes and 12-bit precision raise NotImplementedError
+    — the remaining documented seam."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG")
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     restart_interval = 0
     frame = None
+    prog_coefs = None  # progressive: per-component coefficient store
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -650,11 +816,11 @@ def decode_jpeg_pixels(data: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker in _JPEG_SOF_MARKERS:
-            if marker != 0xC0 and marker != 0xC1:
+            if marker not in (0xC0, 0xC1, 0xC2):
                 raise NotImplementedError(
-                    "only baseline sequential JPEG (SOF0/SOF1) decodes;"
-                    f" SOF{marker - 0xC0} (progressive/arithmetic) is the"
-                    " remaining seam"
+                    "only baseline sequential (SOF0/SOF1) and huffman"
+                    f" progressive (SOF2) JPEG decode; SOF{marker - 0xC0}"
+                    " (hierarchical/arithmetic) is the remaining seam"
                 )
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6]
@@ -667,7 +833,10 @@ def decode_jpeg_pixels(data: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": width, "h": height, "comps": comps}
+            frame = {
+                "w": width, "h": height, "comps": comps,
+                "prog": marker == 0xC2,
+            }
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -679,13 +848,227 @@ def decode_jpeg_pixels(data: bytes) -> dict:
                 scan.append(
                     {"comp": comp, "dc": tdta >> 4, "ac": tdta & 0x0F}
                 )
+            if frame["prog"]:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if (ss == 0) != (se == 0) or se > 63 or ss > se:
+                    raise ValueError(
+                        "invalid progressive spectral band: DC scans are"
+                        " Ss=Se=0, AC bands live in 1..63 (T.81 G.1.1.1.1)"
+                    )
+                if ss > 0 and ns != 1:
+                    raise ValueError(
+                        "progressive AC scans must be single-component"
+                    )
+                if prog_coefs is None:
+                    # allocate at the interleaved grid (>= the
+                    # non-interleaved grid) so both scan shapes fit
+                    hmax = max(c["h"] for c in frame["comps"])
+                    vmax = max(c["v"] for c in frame["comps"])
+                    mcux = -(-frame["w"] // (8 * hmax))
+                    mcuy = -(-frame["h"] // (8 * vmax))
+                    prog_coefs = {
+                        c["id"]: [
+                            [[0] * 64 for _ in range(mcux * c["h"])]
+                            for _ in range(mcuy * c["v"])
+                        ]
+                        for c in frame["comps"]
+                    }
+                i = _jpeg_decode_prog_scan(
+                    data, i + 2 + seglen, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, prog_coefs, huff,
+                    restart_interval,
+                )
+                continue
             i = i + 2 + seglen
             planes = _jpeg_decode_scan(
                 data, i, frame, scan, qt, huff, restart_interval
             )
             return _jpeg_planes_to_stats(frame, planes)
         i += 2 + seglen
+    if frame is not None and frame.get("prog") and prog_coefs is not None:
+        planes = _jpeg_prog_reconstruct(frame, prog_coefs, qt)
+        return _jpeg_planes_to_stats(frame, planes)
     raise ValueError("no SOS marker found")
+
+
+def _jpeg_comp_block_grid(frame, c) -> tuple[int, int]:
+    """(blocks_wide, blocks_tall) of one component's NON-interleaved
+    grid (T.81 A.2.2: ceil of the scaled dimensions over 8)."""
+    hmax = max(cc["h"] for cc in frame["comps"])
+    vmax = max(cc["v"] for cc in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_decode_prog_scan(
+    data: bytes, pos: int, frame, scan, ss, se, ah, al, coefs, huff,
+    restart_interval,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G / libjpeg jdphuff.c)
+    into the persistent per-component coefficient store, covering all
+    four scan types: DC first (diff huffman, point transform Al), DC
+    refinement (one raw bit per block), AC first (EOB-run coding), AC
+    refinement (newly-significant insertions + correction bits).
+    Returns the byte offset of the next marker."""
+    bits = _JpegBitReader(data, pos)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    eobrun = 0
+    preds = {sc["comp"]["id"]: 0 for sc in scan}
+    p1, m1 = 1 << al, -(1 << al)
+
+    def dc_first(sc, blk):
+        cat = _jpeg_read_code(bits, huff[(0, sc["dc"])])
+        diff = _jpeg_extend(bits.receive(cat), cat)
+        preds[sc["comp"]["id"]] += diff
+        blk[0] = preds[sc["comp"]["id"]] << al
+
+    def dc_refine(blk):
+        if bits.read_bit():
+            blk[0] |= p1
+
+    def ac_first(sc, blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jpeg_read_code(bits, huff[(1, sc["ac"])])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.receive(r)
+                break
+            k += r
+            blk[k] = _jpeg_extend(bits.receive(s), s) << al
+            k += 1
+
+    def ac_refine(sc, blk):
+        # mirrors libjpeg decode_mcu_AC_refine: history-aware run
+        # advance reading one correction bit at every already-nonzero
+        # coefficient passed over
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpeg_read_code(bits, huff[(1, sc["ac"])])
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s:
+                    newval = p1 if bits.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.receive(r)
+                    break
+                while k <= se:
+                    if blk[k] != 0:
+                        if bits.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0 and bits.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def decode_block(sc, blk):
+        if ss == 0:
+            if ah == 0:
+                dc_first(sc, blk)
+            else:
+                dc_refine(blk)
+        else:
+            if ah == 0:
+                ac_first(sc, blk)
+            else:
+                ac_refine(sc, blk)
+
+    unit_count = 0
+
+    def maybe_restart():
+        nonlocal eobrun, preds
+        if restart_interval and unit_count and (
+            unit_count % restart_interval == 0
+        ):
+            bits.align_restart()
+            eobrun = 0
+            preds = {k: 0 for k in preds}
+
+    if len(scan) > 1:
+        # interleaved (DC scans only, per T.81 G.1.1.1): MCU order
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                unit_count += 1
+                for sc in scan:
+                    c = sc["comp"]
+                    for bv in range(c["v"]):
+                        for bh_ in range(c["h"]):
+                            decode_block(
+                                sc,
+                                coefs[c["id"]][my * c["v"] + bv]
+                                [mx * c["h"] + bh_],
+                            )
+    else:
+        sc = scan[0]
+        c = sc["comp"]
+        bw, bh = _jpeg_comp_block_grid(frame, c)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                unit_count += 1
+                decode_block(sc, coefs[c["id"]][by][bx])
+
+    # skip byte-align padding, return the next real marker's offset
+    j = bits.i
+    while j + 1 < len(data) and not (
+        data[j] == 0xFF and data[j + 1] != 0x00
+    ):
+        j += 1
+    return j
+
+
+def _jpeg_prog_reconstruct(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated progressive coefficient store
+    into per-component sample planes (same output shape as the baseline
+    scan decoder)."""
+    planes = {}
+    for c in frame["comps"]:
+        bw, bh = _jpeg_comp_block_grid(frame, c)
+        quant = qt[c["tq"]]
+        plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[c["id"]][by][bx]
+                coef = [0] * 64
+                for k in range(64):
+                    coef[JPEG_ZIGZAG[k]] = zz[k] * quant[k]
+                block = _jpeg_idct_block(coef)
+                for y in range(8):
+                    row = plane[by * 8 + y]
+                    brow = block[y]
+                    for x in range(8):
+                        row[bx * 8 + x] = brow[x]
+        planes[c["id"]] = plane
+    return planes
 
 
 def _jpeg_decode_scan(
@@ -1674,10 +2057,13 @@ def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
     LZW-compressed and LZW-decoded), and baseline JPEG (``jpeg_pixel``
     block-constant pattern — genuinely huffman-entropy-decoded +
     IDCT'd, bit-exact because DC-only blocks at quant=1 are the
-    lossless corner of the codec), and multi-frame uncompressed-DIB
-    AVI (``avi_pixel`` pattern — real ``movi``/``00db`` frame chunks,
-    demuxed and decoded frame by frame). Distributed Arrow-batched
-    generation, same shape as ``synth_real_assets``."""
+    lossless corner of the codec; alternating files re-encode the same
+    coefficients as 5-scan PROGRESSIVE streams — spectral selection +
+    successive approximation — decoding through the Annex G path), and
+    multi-frame uncompressed-DIB AVI (``avi_pixel`` pattern — real
+    ``movi``/``00db`` frame chunks, demuxed and decoded frame by
+    frame). Distributed Arrow-batched generation, same shape as
+    ``synth_real_assets``."""
     ensure_worker_imports(spark)
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -1700,10 +2086,19 @@ def synth_pixel_assets(spark: SparkSession, n: int = 80) -> DataFrame:
                     payload = make_gif(4 + i % 14, 3 + i % 8, pixels=True)
                     modality, mime = "image", "image/gif"
                 elif i % 6 == 4:
-                    payload = make_jpeg_baseline(
-                        9 + i % 24, 7 + i % 19,
-                        restart_interval=(i % 3),
-                    )
+                    # alternate baseline / progressive: the block-
+                    # constant pattern decodes bit-exactly under BOTH
+                    # codecs, so the oracle values are codec-invariant
+                    # while the certified query exercises both paths
+                    if (i // 6) % 2:
+                        payload = make_jpeg_progressive(
+                            9 + i % 24, 7 + i % 19
+                        )
+                    else:
+                        payload = make_jpeg_baseline(
+                            9 + i % 24, 7 + i % 19,
+                            restart_interval=(i % 3),
+                        )
                     modality, mime = "image", "image/jpeg"
                 else:
                     payload = make_avi(
@@ -1761,10 +2156,10 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "pixel_stats full-decodes 24bpp BMP, 8/16-bit"
-                        " PCM WAV, 8-bit PNG, palette GIF, baseline"
-                        " JPEG and uncompressed-DIB AVI; progressive"
-                        " JPEG and compressed video codecs need"
-                        " PIL/ffmpeg"
+                        " PCM WAV, 8-bit PNG, palette GIF, baseline +"
+                        " progressive JPEG and uncompressed-DIB AVI;"
+                        " compressed video codecs and MP3 samples need"
+                        " ffmpeg"
                     )
                 rows.append({"asset_id": int(aid), "kind": kind, **stats})
             yield pd.DataFrame(rows)

@@ -1240,9 +1240,13 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode + dequant + IDCT, restart markers included — THREE genuinely
     COMPRESSED formats decoded end-to-end with no media library; the
     JPEG pattern is block-constant so the lossy codec's round trip is
-    bit-exact at quant=1) / multi-frame uncompressed-DIB AVI (the movi
-    LIST demuxed, every 00db frame's BGR rows decoded — video frames
-    now decode for the uncompressed codec; compressed codecs remain the
+    bit-exact at quant=1, and alternating assets re-encode the SAME
+    coefficients as 5-scan progressive SOF2 streams — spectral
+    selection + successive approximation, decoded through the T.81
+    Annex G path with codec-invariant oracle values) / multi-frame
+    uncompressed-DIB AVI (the movi LIST demuxed, every 00db frame's
+    BGR rows decoded — video frames now decode for the uncompressed
+    codec; compressed codecs remain the
     seam); the engine genuinely decodes bytes → per-channel integer
     sum/min/max (operators/multimodal.py: decode_bmp_pixels /
     decode_wav_samples / decode_png_pixels / decode_gif_pixels /

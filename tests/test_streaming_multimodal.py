@@ -938,15 +938,107 @@ def test_jpeg_color_and_subsampling():
                     got[f"max_{name}"]) == (n * v, v, v), (sampling, name)
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_progressive_decodes_with_baseline_parity():
+    """Progressive (SOF2) decode (r07): the 5-scan encoder exercises DC
+    first with successive approximation, DC refinement, AC first, AC
+    refinement (newly-significant + correction bits), and two spectral
+    bands; entropy layers are lossless over the same coefficients, so
+    progressive and baseline files of the same pixels must decode to
+    IDENTICAL statistics — including textured patterns with dense
+    nonzero ACs."""
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_pixel,
+        make_jpeg_baseline,
+        make_jpeg_progressive,
+    )
+
+    def tex(x, y):
+        return (x * 31 + y * 57 + (x * y) % 23) % 256
+
+    for w, h in [(8, 8), (16, 8), (13, 11), (24, 17), (7, 5)]:
+        base = decode_jpeg_pixels(make_jpeg_baseline(w, h, pixel_fn=tex))
+        prog = decode_jpeg_pixels(make_jpeg_progressive(w, h, pixel_fn=tex))
+        assert base == prog, (w, h)
+    # block-constant pattern stays bit-exact vs the generative formula
+    for w, h in [(9, 7), (17, 12)]:
+        got = decode_jpeg_pixels(make_jpeg_progressive(w, h))
+        vals = [jpeg_pixel(x, y) for y in range(h) for x in range(w)]
+        assert (got["n_units"], got["sum_b"], got["min_b"],
+                got["max_b"]) == (w * h, sum(vals), min(vals), max(vals))
+
+
+def test_jpeg_progressive_invalid_band_rejected():
+    """The header-only SOF2 token file claims a DC scan spanning band
+    0..63 — spec-invalid (T.81 G.1.1.1.1) and rejected, where the old
+    decoder raised NotImplementedError for all of SOF2."""
     from database_migration_engine_spark.operators.multimodal import (
         decode_jpeg_pixels,
         make_jpeg,
     )
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg_pixels(make_jpeg(8, 8, progressive=True))
+
+
+def test_jpeg_progressive_eob_run_decode():
+    """General EOBn decoding (eobrun > 1): our shipped encoder only
+    emits per-block EOB1 (Annex K tables carry no EOBn codes), so this
+    handcrafts a 32x8 progressive stream whose AC scan is a single
+    EOB4 code (custom one-symbol huffman table, r=2 + 2 extra bits)
+    covering all four blocks at once."""
+    import struct as _struct
+    from database_migration_engine_spark.operators import multimodal as MM
+
+    w_px, h_px = 32, 8
+    dc_codes = MM._jpeg_canonical_codes(*MM._JPEG_STD_DC_LUMA)
+    blocks = []
+    for bx in range(0, w_px, 8):
+        block = [[MM.jpeg_pixel(bx + x, y) for x in range(8)]
+                 for y in range(8)]
+        coef = MM._jpeg_fdct_block(block)
+        blocks.append([coef[MM.JPEG_ZIGZAG[k]] for k in range(64)])
+    # DC-first scan at Al=0
+    wbits = MM._JpegBitWriter()
+    pred = 0
+    for zz in blocks:
+        cat, bits = MM._jpeg_magnitude(zz[0] - pred)
+        pred = zz[0]
+        c, ln = dc_codes[cat]
+        wbits.put(c, ln)
+        if cat:
+            wbits.put(bits, cat)
+    dc_entropy = wbits.flush()
+    # AC scan: one EOB4 = symbol 0x20 (custom 1-bit code) + 2 bits "11"
+    # (eobrun = (1<<2) + 3 = ... decoder: 1<<2 + receive(2) -> 4+3=7?)
+    # use extra bits 00 -> eobrun = 4, exactly our 4 blocks
+    wbits = MM._JpegBitWriter()
+    wbits.put(0, 1)   # the single 1-bit code for symbol 0x20
+    wbits.put(0, 2)   # EOBRUN extra bits: 4 + 0
+    ac_entropy = wbits.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    dc_bits, dc_vals = MM._JPEG_STD_DC_LUMA
+    jpg = (
+        MM.JPEG_SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HH", 1, 1)
+              + b"\x00\x00")
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC2, _struct.pack(">BHHB", 8, h_px, w_px, 1) + b"\x01\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_entropy
+        + seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + bytes([0x20]))
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + ac_entropy
+        + b"\xff\xd9"
+    )
+    got = MM.decode_jpeg_pixels(jpg)
+    vals = [MM.jpeg_pixel(x, y) for y in range(h_px) for x in range(w_px)]
+    assert (got["n_units"], got["sum_b"], got["min_b"], got["max_b"]) == (
+        w_px * h_px, sum(vals), min(vals), max(vals),
+    )
 
 
 def test_decode_avi_frames_matches_generative_formula():
