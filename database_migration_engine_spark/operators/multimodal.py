@@ -1611,17 +1611,29 @@ def avi_pixel(x: int, y: int, f: int) -> tuple[int, int, int]:
     )
 
 
+def mjpeg_pixel(x: int, y: int, f: int) -> int:
+    """Generative grayscale value for Motion-JPEG frame ``f`` at
+    ``(x, y)`` — block-constant per frame (the ``jpeg_pixel`` family
+    with a per-frame term), so every frame's lossy JPEG round trip is
+    bit-exact at quant=1 and the oracle recomputes it analytically."""
+    return ((x // 8) * 13 + (y // 8) * 29 + 7 + f * 31) % 256
+
+
 def make_avi(
-    width: int, height: int, n_frames: int, pixels: bool = False
+    width: int, height: int, n_frames: int, pixels: bool = False,
+    codec: str = "dib",
 ) -> bytes:
     """Minimal structurally-valid RIFF AVI: the ``hdrl`` LIST with a
     56-byte ``avih`` main header (dwTotalFrames / dwWidth / dwHeight at
     their spec offsets) plus a ``movi`` LIST — the container shape
     every AVI demuxer probes first. With ``pixels=True`` the movi LIST
-    carries ``n_frames`` real uncompressed-DIB ``00db`` frame chunks
-    (bottom-up BGR rows padded to 4 bytes — the exact BMP pixel-array
-    layout, per the Video-for-Windows DIB-frame convention), pixel
-    values from ``avi_pixel``."""
+    carries ``n_frames`` real frame chunks: ``codec="dib"`` writes
+    uncompressed ``00db`` DIB frames (bottom-up BGR rows padded to 4
+    bytes — the exact BMP pixel-array layout, per the Video-for-Windows
+    convention; pixels from ``avi_pixel``), ``codec="mjpeg"`` writes
+    COMPRESSED ``00dc`` frames, each a complete baseline JPEG of the
+    ``mjpeg_pixel`` pattern — the Motion-JPEG layout real capture
+    hardware emits."""
     avih = struct.pack(
         "<14I", 33333, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
     )
@@ -1629,16 +1641,24 @@ def make_avi(
     lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
     movi_body = b"movi"
     if pixels:
-        row_pad = b"\x00" * ((-width * 3) % 4)
         for f in range(n_frames):
-            rows = []
-            for y in range(height - 1, -1, -1):  # bottom-up like BMP
-                row = bytearray()
-                for x in range(width):
-                    row += bytes(avi_pixel(x, y, f))
-                rows.append(bytes(row) + row_pad)
-            frame = b"".join(rows)
-            chunk = b"00db" + struct.pack("<I", len(frame)) + frame
+            if codec == "mjpeg":
+                frame = make_jpeg_baseline(
+                    width, height,
+                    pixel_fn=lambda x, y, _f=f: mjpeg_pixel(x, y, _f),
+                )
+                cid = b"00dc"
+            else:
+                row_pad = b"\x00" * ((-width * 3) % 4)
+                rows = []
+                for y in range(height - 1, -1, -1):  # bottom-up like BMP
+                    row = bytearray()
+                    for x in range(width):
+                        row += bytes(avi_pixel(x, y, f))
+                    rows.append(bytes(row) + row_pad)
+                frame = b"".join(rows)
+                cid = b"00db"
+            chunk = cid + struct.pack("<I", len(frame)) + frame
             if len(frame) % 2:  # RIFF chunks are word-aligned
                 chunk += b"\x00"
             movi_body += chunk
@@ -1647,14 +1667,15 @@ def make_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _iter_avi_dib_frames(data: bytes):
-    """Demux an uncompressed-DIB AVI: yields ``(frame_idx, width,
-    height, body)`` for every ``00db`` chunk in the ``movi`` LIST (body
-    = bottom-up BGR rows padded to 4 bytes). Raises ValueError when the
-    container is malformed or the avih frame count disagrees with the
-    movi chunk count — compressed codecs (``00dc`` etc.) are skipped
-    and therefore surface as that count mismatch, the documented
-    seam."""
+def _iter_avi_frames(data: bytes):
+    """Demux an AVI's video frames: yields ``(frame_idx, width, height,
+    kind, body)`` for every ``00db`` (kind="dib": bottom-up BGR rows
+    padded to 4 bytes) and ``00dc`` (kind="mjpeg": a complete JPEG)
+    chunk in the ``movi`` LIST. Raises ValueError when the container is
+    malformed or the avih frame count disagrees with the movi chunk
+    count; codecs other than uncompressed DIB and Motion-JPEG surface
+    through the count mismatch or the inner JPEG decoder — inter-frame
+    codecs remain the documented seam."""
     width, height, n_frames = parse_avi_header(data)
     p = data.find(b"LIST", 12)
     movi_start = movi_end = -1
@@ -1675,12 +1696,14 @@ def _iter_avi_dib_frames(data: bytes):
         csize = struct.unpack("<I", data[q + 4 : q + 8])[0]
         body = data[q + 8 : q + 8 + csize]
         q += 8 + csize + (csize % 2)
-        if cid != b"00db":
-            continue
-        if len(body) < frame_size:
-            raise ValueError("truncated AVI DIB frame")
-        yield decoded, width, height, body
-        decoded += 1
+        if cid == b"00db":
+            if len(body) < frame_size:
+                raise ValueError("truncated AVI DIB frame")
+            yield decoded, width, height, "dib", body
+            decoded += 1
+        elif cid == b"00dc":
+            yield decoded, width, height, "mjpeg", body
+            decoded += 1
     if decoded != n_frames:
         raise ValueError(
             f"avih promises {n_frames} frames, movi carries {decoded}"
@@ -1703,25 +1726,54 @@ def _dib_channel_stats(body: bytes, width: int, height: int):
     return sums, mins, maxs
 
 
+def _avi_frame_channel_stats(width, height, kind, body):
+    """(n_px, sums, mins, maxs) for one demuxed AVI frame — DIB rows
+    directly, Motion-JPEG through the full JPEG decoder. Grayscale
+    MJPEG rides the positional b channel with -1 g/r sentinels (the
+    WAV/gray-PNG convention)."""
+    if kind == "dib":
+        sums, mins, maxs = _dib_channel_stats(body, width, height)
+        return width * height, sums, mins, maxs
+    st = decode_jpeg_pixels(bytes(body))
+    sums = [st["sum_b"], st.get("sum_g", -1), st.get("sum_r", -1)]
+    mins = [st["min_b"], st.get("min_g", -1), st.get("min_r", -1)]
+    maxs = [st["max_b"], st.get("max_g", -1), st.get("max_r", -1)]
+    sums = [-1 if v is None else v for v in sums]
+    mins = [-1 if v is None else v for v in mins]
+    maxs = [-1 if v is None else v for v in maxs]
+    return st["n_units"], sums, mins, maxs
+
+
 def decode_avi_frames(data: bytes) -> dict:
-    """FULL frame decode of an uncompressed-DIB AVI — stdlib struct
-    only, no ffmpeg: walks the ``movi`` LIST, decodes every ``00db``
-    DIB frame (bottom-up BGR rows padded to 4 bytes) and returns
-    integer per-channel statistics over ALL frames' pixels in the
-    ``decode_bmp_pixels`` shape (n_units = w*h*frames). Raises
-    ValueError outside the uncompressed-DIB envelope; compressed video
-    codecs remain the documented seam."""
+    """FULL frame decode of an AVI — stdlib only, no ffmpeg: walks the
+    ``movi`` LIST and decodes every frame, ``00db`` uncompressed DIB
+    rows directly and ``00dc`` Motion-JPEG frames through the complete
+    JPEG decoder. Returns integer per-channel statistics over ALL
+    frames' pixels in the ``decode_bmp_pixels`` shape (n_units summed
+    over frames). Raises ValueError on malformed containers or mixed
+    codecs; inter-frame video codecs remain the documented seam."""
     sums = [0, 0, 0]
     mins = [255, 255, 255]
     maxs = [0, 0, 0]
     n_px = 0
-    for _idx, width, height, body in _iter_avi_dib_frames(data):
-        fs, fmin, fmax = _dib_channel_stats(body, width, height)
-        for c in range(3):
+    kinds = set()
+    for _idx, width, height, kind, body in _iter_avi_frames(data):
+        kinds.add(kind)
+        if len(kinds) > 1:
+            raise ValueError("mixed-codec AVI not supported")
+        fn, fs, fmin, fmax = _avi_frame_channel_stats(
+            width, height, kind, body
+        )
+        gray = fs[1] < 0
+        for c in range(1 if gray else 3):
             sums[c] += fs[c]
             mins[c] = min(mins[c], fmin[c])
             maxs[c] = max(maxs[c], fmax[c])
-        n_px += width * height
+        if gray:
+            sums[1] = sums[2] = -1
+            mins[1] = mins[2] = -1
+            maxs[1] = maxs[2] = -1
+        n_px += fn
     return {
         "n_units": n_px,
         "sum_b": sums[0], "min_b": mins[0], "max_b": maxs[0],
@@ -1749,9 +1801,12 @@ FRAME_STATS_SCHEMA = T.StructType(
 
 
 def synth_video_assets(spark: SparkSession, n: int = 40) -> DataFrame:
-    """Deterministic multi-frame uncompressed-DIB AVIs (``avi_pixel``
-    pattern, up to 8 frames each) — distributed Arrow-batched
-    generation, same shape as ``synth_pixel_assets``."""
+    """Deterministic multi-frame AVIs, up to 8 frames each, alternating
+    codecs by asset parity: even ids are uncompressed-DIB (``avi_pixel``
+    BGR pattern), odd ids are Motion-JPEG (each ``00dc`` frame a real
+    baseline JPEG of the block-constant ``mjpeg_pixel`` pattern —
+    genuinely COMPRESSED video). Distributed Arrow-batched generation,
+    same shape as ``synth_pixel_assets``."""
     ensure_worker_imports(spark)
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -1760,7 +1815,8 @@ def synth_video_assets(spark: SparkSession, n: int = 40) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 payload = make_avi(
-                    4 + i % 9, 3 + i % 6, 2 + i % 7, pixels=True
+                    4 + i % 9, 3 + i % 6, 2 + i % 7, pixels=True,
+                    codec="mjpeg" if i % 2 else "dib",
                 )
                 rows.append(
                     {
@@ -1781,26 +1837,33 @@ def synth_video_assets(spark: SparkSession, n: int = 40) -> DataFrame:
 
 def avi_frame_stats(assets: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL frame-sampling over video payloads: demux each AVI's movi
-    LIST, decode every ``every_n``-th ``00db`` DIB frame, one output
-    row per (asset, sampled frame) with integer per-channel stats —
-    the decoded-pixels upgrade of ``frame_sample``'s byte-offset
-    plumbing. Arrow-batched ``mapInPandas``; per-asset work is
-    O(payload) with no cross-row state."""
+    LIST, decode every ``every_n``-th frame — uncompressed ``00db`` DIB
+    rows directly, COMPRESSED ``00dc`` Motion-JPEG frames through the
+    full JPEG decoder — one output row per (asset, sampled frame) with
+    integer per-channel stats (grayscale MJPEG rides the positional b
+    channel, -1 sentinels for g/r). The decoded-pixels upgrade of
+    ``frame_sample``'s byte-offset plumbing. Arrow-batched
+    ``mapInPandas``; per-asset work is O(payload) with no cross-row
+    state."""
     ensure_worker_imports(assets.sparkSession)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                for idx, w, h, body in _iter_avi_dib_frames(bytes(payload)):
+                for idx, w, h, kind, body in _iter_avi_frames(
+                    bytes(payload)
+                ):
                     if idx % every_n:
                         continue
-                    sums, mins, maxs = _dib_channel_stats(body, w, h)
+                    n_px, sums, mins, maxs = _avi_frame_channel_stats(
+                        w, h, kind, body
+                    )
                     rows.append(
                         {
                             "asset_id": int(aid),
                             "frame_idx": idx,
-                            "n_px": w * h,
+                            "n_px": n_px,
                             "sum_b": sums[0], "min_b": mins[0],
                             "max_b": maxs[0],
                             "sum_g": sums[1], "min_g": mins[1],

@@ -3485,9 +3485,11 @@ ORDER BY asset_id
 
 
 # video_frame_stats: the engine demuxes real AVI movi LISTs and decodes
-# every 2nd DIB frame's pixels; the oracle recomputes identical integer
-# statistics from the avi_pixel generative formula (frame-indexed linear
-# congruences) — frame decode certified without ffmpeg.
+# every 2nd frame's pixels — even assets uncompressed DIB, odd assets
+# Motion-JPEG (each 00dc frame a real baseline JPEG, block-constant so
+# the lossy round trip is bit-exact); the oracle recomputes identical
+# integer statistics from the avi_pixel / mjpeg_pixel generative
+# formulas — both codec paths certified without ffmpeg.
 ORACLES["video_frame_stats"] = """
 WITH ids AS (SELECT unnest(range(40)) AS i),
 avi AS (SELECT i, 4 + i % 9 AS w, 3 + i % 6 AS h, 2 + i % 7 AS n FROM ids),
@@ -3500,22 +3502,23 @@ px AS (
     SELECT fr.i, fr.f,
            (x.x * 7 + y.y * 13 + fr.f * 19) % 256 AS vb,
            (x.x * 11 + y.y * 3 + fr.f * 23) % 256 AS vg,
-           (x.x * 5 + y.y * 17 + fr.f * 29) % 256 AS vr
+           (x.x * 5 + y.y * 17 + fr.f * 29) % 256 AS vr,
+           ((x.x // 8) * 13 + (y.y // 8) * 29 + 7 + fr.f * 31) % 256 AS vj
     FROM fr
     JOIN (SELECT unnest(range(13)) AS x) x ON x.x < fr.w
     JOIN (SELECT unnest(range(9)) AS y) y ON y.y < fr.h
 )
 SELECT i AS asset_id, CAST(f AS BIGINT) AS frame_idx,
        CAST(COUNT(*) AS BIGINT) AS n_px,
-       CAST(SUM(vb) AS BIGINT) AS sum_b,
-       CAST(MIN(vb) AS BIGINT) AS min_b,
-       CAST(MAX(vb) AS BIGINT) AS max_b,
-       CAST(SUM(vg) AS BIGINT) AS sum_g,
-       CAST(MIN(vg) AS BIGINT) AS min_g,
-       CAST(MAX(vg) AS BIGINT) AS max_g,
-       CAST(SUM(vr) AS BIGINT) AS sum_r,
-       CAST(MIN(vr) AS BIGINT) AS min_r,
-       CAST(MAX(vr) AS BIGINT) AS max_r
+       CAST(SUM(CASE WHEN i % 2 = 0 THEN vb ELSE vj END) AS BIGINT) AS sum_b,
+       CAST(MIN(CASE WHEN i % 2 = 0 THEN vb ELSE vj END) AS BIGINT) AS min_b,
+       CAST(MAX(CASE WHEN i % 2 = 0 THEN vb ELSE vj END) AS BIGINT) AS max_b,
+       CAST(CASE WHEN i % 2 = 0 THEN SUM(vg) ELSE -1 END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN i % 2 = 0 THEN MIN(vg) ELSE -1 END AS BIGINT) AS min_g,
+       CAST(CASE WHEN i % 2 = 0 THEN MAX(vg) ELSE -1 END AS BIGINT) AS max_g,
+       CAST(CASE WHEN i % 2 = 0 THEN SUM(vr) ELSE -1 END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN i % 2 = 0 THEN MIN(vr) ELSE -1 END AS BIGINT) AS min_r,
+       CAST(CASE WHEN i % 2 = 0 THEN MAX(vr) ELSE -1 END AS BIGINT) AS max_r
 FROM px GROUP BY i, f
 ORDER BY asset_id, frame_idx
 """

@@ -1277,14 +1277,20 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("video_frame_stats")
 def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling with REAL pixel decode (r07): 40 synthetic
-    multi-frame uncompressed-DIB AVIs → demux each movi LIST, decode
-    every 2nd 00db frame (bottom-up BGR rows, the VfW DIB layout), one
-    row per (asset, sampled frame) with integer per-channel sum/min/max
+    multi-frame AVIs alternating codecs — even assets uncompressed-DIB
+    (00db, bottom-up BGR rows), odd assets Motion-JPEG (00dc, every
+    frame a genuine baseline JPEG decoded through the full huffman+IDCT
+    path: a COMPRESSED video codec end to end) → demux each movi LIST,
+    decode every 2nd frame, one row per (asset, sampled frame) with
+    integer per-channel sum/min/max; grayscale MJPEG rides the
+    positional b channel with -1 g/r sentinels
     (operators/multimodal.py: synth_video_assets / avi_frame_stats,
     Arrow-batched mapInPandas — the decoded-pixels upgrade of the
     frame_sample byte-offset plumbing). The oracle recomputes the same
-    statistics analytically from the avi_pixel generative formula, so
-    the demux + frame decode is value-certified without ffmpeg."""
+    statistics analytically from the avi_pixel / mjpeg_pixel generative
+    formulas (the MJPEG pattern is block-constant, so the lossy codec
+    round-trips bit-exactly at quant=1) — both codec paths
+    value-certified without ffmpeg."""
     from ..operators import multimodal as MM
 
     ensure_deterministic(spark)

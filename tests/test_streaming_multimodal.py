@@ -1085,8 +1085,9 @@ def test_decode_avi_frames_error_paths():
 
 
 def test_avi_frame_stats_sampling(spark):
-    """avi_frame_stats decodes every 2nd frame: per-frame rows match
-    the generative formula and skipped frames are absent."""
+    """avi_frame_stats decodes every 2nd frame across BOTH codecs
+    (even assets DIB, odd assets Motion-JPEG): per-frame rows match
+    the generative formulas and skipped frames are absent."""
     from database_migration_engine_spark.operators import multimodal as MM
 
     assets = MM.synth_video_assets(spark, 12)
@@ -1099,6 +1100,17 @@ def test_avi_frame_stats_sampling(spark):
             expected_keys.add((i, f))
             r = by_key[(i, f)]
             assert r.n_px == w * h
+            if i % 2:  # Motion-JPEG: grayscale, -1 g/r sentinels
+                vals = [
+                    MM.mjpeg_pixel(x, y, f)
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                assert (r.sum_b, r.min_b, r.max_b) == (
+                    sum(vals), min(vals), max(vals),
+                ), (i, f)
+                assert (r.sum_g, r.min_r) == (-1, -1)
+                continue
             for c, name in enumerate("bgr"):
                 vals = [
                     MM.avi_pixel(x, y, f)[c]
@@ -1109,6 +1121,32 @@ def test_avi_frame_stats_sampling(spark):
                 assert getattr(r, f"min_{name}") == min(vals)
                 assert getattr(r, f"max_{name}") == max(vals)
     assert set(by_key) == expected_keys
+
+
+def test_decode_avi_mjpeg_frames():
+    """Motion-JPEG AVI: every 00dc chunk is a complete baseline JPEG
+    decoded through the full huffman+IDCT path; the block-constant
+    pattern makes the lossy round trip bit-exact."""
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_avi_frames,
+        make_avi,
+        mjpeg_pixel,
+        parse_avi_header,
+    )
+
+    for w, h, n in [(9, 7, 3), (16, 8, 2), (5, 3, 5)]:
+        data = make_avi(w, h, n, pixels=True, codec="mjpeg")
+        assert parse_avi_header(data) == (w, h, n)
+        got = decode_avi_frames(data)
+        vals = [
+            mjpeg_pixel(x, y, f)
+            for f in range(n)
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert (got["n_units"], got["sum_b"], got["min_b"],
+                got["max_b"]) == (w * h * n, sum(vals), min(vals), max(vals))
+        assert got["sum_g"] == -1 and got["min_r"] == -1
 
 
 def test_mp3_frame_header_walk():
