@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # stand where the window ends.
 _RECHECK_FIRST = [
     # (0) NEW in round 7 — first-ever driver record
-    "video_frame_stats", "layout_composed_revenue", "bpe_merge_table",
+    "video_frame_stats", "multimodal_decode_stream",
+    "layout_composed_revenue", "bpe_merge_table",
     # (0a) r07 value-changing edits: the asset cycle gained a JPEG leg
     # (i%4 -> i%5) and then an uncompressed-DIB AVI leg (i%5 -> i%6),
     # so every row's kind/stats shifted

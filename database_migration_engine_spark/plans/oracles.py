@@ -3484,6 +3484,12 @@ ORDER BY asset_id
 """
 
 
+# multimodal_decode_stream: a drained stateless file-stream decode must
+# equal the batch multimodal_decode row-for-row, so it shares that
+# oracle verbatim.
+ORACLES["multimodal_decode_stream"] = ORACLES["multimodal_decode"]
+
+
 # video_frame_stats: the engine demuxes real AVI movi LISTs and decodes
 # every 2nd frame's pixels — even assets uncompressed DIB, odd assets
 # Motion-JPEG (each 00dc frame a real baseline JPEG, block-constant so

@@ -1274,6 +1274,46 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+@query("multimodal_decode_stream")
+def multimodal_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingestion (r07): the deterministic asset
+    table is staged once per session to a tmpfs parquet directory (4
+    files), re-read as a FILE STREAM paced at maxFilesPerTrigger=2 (so
+    the drain runs multiple real micro-batches), decoded with the SAME
+    Arrow-batched mapInPandas feature extractor inside Structured
+    Streaming (a stateless streaming transform — binary payloads never
+    leave executors), and drained with availableNow into a memory sink
+    (streaming/events.run_to_memory). The oracle is byte-identical to
+    multimodal_decode's: a drained stateless stream must equal the
+    batch run row-for-row — certifying the 100 TB multimodal ingest
+    shape (readStream → decode → sink) end to end."""
+    import os
+    import tempfile
+
+    from ..operators import multimodal as MM
+    from ..streaming import events as SE
+
+    ensure_deterministic(spark)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    app = spark.sparkContext.applicationId
+    path = os.path.join(base, f"dbmig_assets_{app}")
+    stamp = os.path.join(path, "_dbmig_stamp")
+    if not os.path.exists(stamp):
+        MM.synth_assets(spark, 200).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(path)
+        with open(stamp, "w") as fh:
+            fh.write("ok\n")
+    stream = (
+        spark.readStream.schema(MM.ASSET_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    return SE.run_to_memory(
+        MM.decode_features(stream), output_mode="append"
+    ).orderBy("asset_id")
+
+
 @query("video_frame_stats")
 def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling with REAL pixel decode (r07): 40 synthetic

@@ -1176,3 +1176,20 @@ def test_mp3_frame_header_walk():
     # rate-switch mid-stream rejected (CBR-only walk)
     with _pytest.raises(ValueError):
         parse_mp3_frames(make_mp3(2, 128, 44100) + make_mp3(2, 64, 44100))
+
+
+def test_multimodal_decode_stream_equals_batch(spark):
+    """Streaming multimodal ingestion: the file-stream decode drained
+    with availableNow must equal the batch decode row-for-row (same
+    Arrow-batched extractor, stateless streaming transform)."""
+    from database_migration_engine_spark.plans.queries import (
+        multimodal_decode,
+        multimodal_decode_stream,
+    )
+
+    batch = [tuple(r) for r in multimodal_decode(spark, "ignored").collect()]
+    stream = [
+        tuple(r) for r in multimodal_decode_stream(spark, "ignored").collect()
+    ]
+    assert len(stream) == 200
+    assert stream == batch
