@@ -284,6 +284,35 @@ def lsh_signature_keys(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def adaptive_lsh_bits(
+    n: int,
+    target_bucket: int = 160,
+    keys_per_vec: int = 5,
+    min_bits: int = 6,
+    max_bits: int = 16,
+) -> int:
+    """Hyperplane-bit count that holds E[bucket] constant as N grows:
+    ``bits = clamp(ceil(log2(keys_per_vec * n / target_bucket)))``.
+
+    This is THE scaling knob for `lsh_near_dup_pairs` — the r07 growth
+    octave proved that a pinned ``num_bits=6`` grid saturates (E[bucket]
+    ∝ N, in-bucket scored pairs ∝ N²: 0.02 B pairs at ×1 → 16.9 B at
+    ×30, run aborted), while ``bits ≈ log2(5N/160)`` holds in-bucket
+    work ∝ N at full measured family recall (tools/emb_bits_probe.py:
+    bits=11 at ×30 → 149 s, 870,000/870,000). ``keys_per_vec`` is the
+    bucket keys each vector emits per table (1 base + num_probes);
+    ``target_bucket`` ≈ 160 is the measured sweet spot at threshold 0.4.
+    Fixture anchors: n=2000 (sf0.1) → 6 (the historical pin, so every
+    existing certification hash is unchanged), n=20000 (×10) → 10,
+    n=60000 (×30) → 11."""
+    import math
+
+    if n <= 0:
+        return min_bits
+    bits = math.ceil(math.log2(max(1.0, keys_per_vec * n / target_bucket)))
+    return max(min_bits, min(max_bits, bits))
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

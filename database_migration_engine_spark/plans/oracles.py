@@ -2456,22 +2456,29 @@ SELECT qid, nid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
 
 # --- dedup_embedding (r03): structurally identical LSH gate ---------------
 # The query's hyperplanes are md5-derived literals (lsh_component), so the
-# oracle rebuilds the SAME sign buckets (6 bits × 24 tables), applies the
-# SAME 4 one-bit probes to every vector (both sides probe), equi-joins on
-# bucket key, and scores candidates with sequential-fold cosine. No recall
-# assumption anywhere — query and oracle enumerate the same candidate set
-# by construction (ADVICE r02 medium).
+# oracle rebuilds the SAME sign buckets (num_bits × 24 tables), applies
+# the SAME 4 one-bit probes to every vector (both sides probe), equi-joins
+# on bucket key, and scores candidates with sequential-fold cosine. No
+# recall assumption anywhere — query and oracle enumerate the same
+# candidate set by construction (ADVICE r02 medium).
+#
+# r08: the builder is parametric in num_bits — the query side now picks
+# bits from N at plan time (adaptive_lsh_bits, floor 6), so the scale
+# sweeps rebuild this oracle at the matching bit-width via
+# `adaptive_oracle_overrides` below. The static ORACLES entries keep the
+# fixture-scale value (6): at sf ≤ 0.1 the adaptive formula clamps to
+# the floor, so every existing driver/cert hash is byte-identical.
 
 _EMB_BITS, _EMB_TABLES, _EMB_PROBES, _EMB_DIM = 6, 24, 4, 64
 
 
-def _emb_bucket_sql(table: int) -> str:
+def _emb_bucket_sql(table: int, bits: int = _EMB_BITS) -> str:
     bit_terms = []
-    for b in range(_EMB_BITS):
+    for b in range(bits):
         comps = ", ".join(repr(_lshc(table, b, d)) for d in range(_EMB_DIM))
         proj = f"list_dot_product(v, [{comps}])"
         bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
-    return f"({' + '.join(bit_terms)} + {table << _EMB_BITS})"
+    return f"({' + '.join(bit_terms)} + {table << bits})"
 
 
 def _emb_probe_arm(p: int) -> str:
@@ -2483,7 +2490,11 @@ def _emb_probe_arm(p: int) -> str:
     )
 
 
-ORACLES["dedup_embedding"] = f"""
+def build_dedup_embedding_oracle(bits: int = _EMB_BITS) -> str:
+    """dedup_embedding oracle SQL at an explicit hyperplane bit-width —
+    same structure for every width; only the per-table CASE-term count
+    and the table tag shift change, mirroring lsh_near_dup_pairs."""
+    return f"""
 WITH p AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -2492,7 +2503,7 @@ WITH p AS (
 ),
 base_keys AS (
     {" UNION ALL ".join(
-        f"SELECT vec_id, {_emb_bucket_sql(t)} AS bucket FROM p"
+        f"SELECT vec_id, {_emb_bucket_sql(t, bits)} AS bucket FROM p"
         for t in range(_EMB_TABLES)
     )}
 ),
@@ -2513,6 +2524,9 @@ JOIN p pb ON pb.vec_id = c.id_b
 WHERE list_dot_product(pa.v, pb.v) / (pa.nrm * pb.nrm) >= 0.4
 ORDER BY id_a, id_b
 """
+
+
+ORACLES["dedup_embedding"] = build_dedup_embedding_oracle(_EMB_BITS)
 
 
 ORACLES["dedup_incremental"] = f"""
@@ -2570,6 +2584,13 @@ JOIN sigs sb ON sb.side = 'i' AND sb.doc = c.index_doc AND sb.i = sa.i
 GROUP BY c.new_doc, c.index_doc
 ORDER BY new_doc, index_doc
 """
+
+
+# dedup_incremental_stream (r08): a drained index-maintaining
+# foreachBatch pipeline must equal the batch incremental dedup
+# row-for-row — oracle shared verbatim (the multimodal_decode_stream
+# precedent; exactness argument in streaming/dedup.py).
+ORACLES["dedup_incremental_stream"] = ORACLES["dedup_incremental"]
 
 
 ORACLES["similarity_incremental"] = f"""
@@ -4001,8 +4022,15 @@ ORDER BY cohort_wk, weeks_since
 # one statement — the minhash band chain inlined without the mirror
 # corpus (renamed CTEs to avoid clashing with the shared Jaccard chain),
 # the Jaccard chain reused verbatim, and the embedding-LSH oracle nested
-# as a subquery (its own WITH scope).
-ORACLES["dedup_consensus"] = f"""
+# as a subquery (its own WITH scope). r08: parametric in the embedding
+# leg's bit-width (see build_dedup_embedding_oracle).
+def build_dedup_consensus_oracle(bits: int = _EMB_BITS) -> str:
+    return _DEDUP_CONSENSUS_TEMPLATE.replace(
+        "__EMB_ORACLE__", build_dedup_embedding_oracle(bits)
+    )
+
+
+_DEDUP_CONSENSUS_TEMPLATE = f"""
 WITH {_JACC_CTES},
 mtoks AS (SELECT doc_id AS doc, {TX.sql_tokens("text")} AS t FROM documents),
 msh AS (
@@ -4038,7 +4066,7 @@ ng AS MATERIALIZED (SELECT doc_a, doc_b FROM jacc),
 -- chain ONCE for its two references below; at the ×10 sweep scale the
 -- doubly-evaluated subquery form spilled past the sandbox disk.
 em AS MATERIALIZED (
-    SELECT id_a AS doc_a, id_b AS doc_b FROM ({ORACLES["dedup_embedding"]})
+    SELECT id_a AS doc_a, id_b AS doc_b FROM (__EMB_ORACLE__)
 ),
 allp AS (
     SELECT doc_a, doc_b FROM mh
@@ -4058,6 +4086,25 @@ LEFT JOIN ng n ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
 LEFT JOIN em e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
 ORDER BY p.doc_a, p.doc_b
 """
+
+ORACLES["dedup_consensus"] = build_dedup_consensus_oracle(_EMB_BITS)
+
+
+def adaptive_oracle_overrides(n_embeddings: int) -> dict:
+    """Oracle entries whose SQL depends on the input scale, rebuilt for
+    an embeddings table of ``n_embeddings`` rows with the SAME bit-width
+    formula the query side uses (`adaptive_lsh_bits`). The scale sweeps
+    (tools/scale_sweep.py) merge these over the static ORACLES before
+    comparing; at fixture scale (n ≤ 2048·…, bits floor 6) the rebuilt
+    strings are byte-identical to the static entries, so this is a no-op
+    for the driver's sf0.01 gate and the sf0.1 cert."""
+    from ..operators.similarity import adaptive_lsh_bits
+
+    bits = adaptive_lsh_bits(n_embeddings)
+    return {
+        "dedup_embedding": build_dedup_embedding_oracle(bits),
+        "dedup_consensus": build_dedup_consensus_oracle(bits),
+    }
 
 
 # orders_nested: canonical-JSON nested round trip. Field order inside

@@ -1109,6 +1109,32 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_incremental_stream")
+def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_incremental (r08): the new-arrival slice
+    (doc_id >= 400) is staged to tmpfs parquet and re-read as a paced
+    FILE STREAM (6 files, maxFilesPerTrigger=2 → multiple real
+    micro-batches); a foreachBatch handler maintains the banded
+    MinHash-LSH index as a parquet sink table — seeded with the corpus
+    bands, appended with each batch's +1e6 mirror bands — and joins
+    each arriving batch (plus the accumulated earlier arrivals against
+    the batch's mirrors: the exact decomposition in streaming/dedup.py)
+    so the drained pair set equals the batch query row-for-row against
+    the SAME oracle. Per-batch writes land in batch_id partitions with
+    per-partition overwrite (idempotent at-least-once replay, the
+    streaming/sink.py design). This is the continuous-ingestion dedup
+    shape: per-batch cost ∝ batch, the index is a real maintained
+    table, and at 100 TB the same handler runs unchanged against an
+    object-store index path."""
+    from ..streaming.dedup import run_incremental_dedup_stream
+
+    ensure_deterministic(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return run_incremental_dedup_stream(spark, docs).orderBy(
+        "new_doc", "index_doc"
+    )
+
+
 @query("contamination_check")
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination: for each held-out document (doc_id >=
@@ -1287,8 +1313,11 @@ def multimodal_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_decode's: a drained stateless stream must equal the
     batch run row-for-row — certifying the 100 TB multimodal ingest
     shape (readStream → decode → sink) end to end."""
+    import atexit
     import os
+    import shutil
     import tempfile
+    import time
 
     from ..operators import multimodal as MM
     from ..streaming import events as SE
@@ -1299,11 +1328,29 @@ def multimodal_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, f"dbmig_assets_{app}")
     stamp = os.path.join(path, "_dbmig_stamp")
     if not os.path.exists(stamp):
+        # tmpfs is RAM: remove this session's staging dir at interpreter
+        # exit, and sweep siblings left by crashed sessions (stamp older
+        # than 6 h — a live session re-stages in seconds) (ADVICE r07).
+        for sib in os.listdir(base):
+            if not sib.startswith("dbmig_assets_") or sib == (
+                f"dbmig_assets_{app}"
+            ):
+                continue
+            old = os.path.join(base, sib, "_dbmig_stamp")
+            try:
+                if (
+                    os.path.exists(old)
+                    and time.time() - os.path.getmtime(old) > 6 * 3600
+                ):
+                    shutil.rmtree(os.path.join(base, sib), True)
+            except OSError:
+                pass
         MM.synth_assets(spark, 200).repartition(4).write.mode(
             "overwrite"
         ).parquet(path)
         with open(stamp, "w") as fh:
             fh.write("ok\n")
+        atexit.register(shutil.rmtree, path, True)
     stream = (
         spark.readStream.schema(MM.ASSET_SCHEMA)
         .option("maxFilesPerTrigger", 2)
@@ -1692,15 +1739,26 @@ def _emb_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, cos) embedding near-dup pairs (threshold 0.4,
     md5-literal hyperplanes) — computed once per (application, sf_dir)
     and shared by dedup_embedding / dedup_consensus, the same
-    materialize-once contract as the n-gram pair graph."""
+    materialize-once contract as the n-gram pair graph.
+
+    num_bits is chosen from the input count at plan time
+    (`adaptive_lsh_bits`: bits ≈ log2(5N/160), floor 6) — the r07 ×30
+    octave proved a pinned 64-bucket grid saturates (16.9 B in-bucket
+    scored pairs); the adaptive knob holds E[bucket] ≈ 160 so in-bucket
+    work stays ∝ N. The oracle mirrors the same formula from the same
+    count (plans/oracles.py `adaptive_oracle_overrides`), so query and
+    oracle enumerate identical candidate sets at every scale. The
+    count() is a bounded driver action (one long; parquet metadata
+    scan) and is amortized by the shared-materialization contract."""
     from ..functions.portable_hash import lsh_component
 
     key = ("emb_pairs", spark.sparkContext.applicationId, sf_dir)
     df = _DEDUP_GRAPH_CACHE.get(key)
     if df is None:
         emb = read_table(spark, sf_dir, "embeddings")
+        bits = SIM.adaptive_lsh_bits(emb.count())
         df = SIM.lsh_near_dup_pairs(
-            emb, threshold=0.4, components=lsh_component
+            emb, threshold=0.4, num_bits=bits, components=lsh_component
         ).persist()
         df.count()
         _DEDUP_GRAPH_CACHE[key] = df

@@ -237,6 +237,57 @@ def test_lsh_near_dup_exact_recall_vs_all_pairs(spark):
             assert got[k] == v, f"{sf_dir}: cos mismatch at {k}"
 
 
+def test_adaptive_lsh_bits_anchors():
+    """The scaling knob's measured anchors (r07 ×30 octave + probe):
+    fixture scales clamp to the historical pin (6 — every existing
+    certification hash unchanged), ×10 → 10, ×30 → 11 (the probe's
+    measured full-recall point), and the cap bounds oracle SQL size."""
+    from database_migration_engine_spark.operators.similarity import (
+        adaptive_lsh_bits,
+    )
+
+    assert adaptive_lsh_bits(63) == 6  # sf0.001
+    assert adaptive_lsh_bits(200) == 6  # sf0.01
+    assert adaptive_lsh_bits(2000) == 6  # sf0.1 — the historical pin
+    assert adaptive_lsh_bits(6000) == 8  # ×3
+    assert adaptive_lsh_bits(20000) == 10  # ×10
+    assert adaptive_lsh_bits(60000) == 11  # ×30 — probe-measured
+    assert adaptive_lsh_bits(10**9) == 16  # capped
+    assert adaptive_lsh_bits(0) == 6
+
+
+def test_lsh_parametric_bits_oracle_parity(spark, duck):
+    """The parametric machinery itself, proven OFF the default width:
+    Spark `lsh_near_dup_pairs(num_bits=7)` must enumerate the exact
+    pair set of `build_dedup_embedding_oracle(7)` — same buckets, same
+    probes, same cosines — so the scale sweeps' rebuilt-oracle
+    comparison is structural equality at ANY adaptive width, not just
+    the fixture pin (r08, the dedup_consensus scale fix)."""
+    from database_migration_engine_spark.functions.portable_hash import (
+        lsh_component,
+    )
+    from database_migration_engine_spark.plans.oracles import (
+        build_dedup_embedding_oracle,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in SIM.lsh_near_dup_pairs(
+            emb, threshold=0.4, num_bits=7, components=lsh_component
+        ).collect()
+    }
+    want = {
+        (a, b): c
+        for a, b, c in duck.execute(
+            build_dedup_embedding_oracle(7)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == v, f"cos mismatch at {k}"
+
+
 def test_lsh_near_dup_plan_has_no_cartesian(spark):
     """PLANS.md requirement from the round-1 verdict: the registered
     dedup_embedding plan must be the bucketed equi-join, not the N×N."""

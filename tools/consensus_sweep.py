@@ -27,9 +27,12 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e  # noqa: E402
 from database_migration_engine_spark.functions import text as TX  # noqa: E402
+from database_migration_engine_spark.operators.similarity import (  # noqa: E402
+    adaptive_lsh_bits,
+)
 from database_migration_engine_spark.plans.oracles import (  # noqa: E402
-    ORACLES,
     _JACC_CTES,
+    build_dedup_embedding_oracle,
 )
 
 sf = sys.argv[1]
@@ -102,9 +105,10 @@ FROM mbands a JOIN mbands b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
  AND a.doc < b.doc
 """)
+n_emb = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
 con.execute(
     "CREATE TEMP TABLE _em AS SELECT id_a AS doc_a, id_b AS doc_b FROM ("
-    + ORACLES["dedup_embedding"]
+    + build_dedup_embedding_oracle(adaptive_lsh_bits(n_emb))
     + ")"
 )
 want = con.sql("""

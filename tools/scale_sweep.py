@@ -62,6 +62,15 @@ def vhash(df: pd.DataFrame) -> str:
 
 
 qs, oracles = e.queries(), e.oracle_sql()
+# scale-adaptive oracles (r08): the embedding-LSH queries pick num_bits
+# from N at plan time; rebuild their oracles at the matching width (a
+# byte-identical no-op at fixture scale, where bits clamps to the floor)
+from database_migration_engine_spark.plans.oracles import (  # noqa: E402
+    adaptive_oracle_overrides,
+)
+
+n_emb = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+oracles = {**oracles, **adaptive_oracle_overrides(n_emb)}
 unknown = [a for a in names if a not in qs]
 assert not unknown, f"unknown queries: {unknown}"
 fails = []
