@@ -27,14 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check covers the first ~50 registry entries
-# per round. Priority for the CORRECTNESS_r07 window, front to back:
-# the queries new in round 7 (first-ever driver record), then the one
-# whose r07 VALUES changed (multimodal_pixel_stats: the asset cycle
-# went i%4 -> i%5 to add the JPEG leg, so every row's kind/stats
-# shifted), then the r06 backlog order unchanged. Earlier green rows
-# stand where the window ends.
+# per round. Priority for the CORRECTNESS_r08 window, front to back:
+# the query new in round 8 (first-ever driver record:
+# dedup_incremental_stream, the index-maintaining streaming dedup),
+# then the two whose PLANS changed this round (dedup_embedding /
+# dedup_consensus now pick the LSH bit-width from N at plan time —
+# byte-identical buckets at sf0.01 where the formula clamps to the
+# historical 6, re-certified anyway), then the r07 order unchanged.
+# Earlier green rows stand where the window ends.
 _RECHECK_FIRST = [
-    # (0) NEW in round 7 — first-ever driver record
+    # (0) NEW in round 8 — first-ever driver record
+    "dedup_incremental_stream",
+    # (0a) r08 plan-changing edits (adaptive LSH bits)
+    "dedup_embedding", "dedup_consensus",
+    # (1) round-7 window
     "video_frame_stats", "multimodal_decode_stream",
     "layout_composed_revenue", "bpe_merge_table",
     # (0a) r07 value-changing edits: the asset cycle gained a JPEG leg

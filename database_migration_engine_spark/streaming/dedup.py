@@ -1,0 +1,180 @@
+"""Streaming incremental dedup: a ``foreachBatch`` pipeline that
+maintains a banded MinHash-LSH index as a sink table while deduping the
+arriving document stream — the continuous-ingestion shape the batch
+`dedup_incremental` query implies but never drains (r07 verdict stretch
+item 8).
+
+Per micro-batch of newly-arriving documents the handler
+
+1. computes md5-portable MinHash signatures and banded keys for the
+   batch (one tokenize→shingle→hash pass — batch-sized, never
+   corpus-sized);
+2. joins the batch's bands against the maintained index table
+   (corpus bands + the +1e6 mirror bands of every previously-arrived
+   batch, exactly the batch query's index side);
+3. joins the ACCUMULATED earlier-arrival bands against this batch's
+   freshly-derived mirror bands (so a pair whose mirror arrives later
+   than its probe is still found — the exact decomposition below);
+4. appends this batch's mirror bands to the index and its bands to the
+   arrivals accumulator, and writes the found pairs — every write goes
+   to a ``batch_id=N`` partition with per-partition overwrite, so an
+   at-least-once replay of a micro-batch rewrites identical files
+   (the same idempotency-by-key design as streaming/sink.py).
+
+Exactness: with new batches b_1..b_k and mirror bands m_i of b_i, the
+batch query's pair set is  ∪_i b_i × (corpus ∪ m_1..m_k).  Step 2 emits
+b_i × (corpus ∪ m_1..m_i) and step 3 emits (b_1..b_{i-1}) × m_i, so the
+union over batches covers every (probe, mirror) combination exactly
+once regardless of how the stream partitions the documents into
+micro-batches — the drained result equals `dedup_incremental`
+row-for-row, against the SAME DuckDB oracle.
+
+At 100 TB the index table is the real dedup index of a continuous
+ingestion pipeline: append-only banded signatures, partitioned by
+arrival batch, equi-joined per batch on (band_id, band_hash) — per-batch
+cost scales with the batch and its candidate collisions, never with the
+corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _banded_signatures,
+    _est_jaccard,
+    minhash_signatures,
+)
+
+NUM_HASHES, BANDS = 32, 8
+MIRROR_SHIFT = 1_000_000
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """(doc, band_id, band_hash, hs) banded md5-portable signatures."""
+    return _banded_signatures(
+        minhash_signatures(docs, hash_fn="md5"), NUM_HASHES, BANDS, "md5"
+    )
+
+
+def _pairs(new_bands: DataFrame, idx_bands: DataFrame) -> DataFrame:
+    """Banded equi-join → (new_doc, index_doc, est_jaccard), deduped
+    across band collisions (the lsh_join_presigned shape; sides here are
+    batch-bounded, so the plain join lets Spark broadcast freely)."""
+    new_bands = new_bands.select("doc", "band_id", "band_hash", "hs")
+    idx_bands = idx_bands.select("doc", "band_id", "band_hash", "hs")
+    out = (
+        new_bands.toDF("new_doc", "band_id", "band_hash", "hs_a")
+        .join(
+            idx_bands.toDF("index_doc", "band_id", "band_hash", "hs_b"),
+            ["band_id", "band_hash"],
+        )
+        .dropDuplicates(["new_doc", "index_doc"])
+    )
+    return out.select("new_doc", "index_doc", _est_jaccard(NUM_HASHES))
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    new_min_id: int = 400,
+    n_files: int = 6,
+    files_per_trigger: int = 2,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Stage the new-arrival slice of ``docs`` as a paced file stream,
+    drain it through the index-maintaining foreachBatch handler, and
+    return the accumulated (new_doc, index_doc, est_jaccard) pairs.
+
+    ``docs`` must carry (doc_id, text). Documents with
+    ``doc_id < new_min_id`` are the pre-indexed corpus (their bands seed
+    the index table before the stream starts); the rest arrive as
+    ``n_files`` parquet files paced ``files_per_trigger`` at a time, so
+    the drain runs multiple real micro-batches."""
+    base = work_dir or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    app = spark.sparkContext.applicationId
+    root = os.path.join(base, f"dbmig_increm_dedup_{app}_{new_min_id}")
+    stage_dir = os.path.join(root, "arrivals")
+    idx_dir = os.path.join(root, "index")
+    acc_dir = os.path.join(root, "accum")
+    pairs_dir = os.path.join(root, "pairs")
+    ck_dir = os.path.join(root, "ck")
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = docs.select("doc_id", "text")
+    new_docs = docs.filter(F.col("doc_id") >= new_min_id)
+    corpus = docs.filter(F.col("doc_id") < new_min_id)
+
+    # stage arrivals as a deterministic multi-file stream source
+    new_docs.repartitionByRange(n_files, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+
+    # seed the index with the pre-existing corpus bands (the stored
+    # dedup index a production pipeline reads on startup)
+    _bands_of(corpus).withColumn("batch_id", F.lit(-1)).write.partitionBy(
+        "batch_id"
+    ).mode("overwrite").parquet(idx_dir)
+
+    band_schema = spark.read.parquet(idx_dir).drop("batch_id").schema
+
+    def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
+        # dynamic per-partition overwrite as a WRITE option (not session
+        # conf): replaying this batch_id rewrites identical content
+        # without touching other batches' partitions
+        df.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+            "batch_id"
+        ).option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(path)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bands = _bands_of(batch_df).localCheckpoint(eager=True)
+        mirror = bands.withColumn(
+            "doc", F.col("doc") + F.lit(MIRROR_SHIFT)
+        )
+        idx = sess.read.parquet(idx_dir).drop("batch_id")
+        # noqa: the reads above re-list the dirs each batch by design —
+        # the index is a TABLE the handler maintains, not stream state
+        accum = (
+            sess.read.parquet(acc_dir).drop("batch_id")
+            if os.path.isdir(acc_dir)
+            else sess.createDataFrame([], band_schema)
+        )
+        found = _pairs(bands, idx.unionByName(mirror)).unionByName(
+            _pairs(accum, mirror)
+        )
+        _write_partition(found, batch_id, pairs_dir)
+        _write_partition(mirror, batch_id, idx_dir)
+        _write_partition(bands, batch_id, acc_dir)
+
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    out = (
+        spark.read.parquet(pairs_dir)
+        .drop("batch_id")
+        .dropDuplicates(["new_doc", "index_doc"])
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

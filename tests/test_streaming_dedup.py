@@ -1,0 +1,50 @@
+"""Streaming incremental dedup (r08, r07 verdict stretch item 8): the
+index-maintaining foreachBatch pipeline must drain to EXACTLY the batch
+dedup_incremental result, for any partitioning of the arrivals into
+micro-batches — the exactness decomposition in streaming/dedup.py."""
+
+from __future__ import annotations
+
+from database_migration_engine_spark.io import read_table
+from database_migration_engine_spark.streaming.dedup import (
+    run_incremental_dedup_stream,
+)
+
+from .conftest import SF_DIR
+
+
+def _batch_pairs(spark, sf_dir):
+    from database_migration_engine_spark.plans import QUERIES
+
+    return [
+        tuple(r) for r in QUERIES["dedup_incremental"](spark, sf_dir).collect()
+    ]
+
+
+def test_incremental_dedup_stream_equals_batch(spark):
+    from database_migration_engine_spark.plans import QUERIES
+
+    got = [
+        tuple(r)
+        for r in QUERIES["dedup_incremental_stream"](spark, SF_DIR).collect()
+    ]
+    want = _batch_pairs(spark, SF_DIR)
+    assert got == want
+    assert len(got) > 0  # the mirror guarantees every new doc pairs
+
+
+def test_incremental_dedup_stream_batch_partition_invariant(spark):
+    """The drained pair set must not depend on how the stream chops the
+    arrivals into micro-batches: 1 file (single batch, pure pairs1
+    path) and 4 files paced 1 per trigger (4 batches, heavy pairs2
+    path) both equal the batch result."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = sorted(_batch_pairs(spark, SF_DIR))
+    for n_files, per_trigger in [(1, 2), (4, 1)]:
+        got = sorted(
+            tuple(r)
+            for r in run_incremental_dedup_stream(
+                spark, docs, n_files=n_files, files_per_trigger=per_trigger
+            ).collect()
+        )
+        assert got == want, (n_files, per_trigger)
