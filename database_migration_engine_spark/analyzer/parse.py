@@ -385,15 +385,68 @@ _CONST_RE = re.compile(
 _CAST_RE = re.compile(r"^CAST\s*\(\s*(.+)\s+AS\s+[^)]+\)$", re.IGNORECASE | re.DOTALL)
 
 
+def _outer_parens_match(expr: str) -> bool:
+    """True when expr is '( ... )' with the opening paren closing at the
+    LAST character (string-literal aware) — i.e. a pure grouping pair
+    the real grammar drops (c_expr: '(' a_expr ')' is just a_expr)."""
+    if not (expr.startswith("(") and expr.endswith(")")):
+        return False
+    depth, i, n = 0, 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if expr[j] == "'":
+                    if j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == n - 1
+        i += 1
+    return False
+
+
 def is_volatile_default(expr: str) -> bool:
     """Conservative volatility classification, same under-approximation as
     the reference (internal/analyzer/rules/alter_add_column.go:112-134):
     non-volatile iff a constant or a cast of a constant; any function call
-    (FuncCall) or other expression is assumed volatile."""
+    (FuncCall) or other expression is assumed volatile.
+
+    Grouping parentheses are stripped first (fuzz wave 9): the real
+    grammar reduces ``(0)`` / ``((42))`` / ``('x'::text)`` to the same
+    A_Const / TypeCast nodes as the bare forms — a textual matcher that
+    keeps the parens classified them volatile and raised a false
+    add-column-volatile-default finding."""
     expr = expr.strip()
-    cast = _CAST_RE.match(expr)
-    if cast:
-        expr = cast.group(1).strip()
+    while True:
+        if _outer_parens_match(expr):
+            expr = expr[1:-1].strip()
+            continue
+        cast = _CAST_RE.match(expr)
+        if cast:
+            expr = cast.group(1).strip()
+            continue
+        # suffix cast on a parenthesized operand — ('x')::text — is the
+        # same TypeCast node; volatility is the operand's
+        suffix = re.match(
+            r"^(\(.+\))\s*::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?$",
+            expr,
+            re.DOTALL,
+        )
+        if suffix and _outer_parens_match(suffix.group(1)):
+            expr = suffix.group(1)
+            continue
+        break
     return not _CONST_RE.match(expr)
 
 
@@ -454,14 +507,66 @@ _DEFAULT_END_KEYWORDS = (
 )
 
 
+def _find_top_level_default(command: str) -> int | None:
+    """Offset just past a TOP-LEVEL ``DEFAULT`` keyword — outside string
+    literals, quoted identifiers, and parentheses. A bare regex search
+    matched DEFAULT inside a CHECK constraint's string literal
+    (``CHECK (status <> 'DEFAULT value')``) and raised a false
+    volatile-default finding where libpg_query sees no default at all
+    (fuzz wave 9)."""
+    i, n, depth = 0, len(command), 0
+    while i < n:
+        ch = command[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if command[j] == "'":
+                    if j + 1 < n and command[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            i = j
+        elif ch == '"':
+            j = i + 1
+            while j < n:
+                if command[j] == '"':
+                    if j + 1 < n and command[j + 1] == '"':
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            i = j
+        elif ch == "(":
+            depth += 1
+            i += 1
+        elif ch == ")":
+            depth -= 1
+            i += 1
+        elif ch.isalpha() or ch == "_":
+            j = i + 1
+            while j < n and (command[j].isalnum() or command[j] in "_$"):
+                j += 1
+            if depth == 0 and command[i:j].upper() == "DEFAULT":
+                m_ws = re.match(r"\s+", command[j:])
+                if m_ws:
+                    return j + m_ws.end()
+            i = j
+        else:
+            i += 1
+    return None
+
+
 def _extract_default_expr(command: str) -> str | None:
     """Slice the DEFAULT expression out of an ADD COLUMN command
     (the textual analogue of walking the column's constraint list,
     reference internal/analyzer/rules/alter_add_column.go:97-110)."""
-    m = re.search(r"\bDEFAULT\s+", command, re.IGNORECASE)
-    if not m:
+    pos = _find_top_level_default(command)
+    if pos is None:
         return None
-    rest = command[m.end():]
+    rest = command[pos:]
     # cut at the first top-level constraint keyword
     depth = 0
     i, n = 0, len(rest)
@@ -731,9 +836,13 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
         feats.table = feats.tables[0] if feats.tables else None
         return feats
 
+    # relation_expr allows a descendant-table star after the name
+    # (``ALTER TABLE t * ADD CHECK …``) — without consuming it the star
+    # leads the first subcommand and the whole command list parses as
+    # 'other', silently skipping every danger rule (fuzz wave 9)
     m = re.match(
         rf"ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:ONLY\s+)?"
-        rf"(?P<table>{_QNAME})\s+(?P<rest>.*)$",
+        rf"(?P<table>{_QNAME})(?:\s*\*)?\s+(?P<rest>.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )

@@ -1014,3 +1014,108 @@ def test_keyword_collision_identifiers_do_not_route():
         ).as_dict()
         assert feats["concurrent"] is True, sql
         assert P.contains_concurrent_op(sql) is True, sql
+
+
+# --- fuzz round 8 wave 9: top-level DEFAULT tokenization, grouping
+# parens around constant defaults, relation_expr star. Probe sweep also
+# covered the r07-suggested targets that turned out already-correct:
+# COPY ... FROM STDIN payloads with embedded semicolons / DROP-looking
+# rows (r04 machinery), GENERATED ALWAYS AS expressions with commas and
+# nested parens in multi-command ALTERs, SECURITY LABEL / COMMENT ON
+# with dollar-quoted statement-looking bodies, and mixed safe/dangerous
+# subcommand lists. THREE real fixes landed (analyzer/parse.py):
+#
+# * a bare regex search matched DEFAULT inside a CHECK constraint's
+#   string literal ("CHECK (status <> 'DEFAULT value')") and raised a
+#   false volatile-default finding — DEFAULT is now located as a
+#   top-level token outside quotes and parens;
+# * grouping parentheses around a constant default — DEFAULT (0),
+#   ((42)), ('x'::text), ('x')::text — classified volatile, where the
+#   real grammar drops the parens and yields the same A_Const/TypeCast
+#   nodes as the bare forms;
+# * ALTER TABLE t * (relation_expr descendant star) led the first
+#   subcommand with "*", so the whole command list parsed as 'other'
+#   and every danger rule was silently skipped.
+
+
+def test_default_inside_string_literal_is_not_a_default():
+    cases = [
+        "ALTER TABLE t ADD COLUMN s text CHECK (s <> 'DEFAULT value');",
+        "ALTER TABLE t ADD COLUMN s text CHECK (s <> 'x DEFAULT ');",
+        'ALTER TABLE t ADD COLUMN "DEFAULT col" text;',
+    ]
+    for sql in cases:
+        cmd = P.classify_statement(0, sql).commands[0]
+        assert cmd.subtype == "add_column", sql
+        assert cmd.has_default is False, sql
+        assert cmd.default_volatile is False, sql
+    # ...while a REAL default after such a constraint still registers
+    sql = ("ALTER TABLE t ADD COLUMN s text "
+           "CHECK (s <> 'DEFAULT value') DEFAULT 'ok';")
+    # (column constraints may appear in any order; DEFAULT after CHECK
+    # is grammatical)
+    cmd = P.classify_statement(0, sql).commands[0]
+    assert cmd.has_default is True and cmd.default_volatile is False, sql
+
+
+@given(
+    st.sampled_from(["0", "42", "'x'", "NULL", "TRUE", "1.5e3", "0x1F"]),
+    st.integers(min_value=1, max_value=3),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_grouping_parens_around_constant_default(lit, n_parens, spaced):
+    pad = " " if spaced else ""
+    expr = lit
+    for _ in range(n_parens):
+        expr = f"({pad}{expr}{pad})"
+    sql = f"ALTER TABLE t ADD COLUMN c text DEFAULT {expr};"
+    cmd = P.classify_statement(0, sql).commands[0]
+    assert cmd.has_default is True, sql
+    assert cmd.default_volatile is False, sql
+
+
+def test_parenthesized_volatile_default_stays_volatile():
+    for expr in ["(random())", "((now()))", "(a + b)", "('x' || 'y')"]:
+        sql = f"ALTER TABLE t ADD COLUMN c text DEFAULT {expr};"
+        cmd = P.classify_statement(0, sql).commands[0]
+        assert cmd.default_volatile is True, sql
+
+
+def test_alter_table_descendant_star_keeps_commands():
+    for star in ["*", " *", " * "]:
+        sql = (f"ALTER TABLE t{star} ADD CONSTRAINT ck CHECK (x > 0),"
+               f" ALTER COLUMN c SET NOT NULL;")
+        feats = P.classify_statement(0, sql)
+        assert feats.stmt_type == "alter_table", sql
+        assert feats.table == "t", sql
+        subs = [c.subtype for c in feats.commands]
+        assert subs == ["add_constraint", "set_not_null"], (sql, subs)
+
+
+def test_wave9_already_correct_targets():
+    """The r07-suggested probes that found the recognizer already right
+    — frozen so they stay right."""
+    # COPY payload: semicolons + DDL-looking rows never split/classify
+    sql = ("COPY t (a, b) FROM STDIN WITH (DELIMITER ';');\n"
+           "1;DROP TABLE x\n2;LOCK TABLE y;\n\\.\nDROP TABLE real_t;")
+    parsed = P.parse_sql(sql)
+    assert [f["stmt_type"] for f in parsed] == ["copy", "drop_table"]
+    assert parsed[1]["tables"] == ["real_t"]
+    # GENERATED ALWAYS AS with commas/parens in a multi-command ALTER
+    sql = ("ALTER TABLE t ADD COLUMN g int GENERATED ALWAYS AS "
+           "(coalesce(a, b, least(c, d))) STORED, DROP COLUMN old;")
+    feats = P.classify_statement(0, sql)
+    assert [c.subtype for c in feats.commands] == [
+        "add_column", "drop_column",
+    ]
+    assert feats.commands[0].has_default is False
+    # SECURITY LABEL / COMMENT ON with dollar-quoted bodies: one
+    # statement each, bodies inert
+    sql = ("SECURITY LABEL FOR anon ON FUNCTION f(int) IS "
+           "$l$MASKED; WITH x;$l$;\n"
+           "COMMENT ON TABLE t IS $$drop table x; lock y;$$;\n"
+           "SELECT 1;")
+    parsed = P.parse_sql(sql)
+    assert len(parsed) == 3
+    assert all(f["stmt_type"] == "other" for f in parsed)
