@@ -443,6 +443,98 @@ def load_previous_detail() -> dict | None:
         return None
 
 
+TIMINGS_LOG = "BENCH_TIMINGS.jsonl"   # one JSON row per accepted run
+CAPACITY_FLOOR = 29.0  # eff_cores below this ⇒ host-degraded row
+STEAL_WARN = 0.30      # steal above this ⇒ prominent warning (ADVICE r07)
+HISTORY_K = 5          # regression baseline: median of last k clean rows
+
+
+def load_clean_history(k: int = HISTORY_K) -> list[dict]:
+    """Last ``k`` accepted runs that were neither contaminated nor
+    host-degraded (eff_cores ≥ CAPACITY_FLOOR) — the only rows a
+    per-query time can fairly be compared against."""
+    rows: list[dict] = []
+    try:
+        with open(os.path.join(REPO, TIMINGS_LOG)) as f:
+            for ln in f:
+                try:
+                    rows.append(json.loads(ln))
+                except ValueError:
+                    continue
+    except OSError:
+        return []
+    clean = [
+        r for r in rows
+        if not r.get("contaminated")
+        and isinstance(r.get("eff_cores"), (int, float))
+        and r["eff_cores"] >= CAPACITY_FLOOR
+    ]
+    return clean[-k:]
+
+
+def history_baseline(
+    rows: list[dict],
+) -> tuple[dict[str, float], float | None]:
+    """(per-query median, median calib) over the clean history rows.
+    The median over k runs is what makes single-run capacity artifacts
+    stop masquerading as regressions (r07: four guard-passing runs of
+    the SAME code each flagged a different query list when compared to
+    one prior run)."""
+    per_q: dict[str, list[float]] = {}
+    for r in rows:
+        for n, t in (r.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t >= 0:
+                per_q.setdefault(n, []).append(float(t))
+    calibs = [
+        float(r["calib_sec"])
+        for r in rows
+        if isinstance(r.get("calib_sec"), (int, float))
+    ]
+    return (
+        {n: statistics.median(v) for n, v in per_q.items()},
+        statistics.median(calibs) if calibs else None,
+    )
+
+
+def flag_regressions(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    ratio: float | None,
+) -> list[tuple[str, float, float]]:
+    """Queries slower than baseline beyond host drift: t/base must beat
+    both an absolute 1.3× and 1.15× the calib drift ratio. Pure
+    function — unit-tested against a synthetic slow box (uniform 1.5×
+    with matching calib ⇒ no flags) and a genuine single-query 3×
+    regression (⇒ flagged)."""
+    return sorted(
+        (
+            (n, t, baseline[n])
+            for n, t in timings.items()
+            if t > 0.5
+            and isinstance(baseline.get(n), (int, float))
+            and baseline[n] > 0
+            and t / baseline[n] > max(1.3, (ratio or 1.0) * 1.15)
+        ),
+        key=lambda x: -(x[1] / x[2]),
+    )[:8]
+
+
+def append_timings_log(summary: dict, timings: dict[str, float]) -> None:
+    row = {
+        "stamp": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        ),
+        "sf": summary.get("sf"),
+        "calib_sec": summary.get("calib_sec"),
+        "eff_cores": summary.get("eff_cores"),
+        "steal_cpu_share": summary.get("steal_cpu_share"),
+        "contaminated": summary.get("contaminated", False),
+        "queries": {n: t for n, t in timings.items()},
+    }
+    with open(os.path.join(REPO, TIMINGS_LOG), "a") as f:
+        f.write(json.dumps(row, separators=(",", ":")) + "\n")
+
+
 def append_history(
     summary: dict,
     timings: dict[str, float],
@@ -498,26 +590,60 @@ def append_history(
             f"Host-drift ratio vs previous run (calib/calib): {ratio:.2f} — "
             "family deltas near this ratio are drift, not regressions.\n"
         )
-    if prev_t:
-        regs = sorted(
-            (
-                (n, t, prev_t[n])
-                for n, t in timings.items()
-                if t > 0.5
-                and isinstance(prev_t.get(n), (int, float))
-                and prev_t[n] > 0
-                and t / prev_t[n] > max(1.3, (ratio or 1.0) * 1.15)
-            ),
-            key=lambda x: -(x[1] / x[2]),
-        )[:8]
+    # Degraded-capacity markers (r07 verdict item 4 + ADVICE): a row
+    # recorded under heavy steal or low delivered cores is labelled so
+    # downstream comparisons never mistake it for the round's number.
+    steal_v = summary.get("steal_cpu_share")
+    if isinstance(steal_v, float) and steal_v > STEAL_WARN:
+        lines.append(
+            f"HOST-DEGRADED: hypervisor steal {steal_v:.0%} exceeds "
+            f"{STEAL_WARN:.0%} — totals are host-throttled; compare "
+            "medians/calib-normalized only.\n"
+        )
+    eff_v = summary.get("eff_cores")
+    if isinstance(eff_v, (int, float)) and eff_v < CAPACITY_FLOOR:
+        lines.append(
+            f"BELOW CAPACITY FLOOR: eff_cores {eff_v} < {CAPACITY_FLOOR} — "
+            "this row does not stand as a round record.\n"
+        )
+    # Regression baseline: median of the last k clean history rows (the
+    # r07 fix — one prior run's capacity artifacts flagged a different
+    # query list on every same-code rerun); falls back to the previous
+    # detail file until enough history accumulates.
+    hist = load_clean_history()
+    if len(hist) >= 2:
+        base, base_calib = history_baseline(hist)
+        base_ratio = (
+            summary["calib_sec"] / base_calib
+            if summary["calib_sec"] and base_calib
+            else ratio
+        )
+        base_label = f"median of last {len(hist)} clean runs"
+    else:
+        base, base_ratio, base_label = prev_t, ratio, "previous run"
+    base = {
+        n: t for n, t in (base or {}).items()
+        if isinstance(t, (int, float))
+    }
+    if base:
+        regs = flag_regressions(timings, base, base_ratio)
+        eff_txt = (
+            f" [eff_cores={eff_v}]"
+            if isinstance(eff_v, (int, float))
+            else ""
+        )
         if regs:
             lines.append(
-                "Per-query regressions beyond drift: "
+                f"Per-query regressions beyond drift (vs {base_label})"
+                f"{eff_txt}: "
                 + ", ".join(f"{n} {p:.2f}→{t:.2f}s" for n, t, p in regs)
                 + "\n"
             )
         else:
-            lines.append("Per-query regressions beyond drift: none\n")
+            lines.append(
+                f"Per-query regressions beyond drift (vs {base_label})"
+                f"{eff_txt}: none\n"
+            )
     with open(path, "a") as f:
         f.writelines(lines)
 
@@ -588,7 +714,16 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(3)
+    if steal_share > STEAL_WARN:
+        print(
+            f"bench: WARNING — hypervisor steal consumed "
+            f"{steal_share:.0%} of the box during the timed region "
+            f"(> {STEAL_WARN:.0%}): totals are host-throttled, the "
+            "history row is marked HOST-DEGRADED.",
+            file=sys.stderr,
+        )
     append_history(summary, timings, prev)
+    append_timings_log(summary, timings)
     line = json.dumps(summary, separators=(",", ":"))
     # Belt and braces: the driver's round-1 capture held ~2000 chars.
     assert len(line) < 1900, f"bench summary line too long: {len(line)}"

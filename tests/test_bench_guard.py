@@ -185,5 +185,100 @@ def test_main_force_overrides_reject(monkeypatch, tmp_path, capfd):
     assert summary["contaminated"] is True
 
 
+def test_flag_regressions_slow_box_vs_genuine(tmp_path):
+    """The r07 false-flag scenario, unit-tested: a uniformly slow box
+    (every query 1.5×, calib ratio 1.5) must produce ZERO flags, while
+    a genuine single-query 3× regression on a normal box is caught."""
+    bench = _load_bench()
+    base = {"qa": 1.0, "qb": 2.0, "qc": 4.0, "qd": 0.2}
+    slow_box = {n: round(t * 1.5, 4) for n, t in base.items()}
+    assert bench.flag_regressions(slow_box, base, ratio=1.5) == []
+    regressed = dict(base, qb=6.0)
+    flags = bench.flag_regressions(regressed, base, ratio=1.0)
+    assert [f[0] for f in flags] == ["qb"]
+    # sub-0.5 s queries never flag (noise floor), whatever the ratio
+    tiny = dict(base, qd=0.45)
+    assert bench.flag_regressions(tiny, base, ratio=1.0) == []
+
+
+def test_clean_history_filters_degraded_and_contaminated(
+    monkeypatch, tmp_path
+):
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    rows = [
+        {"eff_cores": 30.1, "contaminated": False, "calib_sec": 0.4,
+         "queries": {"qa": 1.0}},
+        {"eff_cores": 24.0, "contaminated": False, "calib_sec": 0.5,
+         "queries": {"qa": 2.5}},   # below CAPACITY_FLOOR — excluded
+        {"eff_cores": 30.5, "contaminated": True, "calib_sec": 0.4,
+         "queries": {"qa": 3.0}},   # contaminated — excluded
+        {"eff_cores": 29.5, "contaminated": False, "calib_sec": 0.42,
+         "queries": {"qa": 1.2}},
+        {"eff_cores": 31.0, "contaminated": False, "calib_sec": 0.38,
+         "queries": {"qa": 0.9}},
+    ]
+    with open(tmp_path / "BENCH_TIMINGS.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    clean = bench.load_clean_history()
+    assert [r["eff_cores"] for r in clean] == [30.1, 29.5, 31.0]
+    base, calib = bench.history_baseline(clean)
+    assert base == {"qa": 1.0}
+    assert calib == 0.4
+
+
+def test_main_flags_vs_history_median_not_single_run(
+    monkeypatch, tmp_path, capfd
+):
+    """End-to-end: with 3 clean history rows whose q2 median is 0.5 s,
+    a run where q2 reads 2.0 s flags it against the MEDIAN (labelled
+    so), appends its own row to the timings log, and prints eff_cores
+    next to the flag line."""
+    bench = _run_main_with_fake_bench(monkeypatch, tmp_path, share=0.02)
+    with open(tmp_path / "BENCH_TIMINGS.jsonl", "w") as f:
+        for t in (0.5, 0.45, 0.55):
+            f.write(json.dumps({
+                "eff_cores": 30.0, "contaminated": False,
+                "calib_sec": 0.6, "queries": {"q1": 1.0, "q2": t},
+            }) + "\n")
+    bench.main()
+    capfd.readouterr()
+    hist = open(tmp_path / "BENCH_HISTORY.md").read()
+    assert "vs median of last 3 clean runs" in hist
+    assert "q2 0.50→2.00s" in hist
+    assert "eff_cores=24.1" in hist
+    log = [
+        json.loads(ln)
+        for ln in open(tmp_path / "BENCH_TIMINGS.jsonl")
+    ]
+    assert len(log) == 4 and log[-1]["queries"]["q2"] == 2.0
+
+
+def test_main_warns_on_heavy_steal(monkeypatch, tmp_path, capfd):
+    """ADVICE r07: steal stays non-rejecting, but a >30%-steal run must
+    print a prominent warning and mark its history row HOST-DEGRADED."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(
+        bench,
+        "bench",
+        lambda sf_dir: (
+            {"q1": 1.0}, {"q1": [1.0]}, [0.6] * 3, 0.6, [], 0.02, 0.35,
+            20.0,
+        ),
+    )
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    bench.main()
+    out, err = capfd.readouterr()
+    assert "WARNING" in err and "steal" in err
+    hist = open(tmp_path / "BENCH_HISTORY.md").read()
+    assert "HOST-DEGRADED" in hist
+    assert "BELOW CAPACITY FLOOR" in hist
+    # the row still lands in the timings log (marked by its eff_cores),
+    # but will never be selected as a clean-history baseline row
+    assert bench.load_clean_history() == []
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
