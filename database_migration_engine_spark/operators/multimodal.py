@@ -947,6 +947,10 @@ def _jpeg_decode_prog_scan(
                     eobrun += bits.receive(r)
                 break
             k += r
+            if k > se:  # ZRL/run past the band end on a corrupt stream
+                raise ValueError(
+                    "corrupt progressive scan: coefficient run past band end"
+                )
             blk[k] = _jpeg_extend(bits.receive(s), s) << al
             k += 1
 
@@ -978,6 +982,10 @@ def _jpeg_decode_prog_scan(
                             break
                     k += 1
                 if newval:
+                    if k > se:  # corrupt stream: insertion past band end
+                        raise ValueError(
+                            "corrupt progressive scan: insertion past band end"
+                        )
                     blk[k] = newval
                 k += 1
         if eobrun > 0:
@@ -1677,14 +1685,18 @@ def _iter_avi_frames(data: bytes):
     through the count mismatch or the inner JPEG decoder — inter-frame
     codecs remain the documented seam."""
     width, height, n_frames = parse_avi_header(data)
-    p = data.find(b"LIST", 12)
+    # Walk TOP-LEVEL RIFF chunks by (id, size) from offset 12 — a byte
+    # search for b"LIST" can false-match inside non-LIST chunk payloads
+    # (JUNK fill, strf codec data) and mis-locate movi (ADVICE r07).
     movi_start = movi_end = -1
-    while 0 <= p <= len(data) - 12:
+    p = 12
+    while p + 8 <= len(data):
+        cid = data[p : p + 4]
         size = struct.unpack("<I", data[p + 4 : p + 8])[0]
-        if data[p + 8 : p + 12] == b"movi":
+        if cid == b"LIST" and data[p + 8 : p + 12] == b"movi":
             movi_start, movi_end = p + 12, p + 8 + size
             break
-        p = data.find(b"LIST", p + 8 + size + (size % 2))
+        p += 8 + size + (size % 2)
     if movi_start < 0:
         raise ValueError("AVI missing movi LIST")
     row_size = (width * 3 + 3) & ~3

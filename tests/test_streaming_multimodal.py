@@ -1084,6 +1084,36 @@ def test_decode_avi_frames_error_paths():
         decode_avi_frames(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
 
 
+def test_avi_demux_ignores_list_bytes_inside_junk():
+    """The movi locator must walk TOP-LEVEL RIFF chunks, not byte-search
+    for b"LIST": a JUNK chunk whose payload embeds a decoy
+    LIST-size-movi byte sequence (real-world AVIs carry JUNK alignment
+    fill) sits before the true movi LIST and must be skipped by
+    id+size, not matched (ADVICE r07)."""
+    import struct as _struct
+
+    from database_migration_engine_spark.operators.multimodal import (
+        decode_avi_frames,
+        make_avi,
+    )
+
+    data = make_avi(4, 3, 2, pixels=True)
+    clean = decode_avi_frames(data)
+    # decoy: a well-formed-looking LIST/movi header inside JUNK payload
+    fake = b"LIST" + _struct.pack("<I", 4) + b"movi"
+    junk = b"JUNK" + _struct.pack("<I", len(fake)) + fake
+    hsize = _struct.unpack("<I", data[16:20])[0]
+    cut = 12 + 8 + hsize + (hsize % 2)  # end of the hdrl LIST
+    spliced = (
+        b"RIFF"
+        + _struct.pack("<I", len(data) - 8 + len(junk))
+        + data[8:cut]
+        + junk
+        + data[cut:]
+    )
+    assert decode_avi_frames(spliced) == clean
+
+
 def test_avi_frame_stats_sampling(spark):
     """avi_frame_stats decodes every 2nd frame across BOTH codecs
     (even assets DIB, odd assets Motion-JPEG): per-frame rows match
