@@ -2234,7 +2234,8 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                         " PCM WAV, 8-bit PNG, palette GIF, baseline +"
                         " progressive JPEG and uncompressed-DIB AVI;"
                         " compressed video codecs and MP3 samples need"
-                        " ffmpeg"
+                        " ffmpeg (bounded-scope decision: SURVEY.md"
+                        " 'Multimodal codec boundary')"
                     )
                 rows.append({"asset_id": int(aid), "kind": kind, **stats})
             yield pd.DataFrame(rows)

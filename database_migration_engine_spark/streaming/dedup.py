@@ -101,9 +101,9 @@ def run_incremental_dedup_stream(
     )
     app = spark.sparkContext.applicationId
     root = os.path.join(base, f"dbmig_increm_dedup_{app}_{new_min_id}")
-    stage_dir = os.path.join(root, "arrivals")
-    idx_dir = os.path.join(root, "index")
-    acc_dir = os.path.join(root, "accum")
+    stage_dir = os.path.join(root, "stage")
+    corpus_dir = os.path.join(root, "corpus_bands")
+    arr_dir = os.path.join(root, "arrival_bands")
     pairs_dir = os.path.join(root, "pairs")
     ck_dir = os.path.join(root, "ck")
     shutil.rmtree(root, ignore_errors=True)
@@ -118,57 +118,71 @@ def run_incremental_dedup_stream(
     ).parquet(stage_dir)
 
     # seed the index with the pre-existing corpus bands (the stored
-    # dedup index a production pipeline reads on startup)
-    _bands_of(corpus).withColumn("batch_id", F.lit(-1)).write.partitionBy(
-        "batch_id"
-    ).mode("overwrite").parquet(idx_dir)
+    # dedup index a production pipeline reads on startup). Mirror bands
+    # are never STORED: a mirror is the arrival band with doc shifted,
+    # a projection applied at join time — one arrivals table serves as
+    # both the accumulated-probe side and (shifted) the index side.
+    _bands_of(corpus).coalesce(1).write.mode("overwrite").parquet(corpus_dir)
 
-    band_schema = spark.read.parquet(idx_dir).drop("batch_id").schema
+    band_schema = spark.read.parquet(corpus_dir).schema
 
     def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
         # dynamic per-partition overwrite as a WRITE option (not session
         # conf): replaying this batch_id rewrites identical content
-        # without touching other batches' partitions
-        df.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+        # without touching other batches' partitions. coalesce(1): a
+        # micro-batch's band/pair tables are KB-scale; at production
+        # batch sizes raise this toward the batch's natural partitioning.
+        df.coalesce(1).withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
             "batch_id"
         ).option("partitionOverwriteMode", "dynamic").mode(
             "overwrite"
         ).parquet(path)
 
+    def _shift(bands_df: DataFrame) -> DataFrame:
+        return bands_df.withColumn("doc", F.col("doc") + F.lit(MIRROR_SHIFT))
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         bands = _bands_of(batch_df).localCheckpoint(eager=True)
-        mirror = bands.withColumn(
-            "doc", F.col("doc") + F.lit(MIRROR_SHIFT)
-        )
-        idx = sess.read.parquet(idx_dir).drop("batch_id")
-        # noqa: the reads above re-list the dirs each batch by design —
-        # the index is a TABLE the handler maintains, not stream state
-        accum = (
-            sess.read.parquet(acc_dir).drop("batch_id")
-            if os.path.isdir(acc_dir)
+        # the dir reads re-list each batch by design — the index is a
+        # TABLE the handler maintains, not stream state
+        corpus_b = sess.read.parquet(corpus_dir)
+        arrived = (
+            sess.read.parquet(arr_dir).drop("batch_id")
+            if os.path.isdir(arr_dir)
             else sess.createDataFrame([], band_schema)
         )
-        found = _pairs(bands, idx.unionByName(mirror)).unionByName(
-            _pairs(accum, mirror)
+        index_side = corpus_b.unionByName(_shift(arrived)).unionByName(
+            _shift(bands)
+        )
+        found = _pairs(bands, index_side).unionByName(
+            _pairs(arrived, _shift(bands))
         )
         _write_partition(found, batch_id, pairs_dir)
-        _write_partition(mirror, batch_id, idx_dir)
-        _write_partition(bands, batch_id, acc_dir)
+        _write_partition(bands, batch_id, arr_dir)
 
     stream = (
         spark.readStream.schema(new_docs.schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(stage_dir)
     )
-    query = (
-        stream.writeStream.foreachBatch(handle)
-        .outputMode("append")
-        .option("checkpointLocation", ck_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # size the in-batch shuffles to the micro-batch, not the session
+    # default: each batch's band/pair tables are KB-scale, and 32-wide
+    # exchanges per batch dominated the drain wall-clock. Restored in
+    # finally — the setting is scoped to this drain only.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        query = (
+            stream.writeStream.foreachBatch(handle)
+            .outputMode("append")
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     out = (
         spark.read.parquet(pairs_dir)
