@@ -35,6 +35,12 @@ STREAMING = [
     "events_attribution_stream",
     "events_copair_hourly_stream",
     "events_late_audit",
+    # r07/r08 additions: the multimodal file-stream decode (stateless
+    # transform) and the index-maintaining foreachBatch dedup — neither
+    # holds store state, but both must DRAIN correctly under the
+    # RocksDB provider conf (checkpoint/commit path differs)
+    "multimodal_decode_stream",
+    "dedup_incremental_stream",
 ]
 
 TABLES = [
