@@ -365,6 +365,13 @@ class StatementFeatures:
 _CONST_RE = re.compile(
     r"""^(?:
         '(?:[^']|'')*'            # string literal
+        # E-string and dollar-quoted literals are the SAME A_Const
+        # string node to the real parser (fuzz wave 10: both previously
+        # classified volatile and raised false R2 findings)
+      | [eE]'(?:[^'\\]|\\.|'')*'
+        # (dollar-quoted literals are checked in code — a regex
+        # backreference body backtracks ACROSS separate $$…$$ strings,
+        # misreading '$$a$$ || $$b$$' as one constant)
         # numeric literal: 42, 3.5, 4., .001, 5e2, 1.925e-3 — all A_Const
         # to the real parser (r03 fuzz fix: scientific/leading-dot forms
         # were misclassified volatile). PostgreSQL 16 adds underscore
@@ -432,6 +439,13 @@ def is_volatile_default(expr: str) -> bool:
         if _outer_parens_match(expr):
             expr = expr[1:-1].strip()
             continue
+        # unary minus over a parenthesized group: the grammar folds
+        # doNegate over the inner constant — ``-(1)`` IS A_Const(-1)
+        # (fuzz wave 10); a non-constant inner stays volatile either way
+        neg = re.match(r"^-\s*(\(.+\))$", expr, re.DOTALL)
+        if neg and _outer_parens_match(neg.group(1)):
+            expr = "-" + neg.group(1)[1:-1].strip()
+            continue
         cast = _CAST_RE.match(expr)
         if cast:
             expr = cast.group(1).strip()
@@ -447,42 +461,83 @@ def is_volatile_default(expr: str) -> bool:
             expr = suffix.group(1)
             continue
         break
+    # exactly ONE dollar-quoted literal (plus an optional ::cast
+    # suffix) is the same A_Const string node as '…' (fuzz wave 10);
+    # scanned in code because a regex backreference backtracks across
+    # separate $$…$$ strings
+    if expr.startswith("$"):
+        end = _skip_quoted(expr, 0)
+        if end is not None and end <= len(expr):
+            tail = expr[end:].strip()
+            if not tail or re.match(
+                r"^::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?$", tail
+            ):
+                return False
     return not _CONST_RE.match(expr)
 
 
+def _skip_quoted(text: str, i: int) -> int | None:
+    """If a quoted token starts at ``i`` — '…' (with '' doubling),
+    E'…' (backslash escapes, only when the E begins a token), "…"
+    identifier, or $tag$…$tag$ — return the index just past it; else
+    None. The ONE quote scanner the command-level helpers share (fuzz
+    wave 10: three of them each knew a different subset, so a comma or
+    keyword inside a dollar-quoted or E-string default corrupted the
+    command list / default extraction)."""
+    n = len(text)
+    ch = text[i]
+    escaped = False
+    if ch in "eE" and i + 1 < n and text[i + 1] == "'" and (
+        i == 0 or not (text[i - 1].isalnum() or text[i - 1] in '_$"')
+    ):
+        escaped = True
+        i += 1
+        ch = "'"
+    if ch == "'":
+        j = i + 1
+        while j < n:
+            if escaped and text[j] == "\\":
+                j += 2
+            elif text[j] == "'":
+                if j + 1 < n and text[j + 1] == "'":
+                    j += 2
+                else:
+                    return j + 1
+            else:
+                j += 1
+        return n
+    if ch == '"':
+        j = i + 1
+        while j < n:
+            if text[j] == '"':
+                if j + 1 < n and text[j + 1] == '"':
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+    if ch == "$":
+        m = re.match(r"\$([A-Za-z_][\w]*)?\$", text[i:])
+        if m:
+            tag = m.group(0)
+            close = text.find(tag, i + len(tag))
+            return n if close == -1 else close + len(tag)
+    return None
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parens and quotes (single-quoted strings
-    AND double-quoted identifiers — r03 fuzz fix: a comma inside
-    ``"a,b"`` is part of the identifier, not a separator)."""
+    """Split on `sep` outside parens and quotes (single-quoted strings,
+    E-strings, double-quoted identifiers, dollar-quoted bodies — r03
+    fuzz fix for "a,b" identifiers; wave 10 extended to $tag$…$tag$ and
+    E'…' whose contents previously split the command list)."""
     parts: list[str] = []
     depth = 0
     cur: list[str] = []
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
-            cur.append(text[i:j])
-            i = j
-            continue
-        if ch == '"':
-            j = i + 1
-            while j < n:
-                if text[j] == '"':
-                    if j + 1 < n and text[j + 1] == '"':
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
+        j = _skip_quoted(text, i)
+        if j is not None:
             cur.append(text[i:j])
             i = j
             continue
@@ -517,27 +572,8 @@ def _find_top_level_default(command: str) -> int | None:
     i, n, depth = 0, len(command), 0
     while i < n:
         ch = command[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if command[j] == "'":
-                    if j + 1 < n and command[j + 1] == "'":
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
-            i = j
-        elif ch == '"':
-            j = i + 1
-            while j < n:
-                if command[j] == '"':
-                    if j + 1 < n and command[j + 1] == '"':
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
+        j = _skip_quoted(command, i)
+        if j is not None:
             i = j
         elif ch == "(":
             depth += 1
@@ -572,16 +608,8 @@ def _extract_default_expr(command: str) -> str | None:
     i, n = 0, len(rest)
     while i < n:
         ch = rest[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if rest[j] == "'":
-                    if j + 1 < n and rest[j + 1] == "'":
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
+        j = _skip_quoted(rest, i)
+        if j is not None:
             i = j
             continue
         if ch == "(":

@@ -1119,3 +1119,67 @@ def test_wave9_already_correct_targets():
     parsed = P.parse_sql(sql)
     assert len(parsed) == 3
     assert all(f["stmt_type"] == "other" for f in parsed)
+
+
+# --- fuzz round 8 wave 10: dollar-quoted and E-string literals in the
+# ALTER command path. Waves 9 AND 10 each froze real fixes — the dry-well
+# declaration (two consecutive zero-fix waves) remains unearned. FIVE
+# real fixes landed (analyzer/parse.py, all sharing the new
+# `_skip_quoted` scanner):
+#
+# * a comma inside a dollar-quoted default ($$x, y$$) split the ALTER
+#   command list (phantom 'other' command);
+# * an escaped quote inside an E-string default (E'a\',b') corrupted the
+#   split the same way;
+# * $tag$…$tag$ and E'…' defaults classified volatile, though both are
+#   the SAME A_Const string node as '…' to the real parser (false R2);
+# * a constraint keyword inside a dollar-quoted default body
+#   ($$a CHECK b$$) cut the extracted default expression mid-literal;
+# * -(1) classified volatile, though the grammar folds doNegate over the
+#   parenthesized constant into A_Const(-1). Crucially $$a$$ || $$b$$
+#   stays volatile — the dollar-const check is code-scanned, because a
+#   regex backreference backtracks ACROSS separate $$…$$ strings.
+
+
+def test_dollar_quoted_default_does_not_split_commands():
+    sql = ("ALTER TABLE t ADD COLUMN c text DEFAULT $$x, y$$,"
+           " ADD COLUMN d int;")
+    feats = P.classify_statement(0, sql)
+    assert [(c.subtype, c.column) for c in feats.commands] == [
+        ("add_column", "c"), ("add_column", "d"),
+    ]
+    assert feats.commands[0].default_volatile is False
+
+
+def test_estring_default_with_escaped_quote_and_comma():
+    sql = (r"ALTER TABLE t ADD COLUMN c text DEFAULT E'a\',b',"
+           " ADD COLUMN d int;")
+    feats = P.classify_statement(0, sql)
+    assert [c.subtype for c in feats.commands] == [
+        "add_column", "add_column",
+    ]
+    assert feats.commands[0].default_volatile is False
+
+
+def test_string_flavor_constants_are_nonvolatile():
+    for expr in ["$$hello$$", "$q$it's$q$", "$$a$$::text",
+                 r"E'a\nb'", "$$a CHECK b$$"]:
+        sql = f"ALTER TABLE t ADD COLUMN c text DEFAULT {expr} NOT NULL;"
+        cmd = P.classify_statement(0, sql).commands[0]
+        assert cmd.has_default is True, expr
+        assert cmd.default_volatile is False, expr
+
+
+def test_dollar_concat_expression_stays_volatile():
+    for expr in ["$$a$$ || $$b$$", "E'a' || E'b'", "$$a$$ || 'b'"]:
+        sql = f"ALTER TABLE t ADD COLUMN c text DEFAULT {expr};"
+        cmd = P.classify_statement(0, sql).commands[0]
+        assert cmd.default_volatile is True, expr
+
+
+def test_negated_paren_constant_folds():
+    assert P.is_volatile_default("-(1)") is False
+    assert P.is_volatile_default("- ( 42 )") is False
+    assert P.is_volatile_default("-(random())") is True
+    # doNegate folds only numeric constants; a negated string is A_Expr
+    assert P.is_volatile_default("-('x')") is True
