@@ -50,6 +50,13 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
     # END, so CASE also increments; nested BEGIN ATOMIC bodies (a
     # CREATE FUNCTION inside a body) increment via the BEGIN path.
     atomic_depth = 0
+    # Parenthesis depth (outside quotes/comments/dollar bodies): a ';'
+    # inside parens never ends a statement — psql and the real grammar
+    # agree (fuzz wave 11: CREATE RULE ... DO INSTEAD (stmt; stmt);
+    # split into fragments). Valid SQL balances parens per statement;
+    # the depth is clamped at 0 so a stray ')' in malformed input
+    # cannot swallow the rest of the file.
+    paren_depth = 0
 
     def flush(end: int) -> bool:
         """Returns True when the flushed statement is COPY ... FROM
@@ -154,8 +161,14 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
                 i = n if close == -1 else close + len(tag)
             else:
                 i += 1
+        elif ch == "(":
+            paren_depth += 1
+            i += 1
+        elif ch == ")":
+            paren_depth = max(0, paren_depth - 1)
+            i += 1
         elif ch == ";":
-            if atomic_depth:
+            if atomic_depth or paren_depth:
                 i += 1
             elif flush(i):
                 i = skip_copy_payload(i + 1)
@@ -384,9 +397,20 @@ _CONST_RE = re.compile(
       | -?(?:\d(?:_?\d)*\.?(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?
       | TRUE | FALSE | NULL
     )
-    (?:\s*::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?)?   # optional ::type cast
+    (?:\s*::\s*(?:"[^"]*"|[\w\s.])+     # optional ::type cast — quoted,
+        (?:\(\d+(?:,\s*\d+)?\))?        # schema-qualified, multi-word,
+        (?:\s*\[\s*\d*\s*\])*           # precision, and array types are
+    )?                                  # all the same TypeCast node
+                                        # (fuzz wave 11: '{}'::text[]
+                                        # classified volatile)
     $""",
     re.IGNORECASE | re.VERBOSE,
+)
+
+# the same ::type suffix as a standalone pattern (code-side checks)
+_CAST_SUFFIX_RE = re.compile(
+    r'^::\s*(?:"[^"]*"|[\w\s.])+(?:\(\d+(?:,\s*\d+)?\))?'
+    r"(?:\s*\[\s*\d*\s*\])*$"
 )
 
 _CAST_RE = re.compile(r"^CAST\s*\(\s*(.+)\s+AS\s+[^)]+\)$", re.IGNORECASE | re.DOTALL)
@@ -469,9 +493,7 @@ def is_volatile_default(expr: str) -> bool:
         end = _skip_quoted(expr, 0)
         if end is not None and end <= len(expr):
             tail = expr[end:].strip()
-            if not tail or re.match(
-                r"^::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?$", tail
-            ):
+            if not tail or _CAST_SUFFIX_RE.match(tail):
                 return False
     return not _CONST_RE.match(expr)
 

@@ -1183,3 +1183,43 @@ def test_negated_paren_constant_folds():
     assert P.is_volatile_default("-(random())") is True
     # doNegate folds only numeric constants; a negated string is A_Expr
     assert P.is_volatile_default("-('x')") is True
+
+
+# --- fuzz round 8 wave 11: parenthesized statement bodies + cast-type
+# forms. TWO real fixes (waves 9, 10, 11 all froze fixes — the dry-well
+# counter stays at zero):
+#
+# * the splitter was paren-blind: a ';' inside a parenthesized body
+#   (CREATE RULE ... DO INSTEAD (stmt; stmt);) split one statement into
+#   fragments — psql and the real grammar both track paren depth. The
+#   depth clamps at 0 so malformed input with a stray ')' cannot
+#   swallow the rest of the file;
+# * the ::type cast suffix accepted only bare multi-word names, so the
+#   classic empty-array default '{}'::text[] — plus quoted ("myType")
+#   and schema-qualified (schema.dom) casts — classified volatile
+#   (false R2), though all are the same TypeCast-of-A_Const node.
+
+
+def test_semicolons_inside_parenthesized_bodies_do_not_split():
+    sql = ("CREATE RULE r AS ON INSERT TO t DO INSTEAD "
+           "(UPDATE a SET x = 1; UPDATE b SET y = 2);\nDROP TABLE z;")
+    parsed = P.parse_sql(sql)
+    assert [f["stmt_type"] for f in parsed] == ["other", "drop_table"]
+    # stray ')' in malformed input must not glue later statements
+    assert len(P.parse_sql("SELECT 1); SELECT 2;\nDROP TABLE z;")) == 3
+    # COPY with a column list still finds its payload
+    parsed = P.parse_sql("COPY t (a, b) FROM STDIN;\n1\t2\n\\.\nDROP TABLE z;")
+    assert [f["stmt_type"] for f in parsed] == ["copy", "drop_table"]
+
+
+def test_cast_type_forms_on_constant_defaults():
+    nonvolatile = [
+        "'{}'::text[]", "'{1,2}'::int[]", "'{}'::\"myType\"",
+        "'x'::schema.dom", "0::numeric(10,2)", "$$a$$::text[]",
+        "'x'::character varying(255)", "'x'::timestamp with time zone",
+    ]
+    for expr in nonvolatile:
+        assert P.is_volatile_default(expr) is False, expr
+    volatile = ["now()::date", "'x'::text || 'y'", "(a + b)::int"]
+    for expr in volatile:
+        assert P.is_volatile_default(expr) is True, expr
