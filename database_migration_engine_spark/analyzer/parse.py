@@ -475,15 +475,32 @@ def is_volatile_default(expr: str) -> bool:
             expr = cast.group(1).strip()
             continue
         # suffix cast on a parenthesized operand — ('x')::text — is the
-        # same TypeCast node; volatility is the operand's
-        suffix = re.match(
-            r"^(\(.+\))\s*::\s*[\w\s]+(?:\(\d+(?:,\s*\d+)?\))?$",
-            expr,
-            re.DOTALL,
-        )
-        if suffix and _outer_parens_match(suffix.group(1)):
-            expr = suffix.group(1)
-            continue
+        # same TypeCast node; volatility is the operand's. The tail is
+        # checked with _CAST_SUFFIX_RE so array/quoted/schema-qualified
+        # types — ('{}')::text[], ('x')::"t" — strip exactly like the
+        # bare forms wave 11 fixed (ADVICE r08: the old inline [\w\s]+
+        # pattern rejected them and raised the same false finding)
+        if expr.startswith("("):
+            depth2, i2, n2 = 0, 0, len(expr)
+            close = None
+            while i2 < n2:
+                q = _skip_quoted(expr, i2)
+                if q is not None:
+                    i2 = q
+                    continue
+                if expr[i2] == "(":
+                    depth2 += 1
+                elif expr[i2] == ")":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        close = i2
+                        break
+                i2 += 1
+            if close is not None and close < n2 - 1:
+                tail = expr[close + 1:].strip()
+                if _CAST_SUFFIX_RE.match(tail):
+                    expr = expr[: close + 1]
+                    continue
         break
     # exactly ONE dollar-quoted literal (plus an optional ::cast
     # suffix) is the same A_Const string node as '…' (fuzz wave 10);
@@ -611,6 +628,11 @@ def _find_top_level_default(command: str) -> int | None:
                 m_ws = re.match(r"\s+", command[j:])
                 if m_ws:
                     return j + m_ws.end()
+                # DEFAULT(now()) — legal without whitespace; requiring
+                # \s+ silently skipped the volatile-default rule, a
+                # false NEGATIVE in a safety rule (ADVICE r08)
+                if j < n and command[j] == "(":
+                    return j
             i = j
         else:
             i += 1

@@ -1223,3 +1223,131 @@ def test_cast_type_forms_on_constant_defaults():
     volatile = ["now()::date", "'x'::text || 'y'", "(a + b)::int"]
     for expr in volatile:
         assert P.is_volatile_default(expr) is True, expr
+
+
+# --- ADVICE r08 fixes (pre-wave-12): two classifier edges ----------------
+#
+# * _find_top_level_default required whitespace after the DEFAULT
+#   keyword, so the legal `DEFAULT(now())` form yielded no default
+#   extraction and the volatile-default rule silently skipped — a false
+#   NEGATIVE in a safety rule;
+# * the parenthesized-operand suffix cast used a narrower inline type
+#   pattern than _CAST_SUFFIX_RE, so ('{}')::text[] / ('x')::"t" still
+#   raised the false-volatile finding wave 11 fixed for the bare forms.
+
+
+def test_default_paren_no_whitespace_extracts():
+    cmd = "ADD COLUMN created_at timestamptz DEFAULT(now())"
+    assert P._extract_default_expr(cmd) == "(now())"
+    assert P.is_volatile_default("(now())") is True
+    # constant in the same form stays non-volatile
+    cmd2 = "ADD COLUMN n int DEFAULT(0)"
+    assert P._extract_default_expr(cmd2) == "(0)"
+    assert P.is_volatile_default("(0)") is False
+    # DEFAULTS (identifier prefix) must NOT match the keyword
+    assert P._find_top_level_default("ADD COLUMN defaults int") is None
+
+
+def test_paren_operand_suffix_cast_wide_types():
+    nonvolatile = [
+        "('{}')::text[]",
+        "('x')::\"myType\"",
+        "('x')::schema.dom",
+        "((0))::numeric(10,2)",
+        "('x')::character varying(255)",
+        "('{{1},{2}}')::int[][]",
+    ]
+    for expr in nonvolatile:
+        assert P.is_volatile_default(expr) is False, expr
+    volatile = [
+        "(now())::date",
+        "(a + b)::int[]",
+        "('x' || 'y')::text[]",
+    ]
+    for expr in volatile:
+        assert P.is_volatile_default(expr) is True, expr
+
+
+# --- fuzz wave 12 (r09): ZERO new fixes — the first zero-fix wave ---------
+#
+# 31 probes across three batches, every one already correct (the two
+# ADVICE-r08 classifier fixes above landed BEFORE this wave ran and are
+# counted separately). Frozen here per the wave convention. Probe areas:
+# SQL-standard function bodies (RETURN expr and BEGIN ATOMIC with
+# interleaved comments), CREATE RULE multi-action lists with comments
+# containing ';'/')', COMMENT ON literals carrying ::casts, dollar-tag
+# prefix collisions, VACUUM parenthesized option VALUES
+# ((FULL false/0/off) is NOT full), SET DATA TYPE, unnamed
+# constraints/indexes, LOCK/RENAME keyword-optional forms, CONCURRENTLY
+# routing flags, and multi-command ALTERs with hostile defaults.
+
+
+def test_wave12_sql_standard_bodies_and_rules():
+    cases = [
+        ("CREATE FUNCTION add(a int, b int) RETURNS int LANGUAGE SQL "
+         "RETURN a + b;\nDROP TABLE z;", ["other", "drop_table"]),
+        ("CREATE FUNCTION f() RETURNS int LANGUAGE SQL BEGIN ATOMIC\n"
+         "  -- comment with ; and ) inside\n"
+         "  SELECT 1; /* block ; comment */ SELECT 2;\nEND;\nDROP TABLE z;",
+         ["other", "drop_table"]),
+        ("CREATE RULE r AS ON INSERT TO t DO INSTEAD (\n"
+         "  INSERT INTO log VALUES (1); -- note; a semicolon ) here\n"
+         "  UPDATE b SET y = 2 /* c); */ );\nDROP TABLE z;",
+         ["other", "drop_table"]),
+        ("COMMENT ON COLUMN t.c IS 'casts like ''{}''::text[]; and more';"
+         "\nDROP TABLE z;", ["other", "drop_table"]),
+        ("DO $fn$ BEGIN EXECUTE $fn_inner$DROP TABLE not_me;$fn_inner$; "
+         "END $fn$;\nDROP TABLE z;", ["other", "drop_table"]),
+        ('UPDATE "begin" SET "end" = 1;\nDROP TABLE z;',
+         ["other", "drop_table"]),
+    ]
+    for sql, want in cases:
+        got = [f["stmt_type"] for f in P.parse_sql(sql)]
+        assert got == want, sql
+
+
+def test_wave12_vacuum_option_values():
+    # the parenthesized grammar takes boolean VALUES: (FULL false) is a
+    # plain vacuum, (FULL) / (FULL true) / (FULL, ANALYZE) are full
+    full = ["VACUUM (FULL) t;", "VACUUM (FULL true) t;",
+            "VACUUM (FULL, ANALYZE) t;", "VACUUM FULL;"]
+    not_full = ["VACUUM (FULL false) t;", "VACUUM (FULL 0) t;",
+                "VACUUM (FULL off) t;", "VACUUM (ANALYZE) t;"]
+    for sql in full:
+        f = P.parse_sql(sql)[0]
+        assert f["stmt_type"] == "vacuum" and f["vacuum_full"], sql
+    for sql in not_full:
+        f = P.parse_sql(sql)[0]
+        assert f["stmt_type"] == "vacuum" and not f["vacuum_full"], sql
+
+
+def test_wave12_alter_forms():
+    # SET DATA TYPE synonym classifies as alter_column_type
+    f = P.parse_sql(
+        "ALTER TABLE t ALTER COLUMN c SET DATA TYPE bigint;"
+    )[0]
+    assert f["commands"][0]["subtype"] == "alter_column_type"
+    # unnamed constraints still carry their kinds
+    f = P.parse_sql("ALTER TABLE t ADD CHECK (x > 0);")[0]
+    assert f["commands"][0]["constraint_type"] == "check"
+    f = P.parse_sql(
+        "ALTER TABLE t ADD FOREIGN KEY (x) REFERENCES u;"
+    )[0]
+    assert f["commands"][0]["constraint_type"] == "foreign"
+    # keyword-optional RENAME / LOCK forms
+    f = P.parse_sql("ALTER TABLE t RENAME a TO b;")[0]
+    assert f["stmt_type"] == "rename"
+    f = P.parse_sql("LOCK a;")[0]
+    assert f["stmt_type"] == "lock" and f["table"] == "a"
+    # multi-command ALTER: constraint keywords inside a string default
+    # must not cut the list; the volatile third command still surfaces
+    f = P.parse_sql(
+        "ALTER TABLE t ADD COLUMN a text DEFAULT 'NOT NULL; CHECK', "
+        "ALTER COLUMN b TYPE int, "
+        "ADD COLUMN c timestamptz DEFAULT clock_timestamp();"
+    )[0]
+    subs = [c["subtype"] for c in f["commands"]]
+    assert subs == ["add_column", "alter_column_type", "add_column"]
+    assert [c["default_volatile"] for c in f["commands"]] == [
+        False, False, True,
+    ]
