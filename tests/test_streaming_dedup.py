@@ -48,3 +48,18 @@ def test_incremental_dedup_stream_batch_partition_invariant(spark):
             ).collect()
         )
         assert got == want, (n_files, per_trigger)
+
+
+def test_empty_drain_returns_typed_empty_frame(spark):
+    """ADVICE r08: a drain that ships ZERO new documents must return an
+    empty, correctly-typed frame instead of failing parquet schema
+    inference over a data-file-less sink dir — the pairs read now uses
+    an explicit schema (and falls back to a typed empty frame when no
+    micro-batch ever fired). Note a drain with a NONEMPTY batch can
+    never be zero-pair by design: every arriving doc collides with its
+    own +1e6 mirror on all bands, so the empty-arrivals slice is the
+    one reachable empty-sink scenario."""
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = run_incremental_dedup_stream(spark, docs, new_min_id=10_000_000)
+    assert out.columns == ["new_doc", "index_doc", "est_jaccard"]
+    assert out.count() == 0
