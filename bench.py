@@ -196,6 +196,17 @@ def effective_cores(burn_s: float = 2.0) -> float:
     return round(used / wall, 2) if wall > 0 else float(ncpus)
 
 
+def capacity_estimate(eff_pre: float, eff_post: float) -> float:
+    """Effective capacity for the floor decision: the MAX of the pre-
+    and post-run burner probes. A single 2 s probe can land in a
+    hypervisor dip and misorder runs — the fastest r08 total on record
+    (246.60 s) was floor-flagged at eff_cores 27.65 while slower runs
+    measured 30+ (VERDICT r08 item 4). A dip must hit BOTH ends of an
+    11-minute run to floor-flag it now; sustained host capping still
+    does, which is the case the floor exists for."""
+    return round(max(eff_pre, eff_post), 2)
+
+
 def box_steal_seconds() -> float:
     """Hypervisor-steal CPU seconds since boot (/proc/stat field 8):
     time the host refused this VM's runnable vCPUs. On a host-capped
@@ -319,8 +330,9 @@ def bench(sf_dir: str) -> tuple[
 
     # Parallel-capacity probe: how many cores the hypervisor actually
     # delivers at full load (the calib probe is single-threaded and
-    # blind to host capping).
-    eff_cores = effective_cores()
+    # blind to host capping). Probed again after the timed region —
+    # the floor decision takes the max (capacity_estimate).
+    eff_pre = effective_cores()
 
     # Contamination accounting window opens here: everything the timed
     # region consumes is in THIS tree (python + JVM + worker daemons);
@@ -387,13 +399,16 @@ def bench(sf_dir: str) -> tuple[
     steal_share = (
         steal_delta / (wall_delta * ncpus) if wall_delta > 0 else 0.0
     )
+    # post-run capacity probe: outside the accounting window (closed
+    # above), so its burners never count as foreign CPU
+    eff_post = effective_cores()
     spark.stop()
     timings = {
         name: (-1.0 if s[0] < 0 else round(estimate(s), 4))
         for name, s in samples.items()
     }
     return (timings, samples, calib, pre_probe, mid_probes, share,
-            steal_share, eff_cores)
+            steal_share, (eff_pre, eff_post))
 
 
 def summarize(
@@ -450,9 +465,12 @@ HISTORY_K = 5          # regression baseline: median of last k clean rows
 
 
 def load_clean_history(k: int = HISTORY_K) -> list[dict]:
-    """Last ``k`` accepted runs that were neither contaminated nor
-    host-degraded (eff_cores ≥ CAPACITY_FLOOR) — the only rows a
-    per-query time can fairly be compared against."""
+    """Last ``k`` accepted runs that were neither contaminated, nor
+    host-degraded (eff_cores ≥ CAPACITY_FLOOR), nor heavy-steal
+    (steal_cpu_share ≤ STEAL_WARN — a row BENCH_HISTORY.md labels
+    HOST-DEGRADED must not enter the baseline it was declared unfit to
+    be compared against; ADVICE r08) — the only rows a per-query time
+    can fairly be compared against."""
     rows: list[dict] = []
     try:
         with open(os.path.join(REPO, TIMINGS_LOG)) as f:
@@ -468,6 +486,10 @@ def load_clean_history(k: int = HISTORY_K) -> list[dict]:
         if not r.get("contaminated")
         and isinstance(r.get("eff_cores"), (int, float))
         and r["eff_cores"] >= CAPACITY_FLOOR
+        and not (
+            isinstance(r.get("steal_cpu_share"), (int, float))
+            and r["steal_cpu_share"] > STEAL_WARN
+        )
     ]
     return clean[-k:]
 
@@ -663,12 +685,19 @@ def main() -> None:
     try:
         prev = load_previous_detail()
         (timings, samples, calib, pre_probe, mid_probes, share,
-         steal_share, eff_cores) = bench(sf_dir)
+         steal_share, eff_probes) = bench(sf_dir)
     finally:
         sys.stdout.flush()
         os.dup2(saved_stdout, 1)
         sys.stdout = os.fdopen(saved_stdout, "w")
 
+    # a float for backward compatibility (a stub or an old caller that
+    # returns a single probe); the real bench() returns (pre, post)
+    if isinstance(eff_probes, tuple):
+        eff_pre, eff_post = eff_probes
+        eff_cores = capacity_estimate(eff_pre, eff_post)
+    else:
+        eff_pre = eff_post = eff_cores = eff_probes
     contaminated = share > FOREIGN_SHARE_MAX
     forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     summary = summarize(timings, sf, calib)
@@ -676,6 +705,8 @@ def main() -> None:
     summary["foreign_cpu_share"] = round(share, 4)
     summary["steal_cpu_share"] = round(steal_share, 4)
     summary["eff_cores"] = eff_cores
+    summary["eff_cores_pre"] = eff_pre
+    summary["eff_cores_post"] = eff_post
     summary["contaminated"] = contaminated
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(

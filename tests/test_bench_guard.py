@@ -217,6 +217,11 @@ def test_clean_history_filters_degraded_and_contaminated(
          "queries": {"qa": 1.2}},
         {"eff_cores": 31.0, "contaminated": False, "calib_sec": 0.38,
          "queries": {"qa": 0.9}},
+        {"eff_cores": 30.8, "contaminated": False, "calib_sec": 0.55,
+         "steal_cpu_share": 0.42,
+         "queries": {"qa": 4.0}},   # heavy steal (HOST-DEGRADED row
+                                    # despite eff_cores ≥ floor) —
+                                    # excluded (ADVICE r08)
     ]
     with open(tmp_path / "BENCH_TIMINGS.jsonl", "w") as f:
         for r in rows:
@@ -282,3 +287,39 @@ def test_main_warns_on_heavy_steal(monkeypatch, tmp_path, capfd):
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_capacity_estimate_survives_single_probe_dip(
+    monkeypatch, tmp_path, capfd
+):
+    """VERDICT r08 item 4: one probe landing in a hypervisor dip must
+    not floor-flag a run — the floor decision takes max(pre, post).
+    Synthetic dip: pre reads 27.6 (below floor), post reads 30.5."""
+    bench = _load_bench()
+    assert bench.capacity_estimate(27.65, 30.5) == 30.5
+    assert bench.capacity_estimate(30.5, 27.65) == 30.5
+    # sustained capping hits both ends and still floors
+    assert bench.capacity_estimate(24.0, 25.1) < bench.CAPACITY_FLOOR
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(
+        bench,
+        "bench",
+        lambda sf_dir: (
+            {"q1": 1.0}, {"q1": [1.0]}, [0.6] * 3, 0.6, [], 0.02, 0.01,
+            (27.65, 30.5),   # the r08 anomaly shape
+        ),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    bench.main()
+    out, _ = capfd.readouterr()
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["eff_cores"] == 30.5
+    assert summary["eff_cores_pre"] == 27.65
+    assert summary["eff_cores_post"] == 30.5
+    hist = open(tmp_path / "BENCH_HISTORY.md").read()
+    assert "BELOW CAPACITY FLOOR" not in hist
+    # the accepted row enters the clean history with the max value
+    clean = bench.load_clean_history()
+    assert len(clean) == 1 and clean[0]["eff_cores"] == 30.5
