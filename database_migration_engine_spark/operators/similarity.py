@@ -304,7 +304,15 @@ def adaptive_lsh_bits(
     ``target_bucket`` ≈ 160 is the measured sweet spot at threshold 0.4.
     Fixture anchors: n=2000 (sf0.1) → 6 (the historical pin, so every
     existing certification hash is unchanged), n=20000 (×10) → 10,
-    n=60000 (×30) → 11."""
+    n=60000 (×30) → 11.
+
+    CEILING (SCALE.md "bits=16 clamp"): max_bits=16 holds
+    E[bucket] ≈ 160 only to N ≤ 160·2¹⁶/5 ≈ 2.1 M vectors — past that
+    the grid saturates like the bits=6 pin did at ×30. The clamp stays
+    because extra bits trade per-table recall away (ρ-bound) with
+    num_tables/num_probes fixed; beyond 2.1 M vectors shard the corpus
+    or route to the cluster-bounded operators (SemDeDup / trained
+    IVF)."""
     import math
 
     if n <= 0:
