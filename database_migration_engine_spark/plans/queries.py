@@ -1123,9 +1123,12 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME oracle. Per-batch writes land in batch_id partitions with
     per-partition overwrite (idempotent at-least-once replay, the
     streaming/sink.py design). This is the continuous-ingestion dedup
-    shape: per-batch cost ∝ batch, the index is a real maintained
-    table, and at 100 TB the same handler runs unchanged against an
-    object-store index path."""
+    shape: per-batch JOIN work ∝ batch collisions, per-batch index
+    ACCESS ∝ index (static corpus side pinned in cache; amortized by
+    batch size — the honest cost model in streaming/dedup.py), the
+    index is a real maintained table, and at 100 TB the same handler
+    runs unchanged against an object-store index path. Measured floor
+    + target: SCALE.md "Streaming cost model"."""
     from ..streaming.dedup import run_incremental_dedup_stream
 
     ensure_deterministic(spark)
@@ -1213,11 +1216,16 @@ def events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over a file-source readStream, drained with availableNow into a
     memory sink. Shares the batch oracle — the streaming plan must produce
     byte-identical aggregates."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
-    stream = SE.read_events_stream(spark, sf_dir)
-    return SE.run_to_memory(SE.tumbling_counts(stream))
+    # width 4 (r09 sweep, A/B-alternating at sf0.1): single-stateful
+    # JVM-state drains pay per-partition store commits like the chained
+    # query — w32 1.33-1.46 s vs w4 0.79-0.95 s; results identical.
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(spark, sf_dir)
+        return SE.run_to_memory(SE.tumbling_counts(stream))
 
 
 @query("events_sessionize_stream")
@@ -1225,22 +1233,28 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap sessionization via the built-in session_window —
     must agree with the batch lag/cumsum sessionizer on session bounds,
     event counts and sums (oracle = batch definition without the seq)."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
-    stream = SE.read_events_stream(spark, sf_dir)
-    sessions = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
-        .agg(
-            fmt_ts(F.min("ts"), "session_start", micros=True),
-            fmt_ts(F.max("ts"), "session_end", micros=True),
-            F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value"), "sum_value"),
+    # width 4 (r09 sweep): w32 1.71-2.0 s vs w4 1.4-1.55 s at sf0.1
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(spark, sf_dir)
+        sessions = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+            .agg(
+                fmt_ts(F.min("ts"), "session_start", micros=True),
+                fmt_ts(F.max("ts"), "session_end", micros=True),
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value"), "sum_value"),
+            )
+            .select(
+                "user_id", "session_start", "session_end", "n_events",
+                "sum_value",
+            )
         )
-        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
-    )
-    return SE.run_to_memory(sessions)
+        return SE.run_to_memory(sessions)
 
 
 @query("multimodal_decode")
@@ -2197,11 +2211,14 @@ def events_hopping_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_hopping: watermarked
     10-min/5-min hopping windows drained with availableNow. Shares the
     batch oracle — the sliding windows must align and sum identically."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
-    stream = SE.read_events_stream(spark, sf_dir)
-    return SE.run_to_memory(SE.hopping_counts(stream))
+    # width 4 (r09 sweep): w32 1.45-1.82 s vs w4 1.06-1.41 s at sf0.1
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(spark, sf_dir)
+        return SE.run_to_memory(SE.hopping_counts(stream))
 
 
 @query("events_copair_stream")
@@ -3168,14 +3185,20 @@ def user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact scaled integer (streaming/stateful.py), so the running total
     is associative across batch boundaries and the final float is one
     deterministic division — identical to the batch decimal-sum SQL."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
     from ..streaming.stateful import user_profiles
 
     ensure_deterministic(spark)
-    stream = SE.read_events_stream(spark, sf_dir)
-    return SE.run_to_memory(
-        user_profiles(stream), output_mode="update"
-    ).orderBy("user_id")
+    # width 8 (r09 sweep): w32 1.64-1.85 s, w8 1.39-1.45 s, w4 1.6-1.68 s
+    # at sf0.1 — the applyInPandasWithState put path parallelizes Python
+    # workers per partition, so its optimum sits ABOVE the JVM-state w4
+    # (events_rate_limited_stream, same shape but heavier per-row Python,
+    # stays at the session default: w16/w8 measured within noise of w32)
+    with shuffle_width(spark, min(8, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(spark, sf_dir)
+        out = SE.run_to_memory(user_profiles(stream), output_mode="update")
+    return out.orderBy("user_id")
 
 
 @query("dedup_clusters_star")
@@ -4334,13 +4357,16 @@ def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate exactly — the streaming-ingestion form of dedup_exact, with
     state bounded by the 1 h watermark rather than growing with the
     stream."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
-    s1 = SE.read_events_stream(spark, sf_dir)
-    s2 = SE.read_events_stream(spark, sf_dir)
-    deduped = SE.dedup_within_watermark(s1.unionByName(s2))
-    sink = SE.run_to_memory(deduped, output_mode="append")
+    # width 4 (r09 sweep): w32 1.79-1.87 s vs w4 1.31-1.34 s at sf0.1
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
+        s1 = SE.read_events_stream(spark, sf_dir)
+        s2 = SE.read_events_stream(spark, sf_dir)
+        deduped = SE.dedup_within_watermark(s1.unionByName(s2))
+        sink = SE.run_to_memory(deduped, output_mode="append")
     return (
         sink.groupBy("event_type")
         .agg(
@@ -5271,23 +5297,27 @@ def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     running revenue-by-nation aggregate. Drained with availableNow into a
     complete-mode sink, the result must equal the batch join+agg exactly
     — which is the oracle."""
+    from ..session import shuffle_width
     from ..streaming import events as SE
 
     ensure_deterministic(spark)
-    stream = SE.read_events_stream(spark, sf_dir)
-    cust = read_table(spark, sf_dir, "customer")
-    nat = read_table(spark, sf_dir, "nation")
-    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
-        "c_custkey", "n_name"
-    )
-    joined = stream.join(
-        F.broadcast(dim), stream.user_id == dim.c_custkey
-    )
-    agg = joined.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        dsum(F.col("value"), "sum_value"),
-    )
-    return SE.run_to_memory(agg, output_mode="complete").orderBy("n_name")
+    # width 4 (r09 sweep): w32 1.23-1.39 s vs w4 0.79-0.96 s at sf0.1
+    with shuffle_width(spark, min(4, spark.sparkContext.defaultParallelism)):
+        stream = SE.read_events_stream(spark, sf_dir)
+        cust = read_table(spark, sf_dir, "customer")
+        nat = read_table(spark, sf_dir, "nation")
+        dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+        joined = stream.join(
+            F.broadcast(dim), stream.user_id == dim.c_custkey
+        )
+        agg = joined.groupBy("n_name").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        out = SE.run_to_memory(agg, output_mode="complete")
+    return out.orderBy("n_name")
 
 
 @query("containment_pairs")

@@ -26,6 +26,7 @@ from ..schemas import EVENTS, EVENTS_RAW
 # (rows / memory-or-sst bytes per stateful operator), for the
 # state-sizing certification in tools/statestore_cert.py.
 LAST_DRAIN_STATE_METRICS: list[dict] = []
+LAST_DRAIN_PROGRESS: dict = {}
 
 
 def read_events_stream(
@@ -153,7 +154,7 @@ def run_to_memory(
         # memory-or-sst bytes) for state-sizing certification: the query
         # object is stopped after awaitTermination and the manager drops
         # it, so this is the only point lastProgress is still readable.
-        global LAST_DRAIN_STATE_METRICS
+        global LAST_DRAIN_STATE_METRICS, LAST_DRAIN_PROGRESS
         prog = query.lastProgress or {}
         LAST_DRAIN_STATE_METRICS = [
             {
@@ -168,6 +169,21 @@ def run_to_memory(
             }
             for op in prog.get("stateOperators") or []
         ]
+        # drain shape for the streaming cost-model table (SCALE.md):
+        # batch count + per-operator state partition counts — commit
+        # slots per drain = Σ_ops (batches × partitions), since every
+        # state store commits once per micro-batch per partition
+        recents = query.recentProgress or []
+        LAST_DRAIN_PROGRESS = {
+            "n_batches": len(recents),
+            "state_ops": [
+                {
+                    "operatorName": op.get("operatorName"),
+                    "numShufflePartitions": op.get("numShufflePartitions"),
+                }
+                for op in prog.get("stateOperators") or []
+            ],
+        }
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return stream_df.sparkSession.table(name)
