@@ -201,7 +201,7 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
 
 # --- identifier handling ---------------------------------------------------
 
-_IDENT = r'(?:"[^"]*"|[A-Za-z_][\w$]*)'
+_IDENT = r'(?:"(?:[^"]|"")*"|[A-Za-z_][\w$]*)'
 _QNAME = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
 
 
@@ -395,6 +395,12 @@ _CONST_RE = re.compile(
       | -?0[oO][0-7](?:_?[0-7])*
       | -?0[bB][01](?:_?[01])*
       | -?(?:\d(?:_?\d)*\.?(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?
+        # bit-string (B'1010' / X'FF') and Unicode-escape (U&'…')
+        # literals are BCONST / XCONST / Sconst — all A_Const to the
+        # real parser (fuzz wave 13: both classified volatile and
+        # raised false R2 findings)
+      | [bBxX]'[^']*'
+      | [uU]&'(?:[^']|'')*'
       | TRUE | FALSE | NULL
     )
     (?:\s*::\s*(?:"[^"]*"|[\w\s.])+     # optional ::type cast — quoted,
@@ -414,6 +420,20 @@ _CAST_SUFFIX_RE = re.compile(
 )
 
 _CAST_RE = re.compile(r"^CAST\s*\(\s*(.+)\s+AS\s+[^)]+\)$", re.IGNORECASE | re.DOTALL)
+
+# typed literal (AexprConst: ConstTypename Sconst / func_name Sconst) —
+# ``INTERVAL '1 day'``, ``TIMESTAMP(3) '2020-01-01'``, ``DOUBLE PRECISION
+# '1.5'``, ``pg_catalog.text 'x'`` — the grammar reduces every one to
+# TypeCast(A_Const), non-volatile per the reference's isVolatileDefault
+# (alter_add_column.go:112-134). Deliberately NO ::cast suffix: a suffix
+# cast on a typed literal nests TypeCast(TypeCast(A_Const)), whose outer
+# arg is not A_Const — the reference classifies that VOLATILE (fuzz
+# wave 13: the bare typed-literal forms classified volatile and raised
+# false R2 findings).
+_TYPED_LITERAL_RE = re.compile(
+    r"^[A-Za-z_][\w$]*(?:\s*\.\s*[A-Za-z_][\w$]*)?(?:\s+[A-Za-z_][\w$]*)*"
+    r"(?:\s*\(\d+(?:,\s*\d+)?\))?\s*'(?:[^']|'')*'$"
+)
 
 
 def _outer_parens_match(expr: str) -> bool:
@@ -512,7 +532,7 @@ def is_volatile_default(expr: str) -> bool:
             tail = expr[end:].strip()
             if not tail or _CAST_SUFFIX_RE.match(tail):
                 return False
-    return not _CONST_RE.match(expr)
+    return not (_CONST_RE.match(expr) or _TYPED_LITERAL_RE.match(expr))
 
 
 def _skip_quoted(text: str, i: int) -> int | None:
@@ -565,10 +585,13 @@ def _skip_quoted(text: str, i: int) -> int | None:
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parens and quotes (single-quoted strings,
-    E-strings, double-quoted identifiers, dollar-quoted bodies — r03
-    fuzz fix for "a,b" identifiers; wave 10 extended to $tag$…$tag$ and
-    E'…' whose contents previously split the command list)."""
+    """Split on `sep` outside parens, brackets and quotes (single-quoted
+    strings, E-strings, double-quoted identifiers, dollar-quoted bodies —
+    r03 fuzz fix for "a,b" identifiers; wave 10 extended to $tag$…$tag$
+    and E'…' whose contents previously split the command list; wave 13
+    added square brackets — ``DEFAULT ARRAY[1, 2, 3]`` sits at paren
+    depth 0, so a paren-only tracker cut one ADD COLUMN command into
+    three)."""
     parts: list[str] = []
     depth = 0
     cur: list[str] = []
@@ -580,9 +603,9 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
             cur.append(text[i:j])
             i = j
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         if ch == sep and depth == 0:
             parts.append("".join(cur).strip())
@@ -607,24 +630,34 @@ def _find_top_level_default(command: str) -> int | None:
     matched DEFAULT inside a CHECK constraint's string literal
     (``CHECK (status <> 'DEFAULT value')``) and raised a false
     volatile-default finding where libpg_query sees no default at all
-    (fuzz wave 9)."""
+    (fuzz wave 9). The DEFAULT token of ``GENERATED BY DEFAULT AS
+    IDENTITY`` is part of the identity clause, not a DEFAULT constraint
+    — the real AST carries CONSTR_IDENTITY with no RawExpr, so the
+    reference's extractDefaultExpr returns nil and no R2 finding fires;
+    matching it here raised a false volatile finding on every
+    by-default identity column (fuzz wave 13)."""
     i, n, depth = 0, len(command), 0
+    prev_word = ""
     while i < n:
         ch = command[i]
         j = _skip_quoted(command, i)
         if j is not None:
             i = j
-        elif ch == "(":
+            prev_word = ""
+        elif ch in "([":
             depth += 1
             i += 1
-        elif ch == ")":
+            prev_word = ""
+        elif ch in ")]":
             depth -= 1
             i += 1
+            prev_word = ""
         elif ch.isalpha() or ch == "_":
             j = i + 1
             while j < n and (command[j].isalnum() or command[j] in "_$"):
                 j += 1
-            if depth == 0 and command[i:j].upper() == "DEFAULT":
+            word = command[i:j].upper()
+            if depth == 0 and word == "DEFAULT" and prev_word != "BY":
                 m_ws = re.match(r"\s+", command[j:])
                 if m_ws:
                     return j + m_ws.end()
@@ -633,8 +666,12 @@ def _find_top_level_default(command: str) -> int | None:
                 # false NEGATIVE in a safety rule (ADVICE r08)
                 if j < n and command[j] == "(":
                     return j
+            prev_word = word
             i = j
+        elif ch.isspace():
+            i += 1
         else:
+            prev_word = ""
             i += 1
     return None
 
@@ -656,9 +693,9 @@ def _extract_default_expr(command: str) -> str | None:
         if j is not None:
             i = j
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         if depth == 0 and rest[:i].strip():
             # a constraint keyword can only END a default once some
@@ -852,6 +889,24 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
                     feats.concurrent = value not in ("false", "off", "0", "no")
         return feats
 
+    # REFRESH MATERIALIZED VIEW [CONCURRENTLY] name — classification
+    # only, deliberately NOT part of the tx-routing superset: unlike
+    # CREATE/DROP INDEX, REINDEX and DETACH PARTITION, the concurrent
+    # refresh IS accepted inside a transaction block (proven against
+    # live PostgreSQL 15 during fuzz wave 14 — BEGIN; REFRESH
+    # MATERIALIZED VIEW CONCURRENTLY mv; COMMIT succeeds), so routing it
+    # outside would drop the tx wrapper and safety timeouts for nothing
+    m = re.match(
+        r"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<conc>CONCURRENTLY\s+)?"
+        rf"(?P<name>{_QNAME})",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        feats.stmt_type = "refresh_matview"
+        feats.concurrent = bool(m.group("conc"))
+        return feats
+
     m = re.match(
         r"TRUNCATE\s+(?:TABLE\s+)?(?:ONLY\s+)?(?P<names>.+?)"
         r"(?:\s+(?:RESTART\s+IDENTITY|CONTINUE\s+IDENTITY|CASCADE|RESTRICT))*$",
@@ -938,9 +993,22 @@ def classify_statement(stmt_index: int, stmt_sql: str) -> StatementFeatures:
             feats.rename_object = "column"
             return feats
         feats.stmt_type = "alter_table"
-        feats.commands = [
-            _parse_alter_command(c) for c in _split_top_level(rest)
-        ]
+        cmds = _split_top_level(rest)
+        feats.commands = [_parse_alter_command(c) for c in cmds]
+        # DETACH PARTITION … CONCURRENTLY cannot run inside a transaction
+        # block (PostgreSQL 14+) — the same deliberate routing superset
+        # as REINDEX / REFRESH MATERIALIZED VIEW: the reference routes
+        # only IndexStmt/DropStmt and would wrap it (fuzz wave 14). The
+        # quoted-name form DETACH PARTITION "CONCURRENTLY" is NOT the
+        # keyword — _QNAME consumes it first.
+        feats.concurrent = any(
+            re.match(
+                rf"DETACH\s+PARTITION\s+{_QNAME}\s+CONCURRENTLY\s*$",
+                c,
+                re.IGNORECASE,
+            )
+            for c in cmds
+        )
         return feats
 
     m = re.match(
@@ -988,8 +1056,15 @@ def contains_concurrent_op(sql: str) -> bool:
         return False
     return any(
         f["concurrent"]
-        # reindex is a deliberate superset of the reference's
-        # IndexStmt/DropStmt routing — see the classifier comment
-        and f["stmt_type"] in ("create_index", "drop_index", "reindex")
+        # reindex / alter_table(DETACH … CONCURRENTLY) are a deliberate
+        # superset of the reference's IndexStmt/DropStmt routing — each
+        # of these concurrent forms is refused inside a transaction
+        # block by PostgreSQL itself (all four proven against live
+        # PG 15). REFRESH MATERIALIZED VIEW CONCURRENTLY is deliberately
+        # ABSENT: the server accepts it inside a tx block, so it keeps
+        # the transactional path (fuzz round 6 wave 5; fuzz wave 14)
+        and f["stmt_type"] in (
+            "create_index", "drop_index", "reindex", "alter_table",
+        )
         for f in parse_sql(sql)
     )

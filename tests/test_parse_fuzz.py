@@ -1351,3 +1351,218 @@ def test_wave12_alter_forms():
     assert [c["default_volatile"] for c in f["commands"]] == [
         False, False, True,
     ]
+
+
+# --- fuzz wave 13 (r09): FIVE real fixes — the well is still not dry ------
+#
+# 37 probes across identity/generated columns, typed-literal and
+# bit-string constant forms, bracketed array constructors, doubled-quote
+# identifiers, REINDEX boolean option values, rename-object kinds, and
+# lock/truncate suffixes. Five forced recognizer fixes (analyzer/parse.py):
+#
+# * ``GENERATED BY DEFAULT AS IDENTITY`` — the DEFAULT token belongs to
+#   the identity clause (CONSTR_IDENTITY, no RawExpr, so the reference's
+#   extractDefaultExpr returns nil); _find_top_level_default matched it
+#   and raised a FALSE volatile-default finding on every by-default
+#   identity column;
+# * ``DEFAULT ARRAY[1, 2, 3]`` — _split_top_level tracked parens but not
+#   square brackets, so the top-level commas inside the array constructor
+#   cut one ADD COLUMN command into three (the classification survived by
+#   luck: ArrayExpr is volatile per the reference whatever the slice);
+# * typed literals ``INTERVAL '1 day'`` / ``TIMESTAMP '2020-01-01'`` /
+#   ``DOUBLE PRECISION '1.5'`` — AexprConst's ConstTypename Sconst form
+#   is TypeCast(A_Const) to the real grammar → NON-volatile per
+#   alter_add_column.go:112-134; all classified volatile (false R2);
+# * bit-string constants ``B'1010'`` / ``X'FF'`` (BCONST/XCONST) and
+#   Unicode-escape strings ``U&'…'`` — A_Const, classified volatile;
+# * ``ALTER TABLE "we""ird" …`` — _IDENT's quoted alternative was blind
+#   to doubled-quote escapes, so the statement failed recognition
+#   entirely and EVERY ALTER danger rule silently skipped (a false
+#   NEGATIVE across the whole rule set — the worst failure class).
+
+
+def test_wave13_identity_columns_no_default_finding():
+    # CONSTR_IDENTITY carries no RawExpr — no R2 finding in the reference
+    cases = [
+        "ALTER TABLE t ADD COLUMN id bigint GENERATED BY DEFAULT AS IDENTITY;",
+        "ALTER TABLE t ADD COLUMN id bigint GENERATED ALWAYS AS IDENTITY;",
+        "ALTER TABLE t ADD COLUMN id bigint GENERATED BY DEFAULT AS IDENTITY (START 10);",
+        "ALTER TABLE t ADD COLUMN c int GENERATED ALWAYS AS (random()::int) STORED;",
+    ]
+    for sql in cases:
+        f = P.parse_sql(sql)[0]
+        assert f["stmt_type"] == "alter_table", sql
+        cmd = f["commands"][0]
+        assert cmd["subtype"] == "add_column", sql
+        assert cmd["default_volatile"] is False, sql
+    # ...but a REAL default after an identity-free GENERATED keyword in a
+    # string must still extract: DEFAULT 'generated by default' is constant
+    f = P.parse_sql(
+        "ALTER TABLE t ADD COLUMN c text DEFAULT 'GENERATED BY DEFAULT';"
+    )[0]
+    assert f["commands"][0]["default_volatile"] is False
+
+
+def test_wave13_bracket_aware_command_split():
+    f = P.parse_sql("ALTER TABLE t ADD COLUMN c int[] DEFAULT ARRAY[1, 2, 3];")[0]
+    assert [c["subtype"] for c in f["commands"]] == ["add_column"]
+    # ArrayExpr is not A_Const/TypeCast-of-A_Const: volatile per reference
+    assert f["commands"][0]["default_volatile"] is True
+    # multi-command ALTER with an array constructor mid-list
+    f = P.parse_sql(
+        "ALTER TABLE t ADD COLUMN a int[] DEFAULT ARRAY[1, 2], "
+        "ADD COLUMN b timestamptz DEFAULT clock_timestamp();"
+    )[0]
+    assert [c["subtype"] for c in f["commands"]] == ["add_column", "add_column"]
+    assert [c["default_volatile"] for c in f["commands"]] == [True, True]
+
+
+def test_wave13_typed_literal_and_bitstring_constants():
+    nonvolatile = [
+        "INTERVAL '1 day'",
+        "TIMESTAMP '2020-01-01'",
+        "DOUBLE PRECISION '1.5'",
+        "pg_catalog.text 'x'",
+        "TIMESTAMP(3) '2020-01-01 00:00:00.000'",
+        "B'1010'",
+        "X'FF'",
+        "U&'d\\0061t'",
+        "'now'::timestamptz",
+    ]
+    for expr in nonvolatile:
+        assert not P.is_volatile_default(expr), expr
+    volatile = [
+        # suffix cast on a typed literal nests TypeCast(TypeCast(…)):
+        # outer arg is not A_Const → volatile per the reference
+        "INTERVAL '1 day'::interval",
+        "'x'::text::text",
+        # SQLValueFunction / NullIf / ArrayExpr nodes — volatile
+        "CURRENT_TIMESTAMP",
+        "CURRENT_DATE",
+        "CURRENT_USER",
+        "nullif(1, 2)",
+        "ARRAY[1, 2, 3]",
+        "(now() AT TIME ZONE 'utc')",
+    ]
+    for expr in volatile:
+        assert P.is_volatile_default(expr), expr
+
+
+def test_wave13_doubled_quote_identifiers():
+    f = P.parse_sql('ALTER TABLE "we""ird" ADD COLUMN c int DEFAULT 1;')[0]
+    assert f["stmt_type"] == "alter_table"
+    assert f["table"] == 'we"ird'
+    assert f["commands"][0]["subtype"] == "add_column"
+    f = P.parse_sql('DROP TABLE "a""b;c";')[0]
+    assert f["stmt_type"] == "drop_table" and f["table"] == 'a"b;c'
+    f = P.parse_sql('ALTER INDEX "i""x" RENAME TO j;')[0]
+    assert f["stmt_type"] == "rename" and f["rename_object"] == "index"
+
+
+def test_wave13_already_correct_targets():
+    # SET DEFAULT is AT_ColumnDefault, not AT_AddColumn — no R2 finding
+    f = P.parse_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT now();")[0]
+    assert f["commands"][0]["subtype"] == "set_default"
+    # suffix clauses after a constant default don't corrupt extraction
+    for sql in [
+        "ALTER TABLE t ADD COLUMN c text COLLATE \"C\" DEFAULT 'x';",
+        "ALTER TABLE t ADD COLUMN c text DEFAULT 'x' NOT NULL;",
+        "ALTER TABLE t ADD COLUMN c text DEFAULT 'x' CHECK (c <> '');",
+        "ALTER TABLE t ADD COLUMN c int DEFAULT 1 REFERENCES u (id);",
+    ]:
+        f = P.parse_sql(sql)[0]
+        assert f["commands"][0]["default_volatile"] is False, sql
+    # rename-object kinds: only table/column fire R9 (rename.go:31-52)
+    f = P.parse_sql("ALTER TABLE t RENAME CONSTRAINT c1 TO c2;")[0]
+    assert f["rename_object"] == "constraint"
+    f = P.parse_sql("ALTER INDEX i RENAME TO j;")[0]
+    assert f["rename_object"] == "index"
+    # REINDEX parenthesized boolean option values (mirror of the wave-12
+    # VACUUM (FULL false) form)
+    assert P.parse_sql("REINDEX (CONCURRENTLY) TABLE t;")[0]["concurrent"]
+    assert P.parse_sql("REINDEX (CONCURRENTLY true) TABLE t;")[0]["concurrent"]
+    assert not P.parse_sql("REINDEX (CONCURRENTLY false) TABLE t;")[0]["concurrent"]
+    assert not P.parse_sql("REINDEX (VERBOSE, CONCURRENTLY off) TABLE t;")[0]["concurrent"]
+    # lock/truncate suffix forms
+    f = P.parse_sql("LOCK TABLE a IN ACCESS EXCLUSIVE MODE NOWAIT;")[0]
+    assert f["stmt_type"] == "lock" and f["table"] == "a"
+    f = P.parse_sql("LOCK TABLE ONLY a, b IN SHARE MODE;")[0]
+    assert f["stmt_type"] == "lock" and f["tables"] == ["a", "b"]
+    f = P.parse_sql("TRUNCATE a RESTART IDENTITY CASCADE;")[0]
+    assert f["stmt_type"] == "truncate" and f["table"] == "a"
+    # quoted name that spells a keyword
+    f = P.parse_sql(
+        'CREATE UNIQUE INDEX CONCURRENTLY IF NOT EXISTS "CONCURRENTLY" ON t (a);'
+    )[0]
+    assert f["stmt_type"] == "create_index" and f["concurrent"]
+
+
+# --- fuzz wave 14 (r09): ONE real fix + one refuted assumption ------------
+#
+# 10 probes across partition DDL, materialized views, CLUSTER, unary-plus
+# and row-constructor defaults, and multi-name concurrent drops, each
+# settled against a LIVE PostgreSQL 15 server rather than recalled docs:
+#
+# * ``ALTER TABLE … DETACH PARTITION … CONCURRENTLY`` (PG 14+) — refused
+#   inside a transaction block by the server but routed into one: the
+#   reference checks only IndexStmt/DropStmt (concurrent.go:27-36) and
+#   this repo had extended the superset for REINDEX only. REAL FIX: the
+#   flag now surfaces through the alter_table statement. The quoted-name
+#   form DETACH PARTITION "CONCURRENTLY" is NOT the keyword.
+# * ``REFRESH MATERIALIZED VIEW CONCURRENTLY`` — the wave's draft fix
+#   routed it outside the transaction too, and the live probe REFUTED
+#   the premise: PG 15 accepts the concurrent refresh inside a tx block
+#   (BEGIN; REFRESH … CONCURRENTLY; COMMIT succeeds), so the form now
+#   gets a typed classification (refresh_matview + concurrent flag) but
+#   deliberately stays on the transactional path.
+#
+# The live-PG controls (DETACH refused in-tx / succeeds outside; REFRESH
+# succeeds in-tx) are tests/test_pg_live.py::
+# test_wave14_concurrent_forms_refused_in_tx_and_routed.
+
+
+def test_wave14_refresh_matview_classified_but_not_routed():
+    f = P.parse_sql("REFRESH MATERIALIZED VIEW CONCURRENTLY mv;")[0]
+    assert f["stmt_type"] == "refresh_matview" and f["concurrent"]
+    # NOT in the routing superset: PG 15 accepts it inside a tx block
+    # (live probe, wave 14) — routing outside would drop the tx wrapper
+    # and safety timeouts for nothing
+    assert not P.contains_concurrent_op(
+        "REFRESH MATERIALIZED VIEW CONCURRENTLY mv;"
+    )
+    f = P.parse_sql("REFRESH MATERIALIZED VIEW mv;")[0]
+    assert f["stmt_type"] == "refresh_matview" and not f["concurrent"]
+    # the keyword inside a string literal is not an operation
+    assert not P.contains_concurrent_op(
+        "SELECT 'REFRESH MATERIALIZED VIEW CONCURRENTLY mv';"
+    )
+
+
+def test_wave14_detach_partition_routing():
+    sql = "ALTER TABLE t DETACH PARTITION p CONCURRENTLY;"
+    f = P.parse_sql(sql)[0]
+    assert f["stmt_type"] == "alter_table" and f["concurrent"]
+    assert P.contains_concurrent_op(sql)
+    for benign in [
+        "ALTER TABLE t DETACH PARTITION p;",
+        'ALTER TABLE t DETACH PARTITION "CONCURRENTLY";',
+        "ALTER TABLE t ATTACH PARTITION p FOR VALUES FROM (1) TO (10);",
+        "ALTER TABLE t ADD COLUMN c int DEFAULT 1;",
+    ]:
+        f = P.parse_sql(benign)[0]
+        assert not f["concurrent"], benign
+        assert not P.contains_concurrent_op(benign), benign
+
+
+def test_wave14_already_correct_targets():
+    # partition DDL carries no danger rule in the reference — 'other'
+    # subtypes / create_table classification, no volatile extraction
+    f = P.parse_sql("CREATE TABLE p PARTITION OF t FOR VALUES IN (1, 2);")[0]
+    assert f["stmt_type"] == "create_table"
+    # CLUSTER has no reference rule
+    assert P.parse_sql("CLUSTER t USING idx;")[0]["stmt_type"] == "other"
+    # unary plus and row constructors are A_Expr / RowExpr — volatile
+    assert P.is_volatile_default("+1")
+    assert P.is_volatile_default("ROW(1, 2)")
+    # multi-name concurrent drop still routes
+    assert P.contains_concurrent_op("DROP INDEX CONCURRENTLY IF EXISTS a, b;")

@@ -396,3 +396,63 @@ def test_cli_apply_status_against_live_pg(spark, tmp_path, pg_sock, capsys):
 # server, and would be skipped by this module's pytestmark) live in
 # tests/test_executor.py: test_pg_dialect_strings_are_pinned and
 # test_psql_runner_script_shapes.
+
+
+def test_wave14_concurrent_forms_refused_in_tx_and_routed(pg_db, runner):
+    """The two live controls behind the fuzz-wave-14 routing decision:
+
+    * ALTER TABLE … DETACH PARTITION … CONCURRENTLY is refused inside a
+      transaction block, exactly like CREATE INDEX CONCURRENTLY — the
+      reference routes only IndexStmt/DropStmt
+      (internal/executor/concurrent.go:27-36), so it would wrap the form
+      in BEGIN/COMMIT and fail at apply time; contains_concurrent_op
+      must send it outside.
+    * REFRESH MATERIALIZED VIEW CONCURRENTLY is ACCEPTED inside a
+      transaction block (this refuted the wave's draft fix, which had
+      routed it outside) — it must stay on the transactional path, so
+      the executor keeps the tx wrapper and safety timeouts."""
+    from database_migration_engine_spark.analyzer.parse import (
+        contains_concurrent_op,
+    )
+
+    runner.run("CREATE TABLE w14_base (id INT)", in_tx=True)
+    runner.run(
+        "CREATE MATERIALIZED VIEW w14_mv AS SELECT id FROM w14_base",
+        in_tx=True,
+    )
+    runner.run("CREATE UNIQUE INDEX w14_mv_id ON w14_mv (id)", in_tx=True)
+    # positive control: the server ACCEPTS the concurrent refresh in-tx
+    runner.run("REFRESH MATERIALIZED VIEW CONCURRENTLY w14_mv", in_tx=True)
+
+    runner.run(
+        "CREATE TABLE w14_pt (id INT) PARTITION BY RANGE (id)", in_tx=True
+    )
+    runner.run(
+        "CREATE TABLE w14_pt1 PARTITION OF w14_pt FOR VALUES FROM (0) TO (10)",
+        in_tx=True,
+    )
+    with pytest.raises(MigrationError) as e:
+        runner.run(
+            "ALTER TABLE w14_pt DETACH PARTITION w14_pt1 CONCURRENTLY",
+            in_tx=True,
+        )
+    assert "transaction block" in str(e.value)
+    runner.run(
+        "ALTER TABLE w14_pt DETACH PARTITION w14_pt1 CONCURRENTLY",
+        in_tx=False,
+    )
+    assert _q(pg_db, "SELECT to_regclass('w14_pt1') IS NOT NULL") == "t"
+
+    # and the routing predicate matches the server's behavior exactly:
+    # DETACH … CONCURRENTLY routes outside, everything else (including
+    # the tx-tolerant concurrent refresh) stays transactional
+    assert contains_concurrent_op(
+        "ALTER TABLE w14_pt DETACH PARTITION w14_pt1 CONCURRENTLY;"
+    )
+    assert not contains_concurrent_op(
+        "REFRESH MATERIALIZED VIEW CONCURRENTLY w14_mv;"
+    )
+    assert not contains_concurrent_op("REFRESH MATERIALIZED VIEW w14_mv;")
+    assert not contains_concurrent_op(
+        "ALTER TABLE w14_pt DETACH PARTITION w14_pt1;"
+    )
