@@ -391,10 +391,17 @@ _CONST_RE = re.compile(
         # digit separators (1_000_000) and hex/octal/binary forms
         # (0x1F, 0o17, 0b101) — equally A_Const to the real grammar
         # (fuzz round 6 wave 4)
-      | -?0[xX][0-9A-Fa-f](?:_?[0-9A-Fa-f])*
-      | -?0[oO][0-7](?:_?[0-7])*
-      | -?0[bB][01](?:_?[01])*
-      | -?(?:\d(?:_?\d)*\.?(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?
+        # UNSIGNED numerics only (fuzz wave 15): the grammar applies
+        # ``::`` BEFORE unary minus, so ``-1::int`` is doNegate over a
+        # TypeCast — an A_Expr the reference classifies VOLATILE; the
+        # old ``-?`` prefix here made it a constant, a false NEGATIVE
+        # in a safety rule. Negated constants (``-1``, ``- 1``,
+        # ``-(-1)`` — doNegate folds each) take the dedicated
+        # _folds_to_numeric_const path in is_volatile_default.
+      | 0[xX][0-9A-Fa-f](?:_?[0-9A-Fa-f])*
+      | 0[oO][0-7](?:_?[0-7])*
+      | 0[bB][01](?:_?[01])*
+      | (?:\d(?:_?\d)*\.?(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?
         # bit-string (B'1010' / X'FF') and Unicode-escape (U&'…')
         # literals are BCONST / XCONST / Sconst — all A_Const to the
         # real parser (fuzz wave 13: both classified volatile and
@@ -420,6 +427,35 @@ _CAST_SUFFIX_RE = re.compile(
 )
 
 _CAST_RE = re.compile(r"^CAST\s*\(\s*(.+)\s+AS\s+[^)]+\)$", re.IGNORECASE | re.DOTALL)
+
+# bare unsigned numeric constant — the subset of _CONST_RE doNegate can
+# fold a unary minus into (Integer / Float A_Const only; no cast suffix,
+# no string/bool/NULL — doNegate wraps those in an A_Expr instead)
+_BARE_NUM_RE = re.compile(
+    r"""^(?:
+        0[xX][0-9A-Fa-f](?:_?[0-9A-Fa-f])*
+      | 0[oO][0-7](?:_?[0-7])*
+      | 0[bB][01](?:_?[01])*
+      | (?:\d(?:_?\d)*\.?(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?
+    )$""",
+    re.VERBOSE,
+)
+
+
+def _folds_to_numeric_const(expr: str) -> bool:
+    """True when ``expr`` reduces to a numeric A_Const under the real
+    grammar's constant folding: grouping parens are transparent
+    (c_expr: '(' a_expr ')') and doNegate folds unary minus over an
+    Integer/Float A_Const in place — so ``-1``, ``- 1``, ``-(-1)``,
+    ``-(-(2))`` are all A_Const. Anything else under a minus (a cast,
+    a string, a call) keeps an A_Expr wrapper and stays volatile
+    (fuzz wave 15)."""
+    expr = expr.strip()
+    while _outer_parens_match(expr):
+        expr = expr[1:-1].strip()
+    if expr.startswith("-"):
+        return _folds_to_numeric_const(expr[1:])
+    return bool(_BARE_NUM_RE.match(expr))
 
 # typed literal (AexprConst: ConstTypename Sconst / func_name Sconst) —
 # ``INTERVAL '1 day'``, ``TIMESTAMP(3) '2020-01-01'``, ``DOUBLE PRECISION
@@ -483,13 +519,6 @@ def is_volatile_default(expr: str) -> bool:
         if _outer_parens_match(expr):
             expr = expr[1:-1].strip()
             continue
-        # unary minus over a parenthesized group: the grammar folds
-        # doNegate over the inner constant — ``-(1)`` IS A_Const(-1)
-        # (fuzz wave 10); a non-constant inner stays volatile either way
-        neg = re.match(r"^-\s*(\(.+\))$", expr, re.DOTALL)
-        if neg and _outer_parens_match(neg.group(1)):
-            expr = "-" + neg.group(1)[1:-1].strip()
-            continue
         cast = _CAST_RE.match(expr)
         if cast:
             expr = cast.group(1).strip()
@@ -532,6 +561,14 @@ def is_volatile_default(expr: str) -> bool:
             tail = expr[end:].strip()
             if not tail or _CAST_SUFFIX_RE.match(tail):
                 return False
+    # unary minus: doNegate folds it ONLY over a numeric A_Const
+    # (possibly under grouping parens / repeated negation — wave 10's
+    # ``-(1)`` special case, generalized by wave 15 to ``- 1`` /
+    # ``- -1`` / ``-(-(2))``); a minus over anything else — including a
+    # suffix-cast numeric like ``-1::int``, since ``::`` binds tighter
+    # than unary minus — is an A_Expr the reference classifies volatile
+    if expr.startswith("-"):
+        return not _folds_to_numeric_const(expr)
     return not (_CONST_RE.match(expr) or _TYPED_LITERAL_RE.match(expr))
 
 

@@ -233,9 +233,15 @@ ORDER BY version DESC
 # cross-check. Scoped to the corpus (single-statement migrations →
 # stmt_index 0).
 # Single quotes doubled: this regex is embedded inside a SQL string literal.
+# Mirrors parse.is_volatile_default's constant grammar on the fixture
+# corpus. Negative numerics deliberately take NO cast suffix (wave 15):
+# ``::`` binds tighter than unary minus, so ``-1::int`` is doNegate over
+# a TypeCast — an A_Expr the rule classifies volatile — while bare
+# ``-1`` folds to A_Const.
 _CONST_DEFAULT = (
-    r"^(''[^'']*''|-?[0-9.]+|TRUE|FALSE|NULL)"
+    r"^(''[^'']*''|[0-9.]+|TRUE|FALSE|NULL)"
     r"(\s*::\s*[A-Za-z_ ]+(\([0-9, ]*\))?)?\s*;?\s*$"
+    r"|^-\s*[0-9.]+\s*;?\s*$"
 )
 
 _FINDINGS_SQL = f"""

@@ -1566,3 +1566,73 @@ def test_wave14_already_correct_targets():
     assert P.is_volatile_default("ROW(1, 2)")
     # multi-name concurrent drop still routes
     assert P.contains_concurrent_op("DROP INDEX CONCURRENTLY IF EXISTS a, b;")
+
+
+# --- fuzz wave 15 (r09): TWO real fixes in doNegate fidelity --------------
+#
+# 19 probes across unary-minus spacing/nesting, suffix-cast precedence,
+# keyword-optional ALTER COLUMN forms, VALIDATE CONSTRAINT, SET
+# [UN]LOGGED, INCLUDE/USING index forms and multi-name drops. The
+# classifier rows were all already correct; both fixes are in the
+# volatility grammar's unary-minus handling (analyzer/parse.py):
+#
+# * ``DEFAULT - 1`` / ``- -1`` / ``-(-1)`` / ``-(-(2))`` — doNegate
+#   folds unary minus over an Integer/Float A_Const (through grouping
+#   parens, repeatedly), so the real parser sees a plain constant; the
+#   old matcher required the minus glued to the digits and classified
+#   every spaced/nested form volatile (false R2 findings);
+# * ``DEFAULT -1::int`` — the OPPOSITE direction, and the dangerous one:
+#   ``::`` binds tighter than unary minus, so this is doNegate over a
+#   TypeCast — an A_Expr the reference classifies VOLATILE — but the
+#   old _CONST_RE's ``-?`` numeric prefix swallowed the sign next to a
+#   cast suffix and called it a constant: a false NEGATIVE in a safety
+#   rule. Numeric branches are now unsigned; negation routes through
+#   _folds_to_numeric_const.
+
+
+def test_wave15_donegate_folds_numeric_constants():
+    for expr in ["- 1", "-1", "- -1", "-(-1)", "-( - 1 )", "-(-(2))",
+                 "-.5", "- 1.5e3", "-0x1F", "(-1)", "((- 2))"]:
+        assert not P.is_volatile_default(expr), expr
+
+
+def test_wave15_minus_over_nonconstant_is_volatile():
+    for expr in ["-1::int", "- 1::int", "-1e5::float", "-'x'", "-('x')",
+                 "-TRUE", "-NULL", "+1", "-((1)::int)",
+                 "-CAST(1 AS int)", "-now()", "- 1 + 2"]:
+        assert P.is_volatile_default(expr), expr
+
+
+def test_wave15_full_statement_level():
+    f = P.parse_sql("ALTER TABLE t ADD COLUMN c int DEFAULT - 1;")[0]
+    assert f["commands"][0]["default_volatile"] is False
+    f = P.parse_sql("ALTER TABLE t ADD COLUMN c int DEFAULT -1::int;")[0]
+    assert f["commands"][0]["default_volatile"] is True
+
+
+def test_wave15_already_correct_targets():
+    # keyword-optional COLUMN in ALTER … TYPE / SET NOT NULL (R4/R5
+    # still fire without the COLUMN keyword)
+    f = P.parse_sql("ALTER TABLE t ALTER c TYPE int;")[0]
+    assert f["commands"][0]["subtype"] == "alter_column_type"
+    f = P.parse_sql("ALTER TABLE t ALTER c SET NOT NULL;")[0]
+    assert f["commands"][0]["subtype"] == "set_not_null"
+    # VALIDATE CONSTRAINT is the R3 remediation — no finding subtype
+    f = P.parse_sql("ALTER TABLE t VALIDATE CONSTRAINT c;")[0]
+    assert f["commands"][0]["subtype"] == "other"
+    # SET LOGGED/UNLOGGED rewrite the table but carry no reference rule
+    for sql in ["ALTER TABLE t SET LOGGED;", "ALTER TABLE t SET UNLOGGED;"]:
+        f = P.parse_sql(sql)[0]
+        assert f["stmt_type"] == "alter_table"
+        assert f["commands"][0]["subtype"] == "other", sql
+    # INCLUDE / USING-method index forms keep table extraction
+    for sql in ["CREATE INDEX i ON t (a) INCLUDE (b);",
+                "CREATE INDEX i ON t USING gin (a);"]:
+        f = P.parse_sql(sql)[0]
+        assert f["stmt_type"] == "create_index" and f["table"] == "t", sql
+    # UNIQUE constraint: R3 is CHECK/FK-only — kind still extracted
+    f = P.parse_sql("ALTER TABLE t ADD CONSTRAINT u UNIQUE (a);")[0]
+    assert f["commands"][0]["constraint_type"] == "unique"
+    # RESTRICT suffix on multi-name drop
+    f = P.parse_sql("DROP TABLE a, b RESTRICT;")[0]
+    assert f["tables"] == ["a", "b"]
