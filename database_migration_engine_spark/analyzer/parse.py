@@ -154,7 +154,7 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
                     break
                 i += 1
         elif ch == "$":
-            m = re.match(r"\$([A-Za-z_][\w]*)?\$", sql[i:])
+            m = re.match(r"\$([A-Za-z_\u0080-\U0010ffff][\w\u0080-\U0010ffff]*)?\$", sql[i:])
             if m:
                 tag = m.group(0)
                 close = sql.find(tag, i + len(tag))
@@ -201,7 +201,14 @@ def split_statements(sql: str) -> list[tuple[int, str]]:
 
 # --- identifier handling ---------------------------------------------------
 
-_IDENT = r'(?:"(?:[^"]|"")*"|[A-Za-z_][\w$]*)'
+# unquoted identifier start/continuation: the PG lexer accepts ANY byte
+# >= 0x80 (scan.l ident_start [A-Za-z_\200-\377], and multibyte UTF-8
+# chars are all high bytes) — ASCII-only classes made
+# ``ALTER TABLE überweisung …`` fail recognition entirely, silently
+# skipping every ALTER danger rule (fuzz wave 16)
+_ID_START = r"A-Za-z_\u0080-\U0010ffff"
+_ID_CONT = r"\w$\u0080-\U0010ffff"
+_IDENT = rf'(?:"(?:[^"]|"")*"|[{_ID_START}][{_ID_CONT}]*)'
 _QNAME = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
 
 
@@ -242,7 +249,14 @@ def normalize_name(raw: str) -> str:
         if part.startswith('"') and part.endswith('"') and len(part) >= 2:
             out.append(part[1:-1].replace('""', '"'))
         else:
-            out.append(part.lower())
+            # PG's downcase_identifier folds ONLY ASCII A-Z in multibyte
+            # encodings (src/backend/parser/scansup.c) — ÜBERWEISUNG
+            # keeps its Ü; Python .lower() would fold it (fuzz wave 16)
+            out.append(
+                "".join(
+                    chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in part
+                )
+            )
     return ".".join(out)
 
 
@@ -305,7 +319,7 @@ def _strip_comments(stmt: str) -> str:
             out.append(stmt[i:j])
             i = j
         elif ch == "$":
-            m = re.match(r"\$([A-Za-z_][\w]*)?\$", stmt[i:])
+            m = re.match(r"\$([A-Za-z_\u0080-\U0010ffff][\w\u0080-\U0010ffff]*)?\$", stmt[i:])
             if m:
                 tag = m.group(0)
                 close = stmt.find(tag, i + len(tag))
@@ -467,7 +481,8 @@ def _folds_to_numeric_const(expr: str) -> bool:
 # wave 13: the bare typed-literal forms classified volatile and raised
 # false R2 findings).
 _TYPED_LITERAL_RE = re.compile(
-    r"^[A-Za-z_][\w$]*(?:\s*\.\s*[A-Za-z_][\w$]*)?(?:\s+[A-Za-z_][\w$]*)*"
+    rf"^[{_ID_START}][{_ID_CONT}]*(?:\s*\.\s*[{_ID_START}][{_ID_CONT}]*)?"
+    rf"(?:\s+[{_ID_START}][{_ID_CONT}]*)*"
     r"(?:\s*\(\d+(?:,\s*\d+)?\))?\s*'(?:[^']|'')*'$"
 )
 
@@ -613,7 +628,7 @@ def _skip_quoted(text: str, i: int) -> int | None:
             j += 1
         return n
     if ch == "$":
-        m = re.match(r"\$([A-Za-z_][\w]*)?\$", text[i:])
+        m = re.match(r"\$([A-Za-z_\u0080-\U0010ffff][\w\u0080-\U0010ffff]*)?\$", text[i:])
         if m:
             tag = m.group(0)
             close = text.find(tag, i + len(tag))

@@ -1636,3 +1636,59 @@ def test_wave15_already_correct_targets():
     # RESTRICT suffix on multi-name drop
     f = P.parse_sql("DROP TABLE a, b RESTRICT;")[0]
     assert f["tables"] == ["a", "b"]
+
+
+# --- fuzz wave 16 (r09): non-ASCII identifier fidelity — two fixes --------
+#
+# The PG lexer accepts ANY byte >= 0x80 as identifier start AND
+# continuation (scan.l ident_start [A-Za-z_\200-\377]; every byte of a
+# multibyte UTF-8 char is a high byte), and downcase_identifier folds
+# ONLY ASCII A-Z in multibyte encodings (scansup.c). Two fixes:
+#
+# * _IDENT / dollar-quote tags / the typed-literal matcher were
+#   ASCII-first: ``ALTER TABLE überweisung ADD COLUMN …`` failed
+#   recognition entirely (stmt_type 'other'), silently skipping every
+#   ALTER danger rule — the same false-negative class wave 13's
+#   doubled-quote fix closed, for any non-ASCII-named relation;
+# * normalize_name used Python str.lower(), which folds Ü→ü where the
+#   server preserves it — finding table names diverged from the real
+#   parser's on uppercase non-ASCII identifiers.
+
+
+def test_wave16_non_ascii_identifiers_recognized():
+    cases = [
+        ("ALTER TABLE überweisung ADD COLUMN c timestamptz DEFAULT now();",
+         "alter_table", "überweisung"),
+        ("CREATE INDEX idx ON überweisung (a);", "create_index",
+         "überweisung"),
+        ("DROP TABLE überweisung;", "drop_table", "überweisung"),
+        ("ALTER TABLE naïve_données RENAME TO v2;", "rename",
+         "naïve_données"),
+        ("LOCK таблица;", "lock", "таблица"),
+    ]
+    for sql, want_type, want_table in cases:
+        f = P.parse_sql(sql)[0]
+        assert f["stmt_type"] == want_type, sql
+        assert f["table"] == want_table, sql
+    # the danger rule actually fires now
+    f = P.parse_sql(
+        "ALTER TABLE überweisung ADD COLUMN c timestamptz DEFAULT now();"
+    )[0]
+    assert f["commands"][0]["default_volatile"] is True
+
+
+def test_wave16_unicode_dollar_tags():
+    got = [
+        f["stmt_type"]
+        for f in P.parse_sql("DO $täg$ DROP TABLE not_me; $täg$;\nDROP TABLE z;")
+    ]
+    assert got == ["other", "drop_table"]
+
+
+def test_wave16_ascii_only_case_folding():
+    # downcase_identifier folds ASCII only: Ü survives, B/E/R/… fold
+    assert P.normalize_name("ÜBERWEISUNG") == "Überweisung"
+    assert P.normalize_name("TaBlE") == "table"
+    assert P.normalize_name('"MiXeD"') == "MiXeD"
+    f = P.parse_sql("DROP TABLE ÜBERWEISUNG;")[0]
+    assert f["table"] == "Überweisung"
