@@ -312,8 +312,12 @@ findings AS (
                '<all tables>'),
            'ACCESS EXCLUSIVE', 0
     FROM stmts
+    -- parenthesized options take boolean VALUES (wave 12): (FULL) /
+    -- (FULL true|on|1|yes) / (FULL,…) are full, (FULL false|off|0|no)
+    -- is a plain vacuum. RE2 has no lookahead, so the truthy forms are
+    -- enumerated: FULL followed by ',' or ')' (bare) or a truthy token.
     WHERE regexp_matches(stmt,
-        '(?i)^VACUUM\\s+(\\([^)]*\\bFULL\\b[^)]*\\)|((FREEZE|VERBOSE|ANALYZE)\\s+)*FULL\\b)')
+        '(?i)^VACUUM\\s+(\\([^)]*\\bFULL\\s*[,)]|\\([^)]*\\bFULL\\s+(TRUE|ON|1|YES)\\b|((FREEZE|VERBOSE|ANALYZE)\\s+)*FULL\\b)')
     UNION ALL
     -- R8 lock-table (one finding per relation; corpus locks one)
     SELECT version, 'lock-table', 3,

@@ -96,6 +96,28 @@ CASES = [
     ("vf2", "VACUUM (FULL) users;", 14, [("vacuum-full", 3)]),
     ("vf3", "VACUUM users;", 14, []),
     ("vf4", "VACUUM ANALYZE users;", 14, []),
+    # --- fuzz waves 12-16 (r09), rule-pipeline level ------------------------
+    # boolean option VALUES: (FULL false) is a plain vacuum (wave 12)
+    ("w12v", "VACUUM (FULL false) t;", 14, []),
+    ("w12w", "VACUUM (ANALYZE, FULL) t;", 14, [("vacuum-full", 3)]),
+    # identity's DEFAULT token is CONSTR_IDENTITY, not a default (wave 13)
+    ("w13a", "ALTER TABLE t ADD COLUMN id bigint GENERATED BY DEFAULT"
+             " AS IDENTITY;", 14, []),
+    # typed-literal / bit-string constants are A_Const forms (wave 13)
+    ("w13b", "ALTER TABLE t ADD COLUMN c interval DEFAULT INTERVAL '1 day';",
+     14, []),
+    ("w13c", "ALTER TABLE t ADD COLUMN c varbit DEFAULT B'1010';", 14, []),
+    # doubled-quote identifier: rule fires, name unescaped (wave 13)
+    ("w13d", 'ALTER TABLE "we""ird" ADD COLUMN c timestamptz DEFAULT now();',
+     14, [("add-column-volatile-default", 3)]),
+    # doNegate folds minus over numeric constants; :: binds tighter than
+    # unary minus so -1::int is an A_Expr -> volatile (wave 15)
+    ("w15a", "ALTER TABLE t ADD COLUMN c int DEFAULT - 1;", 14, []),
+    ("w15b", "ALTER TABLE t ADD COLUMN c int DEFAULT -1::int;", 14,
+     [("add-column-volatile-default", 3)]),
+    # non-ASCII relation names reach the rules (wave 16)
+    ("w16a", "ALTER TABLE überweisung ADD COLUMN c timestamptz"
+             " DEFAULT now();", 14, [("add-column-volatile-default", 3)]),
 ]
 
 MIG_SCHEMA = T.StructType(
