@@ -293,42 +293,53 @@ def _strip_comments(stmt: str) -> str:
                 else:
                     i += 1
             pad()
-        elif ch == "'":
-            j = i + 1
-            while j < n:
-                if stmt[j] == "'":
-                    if j + 1 < n and stmt[j + 1] == "'":
-                        j += 2
-                    else:
-                        j += 1
+        elif (j := _skip_quoted(stmt, i)) is not None:
+            # ONE scanner for all quote forms ('\u2026', E'\u2026', "\u2026", $tag$\u2026$):
+            # the old inline '-branch was E-string-blind, so E'it\'s --x'
+            # ended at the escaped quote and the -- swallowed the
+            # literal's tail \u2014 corrupting the stripped statement every
+            # rule matches against (fuzz wave 17)
+            chunk = stmt[i:j]
+            i = j
+            if chunk.endswith("'") and len(chunk) >= 2 and (
+                chunk.startswith("'")
+                or (chunk[:1] in "eE" and chunk[1:2] == "'")
+            ):
+                # literal continuation (scan.l {quotecontinue}):
+                # whitespace/comments containing a newline followed by
+                # another quote resume the SAME literal in the SAME
+                # escape mode \u2014 fuse so downstream matchers see the one
+                # A_Const the real lexer produces (fuzz wave 17).
+                # (Nested block comments inside the gap stop the fusion
+                # \u2014 conservative: the parts stay separate tokens.)
+                escaped_mode = chunk[:1] in "eE"
+                body = [chunk[:-1]]
+                while True:
+                    m = _QUOTE_CONT_RE.match(stmt, i)
+                    if m is None or not re.search(r"[\r\n]", m.group(0)):
                         break
-                else:
-                    j += 1
-            out.append(stmt[i:j])
-            i = j
-        elif ch == '"':
-            j = i + 1
-            while j < n:
-                if stmt[j] == '"':
-                    if j + 1 < n and stmt[j + 1] == '"':
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
-            out.append(stmt[i:j])
-            i = j
-        elif ch == "$":
-            m = re.match(r"\$([A-Za-z_\u0080-\U0010ffff][\w\u0080-\U0010ffff]*)?\$", stmt[i:])
-            if m:
-                tag = m.group(0)
-                close = stmt.find(tag, i + len(tag))
-                j = n if close == -1 else close + len(tag)
-                out.append(stmt[i:j])
-                i = j
+                    k = m.end()  # just past the continuation's quote
+                    j2 = k
+                    closed = False
+                    while j2 < n:
+                        if escaped_mode and stmt[j2] == "\\":
+                            j2 += 2
+                        elif stmt[j2] == "'":
+                            if stmt[j2 + 1:j2 + 2] == "'":
+                                j2 += 2
+                            else:
+                                j2 += 1
+                                closed = True
+                                break
+                        else:
+                            j2 += 1
+                    body.append(stmt[k:j2 - 1] if closed else stmt[k:j2])
+                    i = j2
+                    if not closed:
+                        break
+                out.append("".join(body) + "'")
             else:
-                out.append(ch)
-                i += 1
+                out.append(chunk)
         elif ch.isspace():
             pad()
             i += 1
@@ -336,6 +347,14 @@ def _strip_comments(stmt: str) -> str:
             out.append(ch)
             i += 1
     return "".join(out).strip()
+
+
+# continuation gap: horizontal/vertical whitespace, line comments and
+# (non-nested) block comments, ending at a quote. The caller checks the
+# gap actually contains a newline \u2014 {quotecontinue} requires one.
+_QUOTE_CONT_RE = re.compile(
+    r"(?:[ \t\r\n]|--[^\r\n]*|/\*(?:[^*]|\*(?!/))*\*/)*'"
+)
 
 
 # --- per-statement feature extraction --------------------------------------
@@ -454,6 +473,47 @@ _BARE_NUM_RE = re.compile(
     )$""",
     re.VERBOSE,
 )
+
+
+def _scan_string_continuation(expr: str) -> int | None:
+    """Length of a leading string literal INCLUDING newline-separated
+    continuations, or None when ``expr`` does not start with one. The PG
+    lexer's {quotecontinue} rule (scan.l) resumes the SAME literal when
+    a quote is followed by whitespace containing a newline and another
+    quote — ``'a'␤'b'`` is ONE A_Const — and the continuation inherits
+    the E-string escape mode of the opening token (fuzz wave 17: the
+    continued form classified volatile and raised a false R2 finding).
+    Comments may legally sit inside the continuation whitespace, but
+    classify-time expressions are already comment-stripped."""
+    n = len(expr)
+    i = 0
+    escaped = False
+    if expr[:1] in "eE" and expr[1:2] == "'":
+        escaped = True
+        i = 1
+    if expr[i:i + 1] != "'":
+        return None
+    i += 1
+    while True:
+        closed = False
+        while i < n:
+            if escaped and expr[i] == "\\":
+                i += 2
+            elif expr[i] == "'":
+                if expr[i + 1:i + 2] == "'":
+                    i += 2
+                else:
+                    i += 1
+                    closed = True
+                    break
+            else:
+                i += 1
+        if not closed:
+            return n  # unterminated — consumes the rest either way
+        m = re.match(r"[ \t]*[\r\n][ \t\r\n]*'", expr[i:])
+        if m is None:
+            return i
+        i += m.end()
 
 
 def _folds_to_numeric_const(expr: str) -> bool:
@@ -584,6 +644,14 @@ def is_volatile_default(expr: str) -> bool:
     # than unary minus — is an A_Expr the reference classifies volatile
     if expr.startswith("-"):
         return not _folds_to_numeric_const(expr)
+    # newline-continued string literal (scan.l {quotecontinue}): one
+    # A_Const, optionally cast once — same TypeCast(A_Const) shape as
+    # the single-token forms (fuzz wave 17)
+    j = _scan_string_continuation(expr)
+    if j is not None:
+        tail = expr[j:].strip()
+        if not tail or _CAST_SUFFIX_RE.match(tail):
+            return False
     return not (_CONST_RE.match(expr) or _TYPED_LITERAL_RE.match(expr))
 
 

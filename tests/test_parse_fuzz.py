@@ -1692,3 +1692,62 @@ def test_wave16_ascii_only_case_folding():
     assert P.normalize_name('"MiXeD"') == "MiXeD"
     f = P.parse_sql("DROP TABLE ÜBERWEISUNG;")[0]
     assert f["table"] == "Überweisung"
+
+
+# --- fuzz wave 17 (r09): TWO real fixes in the literal lexer --------------
+#
+# * string-literal newline continuation (scan.l {quotecontinue}): a
+#   quote followed by whitespace/comments CONTAINING A NEWLINE and
+#   another quote resumes the SAME literal — ``'long'␤'text'`` is ONE
+#   A_Const — and the continuation inherits the opening token's E-string
+#   escape mode. The continued form classified volatile (false R2) and
+#   left two tokens for every downstream matcher. _strip_comments now
+#   fuses continuations; is_volatile_default also scans them directly.
+#   Same-line adjacency ('a' 'b', no newline) is NOT continuation and
+#   stays volatile/broken exactly like the server's parse error.
+# * _strip_comments was E-string-blind: its inline quote scanner knew
+#   only '' doubling, so ``E'it\'s --x'`` ended at the escaped quote and
+#   the -- swallowed the literal's tail — corrupting the stripped
+#   statement every classifier regex matches against (the command list
+#   after such a literal could silently lose findings). All quote forms
+#   now route through the one _skip_quoted scanner (the wave-10
+#   unification, finally applied to the last holdout).
+
+
+def test_wave17_literal_continuation_is_one_constant():
+    for expr in ["'a'\n'b'", "'a'\n'b'::text", "'a'\n  'b'\n 'c'",
+                 "'it''s'\n'fine'", "E'a\\n'\n'b'", "'a'\r\n'b'", "''\n'y'"]:
+        assert not P.is_volatile_default(expr), expr
+    for expr in ["'a' 'b'", "'a'\n'b'::text::text", "'a'\nnow()",
+                 "'a'\n'b' || 'c'"]:
+        assert P.is_volatile_default(expr), expr
+    f = P.parse_sql("ALTER TABLE t ADD COLUMN c text DEFAULT 'long'\n'text';")[0]
+    assert f["commands"][0]["default_volatile"] is False
+    # comments are legal inside the continuation gap
+    f = P.parse_sql(
+        "ALTER TABLE t ADD COLUMN c text DEFAULT 'a' -- c\n'b' NOT NULL;"
+    )[0]
+    assert f["commands"][0]["default_volatile"] is False
+    f = P.parse_sql("ALTER TABLE t ADD COLUMN c text DEFAULT 'a' 'b';")[0]
+    assert f["commands"][0]["default_volatile"] is True
+
+
+def test_wave17_strip_comments_escape_strings():
+    s = P._strip_comments(
+        "ALTER TABLE t ADD COLUMN c text DEFAULT E'it\\'s -- not a comment'"
+        " NOT NULL;"
+    )
+    assert "not a comment" in s and "NOT NULL" in s
+    # an escaped quote inside an E-string no longer corrupts the command
+    # list that follows it
+    f = P.parse_sql(
+        "ALTER TABLE t ADD COLUMN a text DEFAULT E'\\'', "
+        "ADD COLUMN b timestamptz DEFAULT now();"
+    )[0]
+    assert [(c["subtype"], c["default_volatile"]) for c in f["commands"]] == [
+        ("add_column", False), ("add_column", True),
+    ]
+    # double-quoted identifiers and dollar bodies still verbatim
+    assert P._strip_comments('SELECT "a  --b", $x$ keep -- this $x$;') == (
+        'SELECT "a  --b", $x$ keep -- this $x$;'
+    )
