@@ -901,6 +901,18 @@ def _parse_alter_command(cmd: str) -> AlterCommand:
         out.subtype = "set_default"
         out.column = normalize_name(m.group(1))
         return out
+    # DROP CONSTRAINT before the column form: the optional COLUMN keyword
+    # made ``DROP CONSTRAINT c`` capture CONSTRAINT as a column name and
+    # classify drop_column (fuzz wave 18 — cosmetic, no rule fires on
+    # either, but the command record was wrong)
+    m = re.match(
+        rf"DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?({_IDENT})",
+        cmd,
+        re.IGNORECASE,
+    )
+    if m:
+        out.subtype = "drop_constraint"
+        return out
     m = re.match(
         rf"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?({_IDENT})", cmd, re.IGNORECASE
     )

@@ -1751,3 +1751,60 @@ def test_wave17_strip_comments_escape_strings():
     assert P._strip_comments('SELECT "a  --b", $x$ keep -- this $x$;') == (
         'SELECT "a  --b", $x$ keep -- this $x$;'
     )
+
+
+# --- fuzz wave 18 (r09): ONE cosmetic fix — the tail is thinning ----------
+#
+# 10 probes across constraint-attribute ordering (NO INHERIT NOT VALID,
+# NOT VALID after key actions), combined IF EXISTS + ONLY relation
+# modifiers, descendant-star forms on TRUNCATE, quoted index names with
+# spaces, multi-command NOT NULL toggles, and DROP CONSTRAINT. One fix,
+# cosmetic only: ``DROP CONSTRAINT c`` captured CONSTRAINT as a column
+# name via the optional COLUMN keyword and classified drop_column — no
+# rule fires on either subtype, but the command record was wrong. Now
+# drop_constraint.
+
+
+def test_wave18_drop_constraint_subtype():
+    f = P.parse_sql("ALTER TABLE t DROP CONSTRAINT IF EXISTS c CASCADE;")[0]
+    assert f["commands"][0]["subtype"] == "drop_constraint"
+    f = P.parse_sql("ALTER TABLE t DROP COLUMN IF EXISTS c CASCADE;")[0]
+    assert f["commands"][0]["subtype"] == "drop_column"
+    assert f["commands"][0]["column"] == "c"
+    # keyword-optional column form still wins for non-CONSTRAINT names
+    f = P.parse_sql("ALTER TABLE t DROP c;")[0]
+    assert f["commands"][0]["subtype"] == "drop_column"
+
+
+def test_wave18_already_correct_targets():
+    # constraint attributes in either legal order keep NOT VALID
+    f = P.parse_sql(
+        "ALTER TABLE t ADD CONSTRAINT c CHECK (x > 0) NO INHERIT NOT VALID;"
+    )[0]
+    assert f["commands"][0]["skip_validation"] is True
+    f = P.parse_sql(
+        "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES u (b)"
+        " ON DELETE CASCADE NOT VALID;"
+    )[0]
+    assert f["commands"][0]["skip_validation"] is True
+    # combined IF EXISTS + ONLY relation modifiers
+    f = P.parse_sql(
+        "ALTER TABLE IF EXISTS ONLY t ADD COLUMN c timestamptz DEFAULT now();"
+    )[0]
+    assert f["table"] == "t"
+    assert f["commands"][0]["default_volatile"] is True
+    # descendant star after a qualified name
+    f = P.parse_sql("TRUNCATE a.b *;")[0]
+    assert f["stmt_type"] == "truncate" and f["table"] == "a.b"
+    f = P.parse_sql("TRUNCATE ONLY a, b * CASCADE;")[0]
+    assert f["tables"] == ["a", "b"]
+    # quoted index name containing a space
+    f = P.parse_sql('CREATE INDEX CONCURRENTLY "my idx" ON t (a);')[0]
+    assert f["stmt_type"] == "create_index" and f["concurrent"]
+    # paired NOT NULL toggles in one command list
+    f = P.parse_sql(
+        "ALTER TABLE t ALTER COLUMN c SET NOT NULL, ALTER COLUMN d DROP NOT NULL;"
+    )[0]
+    assert [c["subtype"] for c in f["commands"]] == [
+        "set_not_null", "drop_not_null",
+    ]
