@@ -185,10 +185,22 @@ _CONST_DEFAULTS = [
     # digit separators and hex/octal/binary integers are A_Const to the
     # real grammar
     "1_000_000", "0x1F", "0o17", "0b101", "-0xff", "1_0.5e1_0",
+    # wave 13: typed literals (ConstTypename Sconst → TypeCast(A_Const))
+    # and bit-string/Unicode-escape constants (BCONST/XCONST/Sconst)
+    "INTERVAL '1 day'", "TIMESTAMP '2020-01-01'", "B'1010'", "X'FF'",
+    # wave 15: doNegate folds spaced/nested unary minus over numerics
+    "- 1", "-(-1)", "- .5",
+    # wave 17: newline continuation resumes the same literal
+    "'long'\n'text'", "'a'\n'b'::text",
 ]
 _VOLATILE_DEFAULTS = [
     "now()", "random()", "uuid_generate_v4()", "nextval('s')",
     "random() * 10", "lower('A')",
+    # wave 13/15: ArrayExpr, SQLValueFunction, NullIf, and minus-over-
+    # TypeCast (:: binds tighter than unary minus) are all A_Expr-class
+    # nodes the reference classifies volatile
+    "ARRAY[1, 2, 3]", "CURRENT_TIMESTAMP", "nullif(1, 2)", "-1::int",
+    "INTERVAL '1 day'::interval",
 ]
 
 
@@ -196,13 +208,21 @@ _VOLATILE_DEFAULTS = [
 def alter_command(draw):
     """(command_sql, expected AlterCommand subset)"""
     kind = draw(st.sampled_from(
-        ["add_col_plain", "add_col_default", "add_constraint",
-         "alter_type", "set_not_null", "drop_column"]
+        ["add_col_plain", "add_col_default", "add_col_identity",
+         "add_constraint", "alter_type", "set_not_null", "drop_column"]
     ))
     raw, norm = draw(ident_pair())
     if kind == "add_col_plain":
         return f"ADD COLUMN {raw} integer", {
             "subtype": "add_column", "column": norm, "has_default": False,
+        }
+    if kind == "add_col_identity":
+        # the identity clause's DEFAULT token is CONSTR_IDENTITY, not a
+        # DEFAULT constraint — never a volatile-default finding (wave 13)
+        gen = draw(st.sampled_from(["ALWAYS", "BY DEFAULT"]))
+        return f"ADD COLUMN {raw} bigint GENERATED {gen} AS IDENTITY", {
+            "subtype": "add_column", "column": norm,
+            "has_default": False, "default_volatile": False,
         }
     if kind == "add_col_default":
         volatile = draw(st.booleans())
