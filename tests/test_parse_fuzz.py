@@ -1828,3 +1828,45 @@ def test_wave18_already_correct_targets():
     assert [c["subtype"] for c in f["commands"]] == [
         "set_not_null", "drop_not_null",
     ]
+
+
+# --- fuzz wave 19 (r09): ZERO new fixes — dry-well counter at 1 -----------
+#
+# 14 probes across multi-word ConstTypename literals (TIMESTAMP WITH
+# TIME ZONE '…'), nested grouping + suffix casts, CREATE SCHEMA
+# schema-element lists (embedded CREATE INDEX is inside
+# CreateSchemaStmt.schemaElts — the reference's Node_IndexStmt cast
+# fails, so no R1 finding; anchored classification agrees), GRANT /
+# POLICY / two-phase-commit statements, generated tsvector columns, and
+# GREATEST/COALESCE volatility. Every probe already correct; frozen per
+# the wave convention. The dry-well declaration needs one more
+# consecutive zero-fix wave.
+
+
+def test_wave19_already_correct_targets():
+    for expr in ["TIMESTAMP WITH TIME ZONE '2020-01-01'", "((1))::int",
+                 "DOUBLE PRECISION '1.5'", "(B'1')"]:
+        assert not P.is_volatile_default(expr), expr
+    for expr in ["TIMESTAMP WITH TIME ZONE '2020-01-01'::timestamptz",
+                 "GREATEST(1, 2)", "COALESCE('a', 'b')"]:
+        assert P.is_volatile_default(expr), expr
+    # schema-element lists stay ONE unclassified statement: the embedded
+    # CREATE INDEX is not a top-level IndexStmt (rules.go parity)
+    fs = P.parse_sql(
+        "CREATE SCHEMA s CREATE TABLE t (i int) CREATE INDEX i1 ON t (i);"
+    )
+    assert [f["stmt_type"] for f in fs] == ["other"]
+    # generated tsvector column: commas/strings inside the expression
+    # stay inside one add_column command, no default extracted
+    f = P.parse_sql(
+        "ALTER TABLE t ADD COLUMN c tsvector GENERATED ALWAYS AS"
+        " (to_tsvector('english', body)) STORED;"
+    )[0]
+    assert [c["subtype"] for c in f["commands"]] == ["add_column"]
+    assert f["commands"][0]["default_volatile"] is False
+    for sql, want in [
+        ("GRANT SELECT ON t TO u;", "other"),
+        ("CREATE POLICY p ON t USING (x IN (SELECT y FROM z));", "other"),
+        ("COMMIT PREPARED 'tx1';", "other"),
+    ]:
+        assert P.parse_sql(sql)[0]["stmt_type"] == want, sql
