@@ -1870,3 +1870,74 @@ def test_wave19_already_correct_targets():
         ("COMMIT PREPARED 'tx1';", "other"),
     ]:
         assert P.parse_sql(sql)[0]["stmt_type"] == want, sql
+
+
+# --- fuzz wave 20 (r09): ZERO new fixes — DRY-WELL DECLARED ----------------
+#
+# 26 probes across two batches: constraint-attribute combinations
+# (DEFERRABLE INITIALLY DEFERRED NOT VALID), EXCLUDE / PRIMARY KEY USING
+# INDEX constraint kinds, ALTER COLUMN ADD GENERATED identity, SET
+# SCHEMA / OWNER TO, quoted-keyword rename targets, UNLOGGED tables,
+# domains, VACUUM option combinations ((FULL TRUE, ANALYZE FALSE),
+# (PARALLEL 4, FULL)), quoted-schema qualified names, PREPARE/EXECUTE/
+# EXPLAIN wrappers, exotic whitespace (\t\f\v), case soup, empty
+# statements, expression indexes, multi-index drops, ';'-adjacent
+# statements, geometric literals full of commas+parens, dollar bodies
+# with decoy inner tags, and trigger argument lists carrying ';' and
+# DDL text. Every probe already correct.
+#
+# Waves 19 and 20 are the two consecutive zero-fix waves the convention
+# requires: THE WELL IS DECLARED DRY for the probing methodology —
+# grammar-area sweeps no longer surface recognizer divergences. The
+# standing bounded-fidelity note is unchanged: the recognizer is scoped
+# to what the nine danger rules inspect, and genuinely novel grammar
+# (future PG releases, extension syntax) re-opens the well by
+# definition.
+
+
+def test_wave20_already_correct_targets():
+    f = P.parse_sql(
+        "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES u"
+        " DEFERRABLE INITIALLY DEFERRED NOT VALID;"
+    )[0]
+    assert f["commands"][0]["skip_validation"] is True
+    # EXCLUDE / PRIMARY-USING-INDEX kinds recorded; R3 is CHECK/FK-only
+    f = P.parse_sql("ALTER TABLE t ADD CONSTRAINT e EXCLUDE USING gist (a WITH &&);")[0]
+    assert f["commands"][0]["constraint_type"] == "exclude"
+    f = P.parse_sql("ALTER TABLE t ADD CONSTRAINT pk PRIMARY KEY USING INDEX i;")[0]
+    assert f["commands"][0]["constraint_type"] == "primary"
+    # ALTER COLUMN ADD GENERATED is AT_AddIdentity — no rule
+    f = P.parse_sql("ALTER TABLE t ALTER COLUMN c ADD GENERATED ALWAYS AS IDENTITY;")[0]
+    assert f["commands"][0]["subtype"] == "other"
+    # exotic whitespace and case soup
+    f = P.parse_sql("ALTER TABLE t\tADD\fCOLUMN\vc int DEFAULT\t1;")[0]
+    assert f["commands"][0]["subtype"] == "add_column"
+    assert f["commands"][0]["default_volatile"] is False
+    f = P.parse_sql("alter table T add column C timestamptz default NOW();")[0]
+    assert f["table"] == "t" and f["commands"][0]["default_volatile"] is True
+    # empty statements between semicolons don't shift the stream
+    fs = P.parse_sql("ALTER TABLE t ADD COLUMN c int; ;; ALTER TABLE t DROP COLUMN c;")
+    assert [f["stmt_type"] for f in fs] == ["alter_table", "alter_table"]
+    # VACUUM option combinations
+    assert P.parse_sql("VACUUM (FULL TRUE, ANALYZE FALSE) t;")[0]["vacuum_full"]
+    assert P.parse_sql("VACUUM (PARALLEL 4, FULL) t;")[0]["vacuum_full"]
+    assert P.parse_sql("TRUNCATE t; VACUUM FULL; LOCK z;")[1]["vacuum_full"]
+    # quoted-schema qualified truncate target
+    assert P.parse_sql('TRUNCATE "a.b".c;')[0]["table"] == "a.b.c"
+    # geometric literal carrying commas+parens stays one constant
+    f = P.parse_sql("ALTER TABLE t ADD COLUMN c box DEFAULT '((0,0),(1,1))';")[0]
+    assert [c["subtype"] for c in f["commands"]] == ["add_column"]
+    assert f["commands"][0]["default_volatile"] is False
+    # dollar default with a decoy inner tag
+    f = P.parse_sql("ALTER TABLE t ADD COLUMN c text DEFAULT $tag$v$notag$x$tag$;")[0]
+    assert f["commands"][0]["default_volatile"] is False
+    # trigger argument lists carrying ';' and DDL text stay one 'other'
+    fs = P.parse_sql(
+        "CREATE TRIGGER tr AFTER INSERT ON t FOR EACH ROW"
+        " EXECUTE FUNCTION f(';', 'DROP TABLE z;');"
+    )
+    assert [f["stmt_type"] for f in fs] == ["other"]
+    # ';'-adjacent statements split cleanly
+    fs = P.parse_sql("DROP INDEX CONCURRENTLY i1;DROP TABLE z;")
+    assert [f["stmt_type"] for f in fs] == ["drop_index", "drop_table"]
+    assert fs[0]["concurrent"] is True
