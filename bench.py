@@ -464,13 +464,18 @@ STEAL_WARN = 0.30      # steal above this ⇒ prominent warning (ADVICE r07)
 HISTORY_K = 5          # regression baseline: median of last k clean rows
 
 
-def load_clean_history(k: int = HISTORY_K) -> list[dict]:
+def load_clean_history(
+    k: int = HISTORY_K, sf: float | None = None
+) -> list[dict]:
     """Last ``k`` accepted runs that were neither contaminated, nor
     host-degraded (eff_cores ≥ CAPACITY_FLOOR), nor heavy-steal
     (steal_cpu_share ≤ STEAL_WARN — a row BENCH_HISTORY.md labels
     HOST-DEGRADED must not enter the baseline it was declared unfit to
     be compared against; ADVICE r08) — the only rows a per-query time
-    can fairly be compared against."""
+    can fairly be compared against. With ``sf`` given, only rows at the
+    SAME scale factor qualify: a sf0.01 smoke run's times in a sf0.1
+    baseline would flag every query (r10 — the first mixed-sf log row
+    surfaced this)."""
     rows: list[dict] = []
     try:
         with open(os.path.join(REPO, TIMINGS_LOG)) as f:
@@ -490,6 +495,7 @@ def load_clean_history(k: int = HISTORY_K) -> list[dict]:
             isinstance(r.get("steal_cpu_share"), (int, float))
             and r["steal_cpu_share"] > STEAL_WARN
         )
+        and (sf is None or r.get("sf") == sf)
     ]
     return clean[-k:]
 
@@ -539,6 +545,32 @@ def flag_regressions(
         ),
         key=lambda x: -(x[1] / x[2]),
     )[:8]
+
+
+def split_regressions(
+    regs: list[tuple[str, float, float]],
+    prev_timings: dict,
+    prev_ratio: float | None,
+) -> tuple[list[tuple[str, float, float]], list[tuple[str, float, float]]]:
+    """(confirmed, single-run outliers): a candidate flag must persist
+    across two consecutive clean runs before it prints as a regression
+    (r09 verdict item 4: one clean-code run printed six single-run
+    flags — all sub-2 s bimodal jitter — while the runs on either side
+    of it, on identical code, printed none). Confirmed = the previous
+    clean run's time for the same query ALSO exceeded the threshold vs
+    the same baseline; everything else is reported on a separate
+    non-flag line and either confirms or evaporates next run."""
+    confirmed, outliers = [], []
+    for n, t, b in regs:
+        p = prev_timings.get(n)
+        if (
+            isinstance(p, (int, float)) and p > 0.5 and b > 0
+            and p / b > max(1.3, (prev_ratio or 1.0) * 1.15)
+        ):
+            confirmed.append((n, t, b))
+        else:
+            outliers.append((n, t, b))
+    return confirmed, outliers
 
 
 def append_timings_log(summary: dict, timings: dict[str, float]) -> None:
@@ -632,7 +664,7 @@ def append_history(
     # r07 fix — one prior run's capacity artifacts flagged a different
     # query list on every same-code rerun); falls back to the previous
     # detail file until enough history accumulates.
-    hist = load_clean_history()
+    hist = load_clean_history(sf=summary.get("sf"))
     if len(hist) >= 2:
         base, base_calib = history_baseline(hist)
         base_ratio = (
@@ -649,22 +681,50 @@ def append_history(
     }
     if base:
         regs = flag_regressions(timings, base, base_ratio)
+        # persistence gate (r09 verdict item 4): compare against the
+        # previous clean run so one run's capacity jitter cannot print
+        # as a regression; with no clean history (prev-detail fallback)
+        # there is no second run to consult — print candidates as-is
+        if len(hist) >= 2:
+            prev_row = hist[-1]
+            prev_ratio = (
+                prev_row["calib_sec"] / base_calib
+                if isinstance(prev_row.get("calib_sec"), (int, float))
+                and base_calib
+                else base_ratio
+            )
+            confirmed, outliers = split_regressions(
+                regs, prev_row.get("queries") or {}, prev_ratio
+            )
+        else:
+            confirmed, outliers = regs, []
         eff_txt = (
             f" [eff_cores={eff_v}]"
             if isinstance(eff_v, (int, float))
             else ""
         )
-        if regs:
+        if confirmed:
             lines.append(
-                f"Per-query regressions beyond drift (vs {base_label})"
-                f"{eff_txt}: "
-                + ", ".join(f"{n} {p:.2f}→{t:.2f}s" for n, t, p in regs)
+                f"Per-query regressions beyond drift (persisted 2 "
+                f"consecutive runs, vs {base_label}){eff_txt}: "
+                + ", ".join(
+                    f"{n} {p:.2f}→{t:.2f}s" for n, t, p in confirmed
+                )
                 + "\n"
             )
         else:
             lines.append(
                 f"Per-query regressions beyond drift (vs {base_label})"
                 f"{eff_txt}: none\n"
+            )
+        if outliers:
+            lines.append(
+                "Single-run outliers (NOT flagged — a regression must "
+                "persist 2 consecutive clean runs): "
+                + ", ".join(
+                    f"{n} {p:.2f}→{t:.2f}s" for n, t, p in outliers
+                )
+                + "\n"
             )
     with open(path, "a") as f:
         f.writelines(lines)

@@ -316,7 +316,15 @@ def _strip_comments(stmt: str) -> str:
                 body = [chunk[:-1]]
                 while True:
                     m = _QUOTE_CONT_RE.match(stmt, i)
-                    if m is None or not re.search(r"[\r\n]", m.group(0)):
+                    # the qualifying newline must sit OUTSIDE block
+                    # comments: scan.l's {whitespace_with_newline}
+                    # admits only spaces and -- comments around its
+                    # newline, so 'a' /* \n */ 'b' is two adjacent
+                    # literals (a PG syntax error), never 'ab'
+                    # (ADVICE r09)
+                    if m is None or not re.search(
+                        r"[\r\n]", _BLOCK_COMMENT_RE.sub(" ", m.group(0))
+                    ):
                         break
                     k = m.end()  # just past the continuation's quote
                     j2 = k
@@ -351,10 +359,20 @@ def _strip_comments(stmt: str) -> str:
 
 # continuation gap: horizontal/vertical whitespace, line comments and
 # (non-nested) block comments, ending at a quote. The caller checks the
-# gap actually contains a newline \u2014 {quotecontinue} requires one.
+# gap contains a newline OUTSIDE block-comment spans \u2014 {quotecontinue}
+# requires one, and a newline whose only occurrence is inside /* */ is
+# comment content, not whitespace (ADVICE r09). Documented divergence,
+# conservative on invalid SQL: PG's {whitespace_with_newline} admits no
+# block comments at all, so 'a' /* c */ \n 'b' (real newline AND a
+# block comment in the gap) is a PG syntax error; this scanner fuses it
+# \u2014 harmless, since such input never reaches a healthy migration run.
 _QUOTE_CONT_RE = re.compile(
     r"(?:[ \t\r\n]|--[^\r\n]*|/\*(?:[^*]|\*(?!/))*\*/)*'"
 )
+
+# non-nested block-comment spans, for masking a continuation gap before
+# the newline check (nested /*\u2026*/ already stop the fusion upstream)
+_BLOCK_COMMENT_RE = re.compile(r"/\*(?:[^*]|\*(?!/))*\*/")
 
 
 # --- per-statement feature extraction --------------------------------------

@@ -76,6 +76,21 @@ NUM_HASHES, BANDS = 32, 8
 MIRROR_SHIFT = 1_000_000
 _ROOT_PREFIX = "dbmig_increm_dedup_"
 
+# one module-level atexit sweeper over the set of still-live work roots
+# (ADVICE r09: a per-invocation atexit.register grew the callback list
+# by one dead entry per drain in a long-lived session); roots are added
+# on entry and discarded after the finally's rmtree, so the sweeper only
+# touches roots a crashed drain actually leaked
+_LIVE_ROOTS: set[str] = set()
+
+
+def _sweep_live_roots() -> None:
+    for r in list(_LIVE_ROOTS):
+        shutil.rmtree(r, ignore_errors=True)
+
+
+atexit.register(_sweep_live_roots)
+
 
 def _bands_of(docs: DataFrame) -> DataFrame:
     """(doc, band_id, band_hash, hs) banded md5-portable signatures."""
@@ -155,8 +170,9 @@ def run_incremental_dedup_stream(
     _sweep_stale_roots(base, root_name)
     shutil.rmtree(root, ignore_errors=True)
     # backstop for exception paths that skip the finally below (e.g.
-    # KeyboardInterrupt through awaitTermination) — rmtree is idempotent
-    atexit.register(shutil.rmtree, root, True)
+    # KeyboardInterrupt through awaitTermination): the module-level
+    # sweeper rmtrees any root still in the live set at exit
+    _LIVE_ROOTS.add(root)
 
     docs = docs.select("doc_id", "text")
     new_docs = docs.filter(F.col("doc_id") >= new_min_id)
@@ -266,4 +282,5 @@ def run_incremental_dedup_stream(
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         corpus_b.unpersist()
         shutil.rmtree(root, ignore_errors=True)
+        _LIVE_ROOTS.discard(root)
     return out

@@ -236,21 +236,23 @@ def test_clean_history_filters_degraded_and_contaminated(
 def test_main_flags_vs_history_median_not_single_run(
     monkeypatch, tmp_path, capfd
 ):
-    """End-to-end: with 3 clean history rows whose q2 median is 0.5 s,
-    a run where q2 reads 2.0 s flags it against the MEDIAN (labelled
-    so), appends its own row to the timings log, and prints eff_cores
-    next to the flag line."""
+    """End-to-end: with 3 clean history rows whose q2 median is 0.5 s
+    and whose LAST row already shows q2 elevated (2.1 s — so the flag
+    persists two consecutive runs), a run where q2 reads 2.0 s flags it
+    against the MEDIAN (labelled so), appends its own row to the
+    timings log, and prints eff_cores next to the flag line."""
     bench = _run_main_with_fake_bench(monkeypatch, tmp_path, share=0.02)
     with open(tmp_path / "BENCH_TIMINGS.jsonl", "w") as f:
-        for t in (0.5, 0.45, 0.55):
+        for t in (0.5, 0.45, 2.1):
             f.write(json.dumps({
-                "eff_cores": 30.0, "contaminated": False,
+                "sf": 0.01, "eff_cores": 30.0, "contaminated": False,
                 "calib_sec": 0.6, "queries": {"q1": 1.0, "q2": t},
             }) + "\n")
     bench.main()
     capfd.readouterr()
     hist = open(tmp_path / "BENCH_HISTORY.md").read()
     assert "vs median of last 3 clean runs" in hist
+    assert "persisted 2 consecutive runs" in hist
     assert "q2 0.50→2.00s" in hist
     assert "eff_cores=24.1" in hist
     log = [
@@ -258,6 +260,50 @@ def test_main_flags_vs_history_median_not_single_run(
         for ln in open(tmp_path / "BENCH_TIMINGS.jsonl")
     ]
     assert len(log) == 4 and log[-1]["queries"]["q2"] == 2.0
+
+
+def test_single_run_spike_is_outlier_not_regression(
+    monkeypatch, tmp_path, capfd
+):
+    """The r09 driver-row scenario (verdict item 4): a query spikes in
+    THIS run only — every prior clean run has it at baseline. It must
+    print on the single-run-outlier line, with the regression line
+    reading none."""
+    bench = _run_main_with_fake_bench(monkeypatch, tmp_path, share=0.02)
+    with open(tmp_path / "BENCH_TIMINGS.jsonl", "w") as f:
+        for t in (0.5, 0.45, 0.55):
+            f.write(json.dumps({
+                "sf": 0.01, "eff_cores": 30.0, "contaminated": False,
+                "calib_sec": 0.6, "queries": {"q1": 1.0, "q2": t},
+            }) + "\n")
+    bench.main()
+    capfd.readouterr()
+    hist = open(tmp_path / "BENCH_HISTORY.md").read()
+    assert "Per-query regressions beyond drift (vs median of last 3 " \
+           "clean runs)" in hist and ": none" in hist
+    assert "Single-run outliers (NOT flagged" in hist
+    assert "q2 0.50→2.00s" in hist
+
+
+def test_split_regressions_persistence_gate():
+    """Pure-function contract: a candidate confirms only when the
+    previous clean run also exceeded the threshold vs the baseline."""
+    bench = _load_bench()
+    regs = [("qa", 3.0, 1.0), ("qb", 2.0, 1.0)]
+    prev = {"qa": 2.8, "qb": 1.05}   # qa was already slow; qb was clean
+    confirmed, outliers = bench.split_regressions(regs, prev, 1.0)
+    assert [c[0] for c in confirmed] == ["qa"]
+    assert [o[0] for o in outliers] == ["qb"]
+    # a query absent from the previous run can only be an outlier
+    confirmed, outliers = bench.split_regressions(
+        [("qc", 3.0, 1.0)], {}, 1.0
+    )
+    assert confirmed == [] and [o[0] for o in outliers] == ["qc"]
+    # host drift in the PREVIOUS run raises ITS threshold too
+    confirmed, _ = bench.split_regressions(
+        [("qa", 3.0, 1.0)], {"qa": 1.5}, 2.0
+    )
+    assert confirmed == []   # 1.5/1.0 < 2.0*1.15
 
 
 def test_main_warns_on_heavy_steal(monkeypatch, tmp_path, capfd):
@@ -323,3 +369,25 @@ def test_capacity_estimate_survives_single_probe_dip(
     # the accepted row enters the clean history with the max value
     clean = bench.load_clean_history()
     assert len(clean) == 1 and clean[0]["eff_cores"] == 30.5
+
+
+def test_clean_history_filters_mismatched_sf(monkeypatch, tmp_path):
+    """A sf0.01 smoke run's row must never enter a sf0.1 baseline —
+    its times would flag every query (r10)."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    rows = [
+        {"sf": 0.1, "eff_cores": 30.0, "contaminated": False,
+         "calib_sec": 0.4, "queries": {"qa": 1.0}},
+        {"sf": 0.01, "eff_cores": 30.0, "contaminated": False,
+         "calib_sec": 0.4, "queries": {"qa": 0.1}},
+        {"sf": 0.1, "eff_cores": 30.0, "contaminated": False,
+         "calib_sec": 0.4, "queries": {"qa": 1.1}},
+    ]
+    with open(tmp_path / "BENCH_TIMINGS.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    clean = bench.load_clean_history(sf=0.1)
+    assert [r["queries"]["qa"] for r in clean] == [1.0, 1.1]
+    # sf=None (callers that want everything) keeps the old behavior
+    assert len(bench.load_clean_history()) == 3

@@ -1941,3 +1941,31 @@ def test_wave20_already_correct_targets():
     fs = P.parse_sql("DROP INDEX CONCURRENTLY i1;DROP TABLE z;")
     assert [f["stmt_type"] for f in fs] == ["drop_index", "drop_table"]
     assert fs[0]["concurrent"] is True
+
+
+# --- ADVICE r09: quotecontinue's newline must be real whitespace ----------
+#
+# scan.l {whitespace_with_newline} admits only spaces and -- comments
+# around its newline; a newline whose only occurrence sits INSIDE a
+# /* */ block comment is comment content, so 'a' /* \n */ 'b' is two
+# adjacent literals (a PG syntax error), never the fused 'ab'.
+
+
+def test_advice_r09_block_comment_newline_does_not_fuse():
+    # the only newline is inside the block comment: NO fusion
+    assert P._strip_comments("SELECT 'a' /* \n */ 'b';") == (
+        "SELECT 'a' 'b';"
+    )
+    # and the non-fused adjacency stays volatile as a DEFAULT
+    f = P.parse_sql(
+        "ALTER TABLE t ADD COLUMN c text DEFAULT 'a' /* \n */ 'b';"
+    )[0]
+    assert f["commands"][0]["default_volatile"] is True
+    # a real newline outside the comment still fuses (documented
+    # divergence: PG rejects block comments in the gap entirely —
+    # conservative on invalid SQL)
+    assert P._strip_comments("SELECT 'a' /* c */ \n 'b';") == (
+        "SELECT 'ab';"
+    )
+    # line-comment gaps keep fusing (their newline is real whitespace)
+    assert P._strip_comments("SELECT 'a' -- c\n'b';") == "SELECT 'ab';"

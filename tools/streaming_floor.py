@@ -8,11 +8,22 @@ query in the registry, measure
   is the data-dependent marginal cost;
 - the drain shape: micro-batch count and per-operator state partition
   counts from the final StreamingQueryProgress, from which the commit
-  slots per drain = Σ_ops (batches × partitions) — every state store
-  commits once per micro-batch per partition. foreachBatch queries
-  (dedup_incremental_stream) have no state stores; their per-batch
-  commit cost is the offsets WAL + their own sink writes, reported as
-  n_batches with state_ops "none (foreachBatch)".
+  slots per drain = Σ_ops (batches × partitions × internal stores per
+  operator) — every state store commits once per micro-batch per
+  partition, and a symmetric stream-stream join carries FOUR internal
+  stores per partition (two keyToNumValues + two keyWithIndexToValue),
+  everything else one (the SCALE.md arithmetic; ADVICE r09 — the tool
+  previously omitted the multiplier and printed 16 where the table
+  says 64). foreachBatch queries (dedup_incremental_stream) have no
+  state stores; their per-batch commit cost is the offsets WAL + their
+  own sink writes, reported as n_batches with state_ops
+  "none (foreachBatch)".
+
+n_batches comes from len(query.recentProgress), which Spark caps at
+spark.sql.streaming.numRecentProgressUpdates (default 100); the
+session below raises the retention so long drains report true batch
+counts, and the row is marked if the cap is ever the binding value
+(ADVICE r09).
 
 Usage: python tools/streaming_floor.py [query ...] — default: all
 streaming queries. Each (query, sf) runs REPS times after one warmup;
@@ -51,6 +62,13 @@ STREAM_QUERIES = [
 ]
 
 
+def _stores_per_op(operator_name: str | None) -> int:
+    """Internal state stores per partition for a streaming operator."""
+    if operator_name and "symmetrichashjoin" in operator_name.lower():
+        return 4
+    return 1
+
+
 def main() -> int:
     names = sys.argv[1:] or STREAM_QUERIES
 
@@ -60,6 +78,10 @@ def main() -> int:
 
     spark = build_session(app_name="dbmig-streaming-floor")
     spark.sparkContext.setLogLevel("ERROR")
+    # raise the recentProgress retention above any real drain's batch
+    # count so n_batches = len(recentProgress) is never silently capped
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    progress_cap = 10_000
 
     rows = []
     for name in names:
@@ -86,14 +108,21 @@ def main() -> int:
                     rec["commit_slots"] = "3 batches x (WAL + 2 sink writes)"
                 else:
                     rec["n_batches"] = nb
+                    if nb is not None and nb >= progress_cap:
+                        rec["n_batches_capped"] = True
                     parts = [
                         (op.get("operatorName"),
                          op.get("numShufflePartitions"))
                         for op in ops
                     ]
                     rec["state_ops"] = parts
+                    # internal stores per operator: symmetric
+                    # stream-stream joins hold 4 per partition (two
+                    # keyToNumValues + two keyWithIndexToValue),
+                    # everything else 1 — matches SCALE.md's table
                     slots = sum(
-                        (nb or 0) * (p or 0) for _, p in parts
+                        (nb or 0) * (p or 0) * _stores_per_op(n)
+                        for n, p in parts
                     )
                     rec["commit_slots"] = slots
         rec["marginal"] = round(rec["full"] - rec["floor"], 2)
