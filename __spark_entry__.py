@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # historical 6, re-certified anyway), then the r07 order unchanged.
 # Earlier green rows stand where the window ends.
 _RECHECK_FIRST = [
+    # (0) NEW in round 10 — first-ever driver record: the sharded
+    # >2.1 M-vector embedding near-dup path (r09 verdict item 1)
+    "dedup_embedding_sharded",
     # (0) NEW in round 8 — first-ever driver record
     "dedup_incremental_stream",
     # (0a) r08 plan-changing edits (adaptive LSH bits)

@@ -439,6 +439,178 @@ def lsh_near_dup_pairs(
     )
 
 
+def shard_of(id_col: str, num_shards: int):
+    """Deterministic hash-range shard of an integer id: the first 8 hex
+    digits of md5(id) mod ``num_shards`` — content-addressed like the
+    split/sample queries, so shard membership never depends on row order
+    or partitioning."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(num_shards),
+    )
+
+
+def lsh_near_dup_pairs_sharded(
+    df: DataFrame,
+    num_shards: int,
+    threshold: float = 0.4,
+    num_bits: int = 6,
+    num_tables: int = 24,
+    num_probes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    components=None,
+) -> DataFrame:
+    """`lsh_near_dup_pairs` partitioned into shard-pair jobs — the
+    >2.1 M-vector scale path past the `adaptive_lsh_bits` bits=16
+    ceiling, turned from SCALE.md prose into code (r09 verdict item 1).
+
+    Vectors get a hash-range shard s = md5(id) mod S. Every bucket row
+    is replicated once per partner shard t, and pair generation runs per
+    (bucket key, unordered shard pair {s, t}): the {s, s} group scores
+    its within-shard all-pairs, the {s, t} (s < t) group scores ONLY
+    cross-shard combinations — so every same-bucket pair (a, b) is
+    scored in exactly ONE group, the one keyed by {shard(a), shard(b)}.
+    The union over groups therefore equals the unsharded per-bucket
+    all-pairs at the same bit-width, pair for pair (pytest-asserted),
+    and cross-shard clusters merge downstream through the ordinary
+    connected-components pass — no pair is deferred to a lossy
+    representative-merge step.
+
+    Why this escapes the ceiling: the caller sizes ``num_bits`` to the
+    shard-pair JOB (``adaptive_lsh_bits(ceil(2N/S))`` — ≤ 16 whenever
+    shards stay under ~1 M vectors), so E[group] ≈ 2·E[bucket]/S ≈ 160
+    members and per-task scored pairs stay bucket-bounded no matter how
+    large N grows; the grid itself never saturates because the bits
+    formula sees the job size, not N. The exactness tax is explicit and
+    linear: the bucket index is replicated ×S (shuffle volume
+    ∝ N·S·keys_per_vec) and total scored pairs grow ∝ N·S — the price
+    of full recall within the measured bits ≤ 16 envelope, vs. the
+    recall decay of raising bits past it (SCALE.md "bits=16 clamp").
+    Cosine arithmetic is the same dimension-ordered sequential fold as
+    the unsharded kernel, so surviving pair values are bit-identical.
+
+    Reference anchor: reference has no ANN operator; this extends the
+    LLM-pipeline embedding-dedup mandate to >2.1 M-vector corpora.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if num_shards < 2:
+        raise ValueError("num_shards must be >= 2 (use lsh_near_dup_pairs)")
+    if components is not None:
+        hyperplanes = np.array(
+            [
+                [
+                    [components(t, b, d) for d in range(dim)]
+                    for b in range(num_bits)
+                ]
+                for t in range(num_tables)
+            ],
+            dtype=np.float64,
+        )
+    else:
+        rng = np.random.default_rng(seed)
+        hyperplanes = rng.standard_normal((num_tables, num_bits, dim))
+
+    index = lsh_signature_keys(
+        df,
+        hyperplanes,
+        num_probes=num_probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        carry_vec=True,
+    ).withColumn("shard", shard_of("id", num_shards))
+    # one replica per partner shard: the row for shard s reaches group
+    # {s, t} for every t (t = s lands in the within-shard group)
+    replicated = index.withColumn(
+        "partner",
+        F.explode(F.array(*[F.lit(t) for t in range(num_shards)])),
+    ).select(
+        "id",
+        "key",
+        "vec",
+        "shard",
+        F.least("shard", "partner").alias("jmin"),
+        F.greatest("shard", "partner").alias("jmax"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    empty = {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+
+    def job_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(pdf) < 2 or pdf["jmin"].iat[0] == pdf["jmax"].iat[0]:
+            # within-shard group: the unsharded kernel's all-pairs shape
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cos_sim": []}
+                ).astype(empty)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(
+                [np.asarray(v) for v in pdf["vec"]], dtype=np.float64
+            )
+            norms = _seq_norms(mat)
+            dots = np.zeros((m, m), dtype=np.float64)
+            for d in range(mat.shape[1]):
+                dots += np.multiply.outer(mat[:, d], mat[:, d])
+            cos = dots / np.multiply.outer(norms, norms)
+            ia, ib = np.triu_indices(m, k=1)
+            keep = cos[ia, ib] >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cos_sim": cos[ia, ib][keep],
+                }
+            )
+        # cross-shard group: score ONLY (a in jmin-side, b in jmax-side)
+        # combinations — within-shard pairs belong to the {s, s} groups
+        lo = pdf[pdf["shard"] == pdf["jmin"].iat[0]]
+        hi = pdf[pdf["shard"] == pdf["jmax"].iat[0]]
+        if lo.empty or hi.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype(empty)
+        ids_lo = lo["id"].to_numpy(dtype=np.int64)
+        ids_hi = hi["id"].to_numpy(dtype=np.int64)
+        mat_lo = np.array([np.asarray(v) for v in lo["vec"]], dtype=np.float64)
+        mat_hi = np.array([np.asarray(v) for v in hi["vec"]], dtype=np.float64)
+        # identical dimension-ordered accumulation as the square kernel:
+        # cos(a, b) = Σ_d a_d·b_d (d ascending) / (‖a‖·‖b‖) — bit-exact
+        dots = np.zeros((len(ids_lo), len(ids_hi)), dtype=np.float64)
+        for d in range(mat_lo.shape[1]):
+            dots += np.multiply.outer(mat_lo[:, d], mat_hi[:, d])
+        cos = dots / np.multiply.outer(_seq_norms(mat_lo), _seq_norms(mat_hi))
+        ia, ib = np.nonzero(cos >= threshold)
+        a, b = ids_lo[ia], ids_hi[ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_sim": cos[ia, ib],
+            }
+        )
+
+    return (
+        replicated.groupBy("key", "jmin", "jmax")
+        .applyInPandas(job_pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -2539,6 +2539,69 @@ ORDER BY id_a, id_b
 ORACLES["dedup_embedding"] = build_dedup_embedding_oracle(_EMB_BITS)
 
 
+def build_dedup_embedding_sharded_oracle(bits: int = _EMB_BITS) -> str:
+    """dedup_embedding_sharded oracle: recursive connected-component
+    closure over the SAME candidate-pair graph the unsharded SQL
+    enumerates at ``bits`` — the shard-pair partitioning is execution
+    layout only (every same-bucket pair is scored in exactly one job),
+    so the oracle needs no shard function at all: equality against this
+    SQL IS the statement that sharding changed nothing semantically.
+    cluster_id = min member (min-label closure), singletons self-label,
+    the dedup_clusters output shape."""
+    return f"""
+WITH RECURSIVE p AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+base_keys AS (
+    {" UNION ALL ".join(
+        f"SELECT vec_id, {_emb_bucket_sql(t, bits)} AS bucket FROM p"
+        for t in range(_EMB_TABLES)
+    )}
+),
+all_keys AS (
+    SELECT vec_id, bucket FROM base_keys
+    {"".join(" UNION ALL " + _emb_probe_arm(pr) for pr in range(_EMB_PROBES))}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM all_keys a JOIN all_keys b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN p pa ON pa.vec_id = c.id_a
+    JOIN p pb ON pb.vec_id = c.id_b
+    WHERE list_dot_product(pa.v, pb.v) / (pa.nrm * pb.nrm) >= 0.4
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+    SELECT vec_id AS node, vec_id AS root FROM embeddings
+    UNION
+    SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY vec_id
+"""
+
+
+ORACLES["dedup_embedding_sharded"] = build_dedup_embedding_sharded_oracle(
+    _EMB_BITS
+)
+
+
 ORACLES["dedup_incremental"] = f"""
 WITH new_docs AS (
     SELECT doc_id AS doc, text FROM documents WHERE doc_id >= 400
@@ -4108,12 +4171,20 @@ def adaptive_oracle_overrides(n_embeddings: int) -> dict:
     comparing; at fixture scale (n ≤ 2048·…, bits floor 6) the rebuilt
     strings are byte-identical to the static entries, so this is a no-op
     for the driver's sf0.01 gate and the sf0.1 cert."""
+    import math
+
     from ..operators.similarity import adaptive_lsh_bits
 
     bits = adaptive_lsh_bits(n_embeddings)
+    # the sharded path sizes bits to the shard-pair JOB (2N/S, S=4 in
+    # the registry query), not to N — mirror that formula exactly
+    sharded_bits = adaptive_lsh_bits(math.ceil(2 * n_embeddings / 4))
     return {
         "dedup_embedding": build_dedup_embedding_oracle(bits),
         "dedup_consensus": build_dedup_consensus_oracle(bits),
+        "dedup_embedding_sharded": build_dedup_embedding_sharded_oracle(
+            sharded_bits
+        ),
     }
 
 

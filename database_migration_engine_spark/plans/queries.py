@@ -7689,3 +7689,76 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM (VALUES {rows}) AS t(step, left_sym, right_sym, pair_count) "
         "ORDER BY step"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the >2.1 M-vector sharded near-dup path, made code.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_embedding_sharded")
+def dedup_embedding_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS computed through the SHARDED pair
+    path (r09 verdict item 1 — the prescribed escape past the
+    `adaptive_lsh_bits` bits=16 ceiling, previously SCALE.md prose):
+    hash-range shard assignment (md5(id) mod 4) → per-shard-pair LSH
+    jobs whose bit-width is sized to the JOB (`adaptive_lsh_bits(
+    ceil(2N/S))`, so E[group] ≈ 160 holds for ANY corpus size) → union
+    of the shard-local and cross-shard pair sets → connected components
+    merge clusters across shards; singletons label themselves. Output
+    is (vec_id, cluster_id, cluster_size) with cluster_id = min member,
+    the dedup_clusters shape on the embedding graph.
+
+    The shard-pair partitioning scores every same-bucket pair in
+    exactly one job, so the pair graph equals the UNSHARDED
+    `dedup_embedding` graph at the same bit-width pair-for-pair
+    (pytest-asserted), and the oracle is the recursive closure over the
+    unsharded candidate SQL — the merge across shards is exercised for
+    real (S=4 at every fixture SF). At fixture scale the job formula
+    clamps to the same floor 6 as the unsharded query, so both paths
+    enumerate byte-identical candidates; the scale sweeps rebuild the
+    oracle at the job bit-width (`adaptive_oracle_overrides`)."""
+    import math
+
+    from ..functions.portable_hash import lsh_component
+
+    ensure_deterministic(spark)
+    num_shards = 4
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = SIM.adaptive_lsh_bits(math.ceil(2 * n / num_shards))
+    pairs = SIM.lsh_near_dup_pairs_sharded(
+        emb,
+        num_shards=num_shards,
+        threshold=0.4,
+        num_bits=bits,
+        components=lsh_component,
+    )
+    pair_nodes = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    labels = GR.connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=pair_nodes, node_col="vec_id",
+        dedupe_edges=False,
+        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
+    )
+    singletons = (
+        emb.select("vec_id")
+        .join(labels, emb["vec_id"] == labels["node"], "left_anti")
+        .select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    )
+    return (
+        labels.unionByName(singletons)
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .orderBy("vec_id")
+    )

@@ -431,3 +431,84 @@ def test_cosine_pairs_arrow_refuses_corpus_scale_query_side(spark, monkeypatch):
     monkeypatch.setattr(SIM, "MAX_COLLECTED_QUERIES", 5)
     with pytest.raises(ValueError, match="query side exceeds"):
         SIM.cosine_pairs_arrow(emb, emb)
+
+
+def test_sharded_lsh_pairs_equal_unsharded(spark):
+    """The shard-pair partitioning (r09 verdict item 1) is execution
+    layout only: at the same bit-width the sharded operator's pair set
+    equals the unsharded one pair-for-pair — ids AND cosine values
+    bit-identical — for shard counts 2 and 4 (both group shapes:
+    within-shard all-pairs and cross-shard rectangles)."""
+    from database_migration_engine_spark.functions.portable_hash import (
+        lsh_component,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    base = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in SIM.lsh_near_dup_pairs(
+            emb, threshold=0.4, num_bits=6, components=lsh_component
+        ).collect()
+    }
+    assert base, "fixture must produce pairs for the test to mean anything"
+    for s in (2, 4):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in SIM.lsh_near_dup_pairs_sharded(
+                emb,
+                num_shards=s,
+                threshold=0.4,
+                num_bits=6,
+                components=lsh_component,
+            ).collect()
+        }
+        # dict equality compares values too — cosines must be bit-exact
+        assert got == base, (
+            f"S={s}: sharded pair graph != unsharded "
+            f"(missed {set(base) - set(got)}, extra {set(got) - set(base)})"
+        )
+
+
+def test_sharded_clusters_merge_across_shards(spark):
+    """The registry query's labels equal min-label connected components
+    over the unsharded pair graph, and at least one cluster's members
+    span >= 2 hash-range shards — the cross-shard merge is exercised
+    for real, not vacuously."""
+    from database_migration_engine_spark.operators import graph as GR
+    from database_migration_engine_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    labels = QUERIES["dedup_embedding_sharded"](spark, sf_dir)
+    got = {r.vec_id: r.cluster_id for r in labels.collect()}
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    from database_migration_engine_spark.functions.portable_hash import (
+        lsh_component,
+    )
+
+    pairs = SIM.lsh_near_dup_pairs(
+        emb, threshold=0.4, num_bits=6, components=lsh_component
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    cc = GR.connected_components(
+        pairs, src="id_a", dst="id_b", nodes=nodes, node_col="vec_id",
+        dedupe_edges=False,
+    )
+    want = {r.node: r.label for r in cc.collect()}
+    for v in (r.vec_id for r in emb.select("vec_id").collect()):
+        want.setdefault(v, v)
+    assert got == want
+
+    # cross-shard merge actually exercised: some cluster spans >= 2 shards
+    spans = (
+        labels.withColumn("shard", SIM.shard_of("vec_id", 4))
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .agg(F.max("n_shards").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert spans >= 2
