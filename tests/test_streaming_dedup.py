@@ -63,3 +63,54 @@ def test_empty_drain_returns_typed_empty_frame(spark):
     out = run_incremental_dedup_stream(spark, docs, new_min_id=10_000_000)
     assert out.columns == ["new_doc", "index_doc", "est_jaccard"]
     assert out.count() == 0
+
+
+def test_probe_join_is_exchange_free_on_index_side(spark, tmp_path):
+    """r09 verdict item 2 (plan-pinned): with the maintained index
+    stored BUCKETED on the band join key, the per-batch probe join must
+    shuffle ONLY the micro-batch side — exactly one Exchange in the
+    physical plan, and the index side read through its bucketed scan.
+    Exercises the drain's real writer (_write_bucketed) and join shape
+    (_pairs)."""
+    from pyspark.sql import functions as F
+
+    from database_migration_engine_spark.streaming import dedup as SD
+
+    docs = (
+        read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    corpus_bands = SD._bands_of(docs.filter(F.col("doc_id") < 150))
+    batch_bands = SD._bands_of(docs.filter(F.col("doc_id") >= 150))
+    SD._write_bucketed(
+        corpus_bands, "t_probe_sidx", str(tmp_path / "sidx"), "overwrite"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        corpus_b = spark.table("t_probe_sidx")
+        # force the sort-merge shape: at fixture scale Spark happily
+        # broadcasts the tiny batch side (zero band exchanges — also
+        # fine), but the claim under test is the SCALE shape, where the
+        # batch is too big to broadcast and the bucketed index side
+        # must still elide ITS exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = SD._pairs(batch_bands, corpus_b)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # exchanges ON THE BAND JOIN KEY: exactly one — the micro-batch
+        # side; the index side must reach the join through its bucketed
+        # scan. (The pair-dedup aggregation downstream exchanges on
+        # (new_doc, index_doc) — a different key, not counted here.)
+        n_band_exchanges = plan.count("Exchange hashpartitioning(band_id")
+        assert n_band_exchanges == 1, plan
+        assert "Bucketed: true" in plan, plan
+        # and the join is correct, not just well-shaped: every batch
+        # doc collides with SOME corpus doc only where bands agree —
+        # spot-check against the unbucketed join
+        unbucketed = SD._pairs(batch_bands, corpus_bands)
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, unbucketed.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS t_probe_sidx")
