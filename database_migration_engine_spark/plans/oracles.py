@@ -2539,17 +2539,13 @@ ORDER BY id_a, id_b
 ORACLES["dedup_embedding"] = build_dedup_embedding_oracle(_EMB_BITS)
 
 
-def build_dedup_embedding_sharded_oracle(bits: int = _EMB_BITS) -> str:
-    """dedup_embedding_sharded oracle: recursive connected-component
-    closure over the SAME candidate-pair graph the unsharded SQL
-    enumerates at ``bits`` — the shard-pair partitioning is execution
-    layout only (every same-bucket pair is scored in exactly one job),
-    so the oracle needs no shard function at all: equality against this
-    SQL IS the statement that sharding changed nothing semantically.
-    cluster_id = min member (min-label closure), singletons self-label,
-    the dedup_clusters output shape."""
-    return f"""
-WITH RECURSIVE p AS (
+def build_emb_pair_graph_ctes(bits: int = _EMB_BITS) -> str:
+    """The CTE chain p → base_keys → all_keys → cand → pairs: the
+    threshold-0.4 embedding pair graph at ``bits`` — shared between the
+    sharded-CC oracle below (which closes it recursively) and the ×10
+    cc-sweep harness (which closes it with a Python union-find, because
+    DuckDB's recursive reachability is Σs² state at sweep scale)."""
+    return f"""p AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS nrm
@@ -2576,7 +2572,20 @@ pairs AS (
     JOIN p pa ON pa.vec_id = c.id_a
     JOIN p pb ON pb.vec_id = c.id_b
     WHERE list_dot_product(pa.v, pb.v) / (pa.nrm * pb.nrm) >= 0.4
-),
+)"""
+
+
+def build_dedup_embedding_sharded_oracle(bits: int = _EMB_BITS) -> str:
+    """dedup_embedding_sharded oracle: recursive connected-component
+    closure over the SAME candidate-pair graph the unsharded SQL
+    enumerates at ``bits`` — the shard-pair partitioning is execution
+    layout only (every same-bucket pair is scored in exactly one job),
+    so the oracle needs no shard function at all: equality against this
+    SQL IS the statement that sharding changed nothing semantically.
+    cluster_id = min member (min-label closure), singletons self-label,
+    the dedup_clusters output shape."""
+    return f"""
+WITH RECURSIVE {build_emb_pair_graph_ctes(bits)},
 edges AS (
     SELECT id_a AS a, id_b AS b FROM pairs
     UNION ALL

@@ -132,6 +132,12 @@ SELECT split, source,
 FROM c2 GROUP BY split, source ORDER BY split, source
 """
 _FINAL_SQL["dedup_clusters_star"] = _FINAL_SQL["dedup_clusters"]
+_FINAL_SQL["dedup_embedding_sharded"] = """
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp_emb
+ORDER BY vec_id
+"""
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -158,37 +164,77 @@ def vhash(df: pd.DataFrame) -> str:
     ).hexdigest()[:12]
 
 
-# --- union-find comp over the certified SQL edge list ----------------
+# --- union-find comp over the certified SQL edge lists ---------------
+
+
+def _uf_components(edges, all_nodes):
+    """Min-label union-find: cluster_id = the component's min member."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [find(n) for n in all_nodes]
+
+
 t_uf = time.perf_counter()
-edges = con.sql(
-    f"WITH {_JACC_CTES} SELECT doc_a, doc_b FROM jacc"
-).fetchall()
-all_docs = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
+edges = []
+if any(n != "dedup_embedding_sharded" for n in names):
+    edges = con.sql(
+        f"WITH {_JACC_CTES} SELECT doc_a, doc_b FROM jacc"
+    ).fetchall()
+    all_docs = [
+        r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()
+    ]
+    comp = pd.DataFrame(
+        {"doc_id": all_docs, "cluster_id": _uf_components(edges, all_docs)}
+    )
+    con.register("comp_py", comp)
+    con.execute("CREATE TEMP TABLE comp AS SELECT * FROM comp_py")
 
-parent: dict[int, int] = {}
+# the EMBEDDING pair graph's CC family (dedup_embedding_sharded, r10):
+# same recursive-oracle limitation at sweep scale, same remedy — the
+# certified pair SQL at the query's own (job-sized) bit-width closed by
+# union-find, remainder in DuckDB
+emb_edges = []
+if "dedup_embedding_sharded" in names:
+    import math
 
+    from database_migration_engine_spark.operators.similarity import (
+        adaptive_lsh_bits,
+    )
+    from database_migration_engine_spark.plans.oracles import (
+        build_emb_pair_graph_ctes,
+    )
 
-def find(x: int) -> int:
-    r = x
-    while parent.get(r, r) != r:
-        r = parent[r]
-    while parent.get(x, x) != x:
-        parent[x], x = r, parent[x]
-    return r
-
-
-for a, b in edges:
-    ra, rb = find(a), find(b)
-    if ra != rb:
-        # min-label union so cluster_id is the component's min member
-        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-        parent[hi] = lo
-
-comp = pd.DataFrame(
-    {"doc_id": all_docs, "cluster_id": [find(d) for d in all_docs]}
-)
-con.register("comp_py", comp)
-con.execute("CREATE TEMP TABLE comp AS SELECT * FROM comp_py")
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    n_emb = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    emb_bits = adaptive_lsh_bits(math.ceil(2 * n_emb / 4))
+    emb_edges = con.sql(
+        f"WITH {build_emb_pair_graph_ctes(emb_bits)} "
+        "SELECT id_a, id_b FROM pairs"
+    ).fetchall()
+    all_vecs = [
+        r[0] for r in con.sql("SELECT vec_id FROM embeddings").fetchall()
+    ]
+    comp_e = pd.DataFrame(
+        {"vec_id": all_vecs, "cluster_id": _uf_components(emb_edges, all_vecs)}
+    )
+    con.register("comp_emb_py", comp_e)
+    con.execute("CREATE TEMP TABLE comp_emb AS SELECT * FROM comp_emb_py")
 t_uf = time.perf_counter() - t_uf
 
 qs = e.queries()
@@ -210,10 +256,13 @@ for name in names:
     status = "OK" if (ok_cols and ok_rows and ok_vals) else "MISMATCH"
     if status != "OK":
         fails.append(name)
+    n_edges = (
+        len(emb_edges) if name == "dedup_embedding_sharded" else len(edges)
+    )
     print(
         f"{name}: {status} rows={len(got)}/{len(want)} "
         f"vals_ok={ok_vals} spark={t_spark:.2f}s "
-        f"oracle={t_duck:.2f}s (edges={len(edges)}, union-find)"
+        f"oracle={t_duck:.2f}s (edges={n_edges}, union-find)"
     )
 print("FAILS:", fails or "none")
 spark.stop()
