@@ -7727,13 +7727,17 @@ def dedup_embedding_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     n = emb.count()
     bits = SIM.adaptive_lsh_bits(math.ceil(2 * n / num_shards))
+    # materialize the pair graph ONCE: both the CC edge set and the
+    # participating-node set consume it, and the sharded-LSH chain is
+    # the expensive leg — an eager checkpoint truncates the lineage so
+    # neither consumer re-runs it
     pairs = SIM.lsh_near_dup_pairs_sharded(
         emb,
         num_shards=num_shards,
         threshold=0.4,
         num_bits=bits,
         components=lsh_component,
-    )
+    ).localCheckpoint(eager=True)
     pair_nodes = (
         pairs.select(F.col("id_a").alias("vec_id"))
         .unionByName(pairs.select(F.col("id_b").alias("vec_id")))

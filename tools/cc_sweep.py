@@ -142,6 +142,10 @@ ORDER BY vec_id
 spark = (
     SparkSession.builder.master("local[8]")
     .appName("cc-sweep")
+    # resource allocation, not a plan conf (same note as scale_sweep):
+    # local-mode's 1 GB default heap is sf0.01-sized; the x30 sharded
+    # embedding leg OOMs it. Plans stay vanilla.
+    .config("spark.driver.memory", "8g")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
