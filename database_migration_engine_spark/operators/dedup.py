@@ -68,6 +68,27 @@ def dedup_token_sig(
     )
 
 
+def spread_input(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Give a narrow input scan the session's full parallelism before a
+    CPU-heavy pre-shuffle chain (r10 optimization round, guide §2.5
+    "input skew"). Every fixture table is a single one-row-group parquet
+    file, so a scan is ONE task — and the tokenize → shingle → hash
+    forest that precedes the first aggregation then runs single-threaded
+    (measured: the 32-hash md5 MinHash pass over docs+mirror spent ~13 s
+    in one task at sf0.1). A deterministic hash repartition on the id
+    spreads that work; the exchange moves only the raw rows once. Gated
+    on the actual partition count, so real inputs with natural
+    parallelism (any production table, and any fixture once upstream of
+    a shuffle) pass through untouched — at 100 TB this is a no-op, not a
+    corpus-wide exchange."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if id_col is not None:
+        return df.repartition(sc.defaultParallelism, F.col(id_col))
+    return df.repartition(sc.defaultParallelism)
+
+
 def _doc_shingles(
     df: DataFrame, content_col: str, id_col: str, n: int
 ) -> DataFrame:
@@ -77,7 +98,8 @@ def _doc_shingles(
     across a corpus' distinct shingles is ~birthday(2^64) — negligible,
     and the standard trade in shingle-based dedup)."""
     return (
-        df.select(F.col(id_col).alias("doc"), tokens(content_col).alias("toks"))
+        spread_input(df, id_col)
+        .select(F.col(id_col).alias("doc"), tokens(content_col).alias("toks"))
         .select("doc", F.explode(shingles("toks", n)).alias("shingle_str"))
         .select("doc", F.xxhash64("shingle_str").alias("shingle"))
     )
@@ -145,6 +167,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     n: int = 3,
     hash_fn: str = "murmur3",
+    spread: bool = True,
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` columns h0..h{k-1}.
 
@@ -158,8 +181,12 @@ def minhash_signatures(
     (partial aggregation map-side, one shuffle on doc id).
     """
     if hash_fn == "md5":
+        # ``spread=False`` for callers whose input is already tiny AND
+        # width-sensitive (the streaming drain's per-micro-batch frames:
+        # a 32-wide exchange per batch is pure floor cost there)
         sh = (
-            df.select(
+            (spread_input(df, id_col) if spread else df)
+            .select(
                 F.col(id_col).alias("doc"), tokens(content_col).alias("toks")
             )
             .select("doc", F.explode(shingles("toks", n)).alias("shingle_str"))
@@ -353,7 +380,7 @@ def simhash64(
     probe reads a single nibble of the materialized digest
     (functions/portable_hash.hex_bit_sql).
     """
-    tok = df.select(
+    tok = spread_input(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(content_col)).alias("tok")
     )
     if hash_fn == "md5":

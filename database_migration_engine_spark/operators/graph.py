@@ -95,20 +95,49 @@ def connected_components(
         # convergence check (labels are monotone non-increasing, so equal
         # consecutive sums == fixpoint; one fewer Spark job per call)
         prev_sum = None
-        for _ in range(max_iter):
+        for round_i in range(max_iter):
             propagated = sym.join(
                 labels.hint("merge"), sym["a"] == labels["node"]
             ).select(F.col("b").alias("node"), F.col("label"))
+            parts = [labels.select("node", "label"), propagated]
+            # pointer jumping (r10 optimization round, guide §1.2): also
+            # fold in the label OF each node's label — labels only ever
+            # hold same-component node ids, so min(self, neighbor labels,
+            # label(label)) descends to the same component-min fixpoint
+            # (the neighbor-min stability condition is unchanged) in
+            # O(log diameter) rounds instead of O(diameter). Deferred to
+            # round 3: within the first two rounds labels have moved at
+            # most 2 hops, so label(label) adds nothing a shallow graph
+            # doesn't already get — and most fixture graphs (name
+            # distance-1, doc near-dup) converge in ≤4 rounds, where the
+            # extra label-sized join per round measured as pure overhead
+            # (entity_canonicalize 3.3 → 4.7 s). Deep chains still get
+            # the O(log diameter) behavior from round 3 on.
+            if round_i >= 2:
+                jumped = (
+                    labels.select(F.col("label").alias("_j"), "node")
+                    .join(
+                        labels.hint("merge")
+                        .select(
+                            F.col("node").alias("_j"),
+                            F.col("label").alias("_jl"),
+                        ),
+                        "_j",
+                    )
+                    .select("node", F.col("_jl").alias("label"))
+                )
+                parts.append(jumped)
             # localCheckpoint, not persist: each round references the
-            # previous labels TWICE (union + join), so an uncheckpointed
-            # logical plan doubles per round — 2^r tree nodes OOMs the
-            # driver past ~12 rounds. Checkpointing truncates lineage;
-            # the agg below is the eager materialization + convergence
-            # check in one job.
+            # previous labels several times (union + joins), so an
+            # uncheckpointed logical plan multiplies per round — 2^r
+            # tree nodes OOMs the driver past ~12 rounds. Checkpointing
+            # truncates lineage; the agg below is the eager
+            # materialization + convergence check in one job.
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc.unionByName(p)
             new_labels = (
-                labels.select("node", "label")
-                .unionByName(propagated)
-                .groupBy("node")
+                acc.groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=False)
             )

@@ -518,6 +518,19 @@ def lsh_near_dup_pairs_sharded(
         rng = np.random.default_rng(seed)
         hyperplanes = rng.standard_normal((num_tables, num_bits, dim))
 
+    # Parallelize the key-emission kernel (guide §2.5 input skew): each
+    # fixture table is a single one-row-group parquet file, so the scan
+    # feeding mapInPandas is ONE task and the whole signature pass ran
+    # single-threaded (measured 4.7 s of the sharded query's 13.5 s).
+    # A deterministic hash repartition on the id spreads the kernel
+    # across the session's cores; the pre-kernel exchange moves only the
+    # raw (id, vec) rows once — ~N·(dim·8+8) bytes, far below the
+    # kernel's own ×(tables·keys·shards) output — and at real input
+    # partitioning (many splits) the condition is false and no exchange
+    # is added.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     index = lsh_signature_keys(
         df,
         hyperplanes,
@@ -547,21 +560,21 @@ def lsh_near_dup_pairs_sharded(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
-    empty = {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
 
-    def job_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop_duplicates(subset=["id"]).sort_values("id")
-        if len(pdf) < 2 or pdf["jmin"].iat[0] == pdf["jmax"].iat[0]:
-            # within-shard group: the unsharded kernel's all-pairs shape
-            m = len(pdf)
+    def group_block(
+        ids: "np.ndarray", mat: "np.ndarray", shards: "np.ndarray",
+        jmin: int, jmax: int,
+    ) -> tuple:
+        """Score one (key, {jmin, jmax}) group. ``ids`` are unique and
+        ascending (np.unique upstream — same effect as the former
+        per-group drop_duplicates + sort_values); the cosine is the same
+        dimension-ordered sequential fold as every kernel in this
+        module, so surviving values are bit-identical to the unsharded
+        path."""
+        if jmin == jmax:
+            m = len(ids)
             if m < 2:
-                return pd.DataFrame(
-                    {"id_a": [], "id_b": [], "cos_sim": []}
-                ).astype(empty)
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.array(
-                [np.asarray(v) for v in pdf["vec"]], dtype=np.float64
-            )
+                return None
             norms = _seq_norms(mat)
             dots = np.zeros((m, m), dtype=np.float64)
             for d in range(mat.shape[1]):
@@ -569,44 +582,111 @@ def lsh_near_dup_pairs_sharded(
             cos = dots / np.multiply.outer(norms, norms)
             ia, ib = np.triu_indices(m, k=1)
             keep = cos[ia, ib] >= threshold
-            return pd.DataFrame(
-                {
-                    "id_a": ids[ia[keep]],
-                    "id_b": ids[ib[keep]],
-                    "cos_sim": cos[ia, ib][keep],
-                }
-            )
+            return ids[ia[keep]], ids[ib[keep]], cos[ia, ib][keep]
         # cross-shard group: score ONLY (a in jmin-side, b in jmax-side)
         # combinations — within-shard pairs belong to the {s, s} groups
-        lo = pdf[pdf["shard"] == pdf["jmin"].iat[0]]
-        hi = pdf[pdf["shard"] == pdf["jmax"].iat[0]]
-        if lo.empty or hi.empty:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cos_sim": []}
-            ).astype(empty)
-        ids_lo = lo["id"].to_numpy(dtype=np.int64)
-        ids_hi = hi["id"].to_numpy(dtype=np.int64)
-        mat_lo = np.array([np.asarray(v) for v in lo["vec"]], dtype=np.float64)
-        mat_hi = np.array([np.asarray(v) for v in hi["vec"]], dtype=np.float64)
-        # identical dimension-ordered accumulation as the square kernel:
-        # cos(a, b) = Σ_d a_d·b_d (d ascending) / (‖a‖·‖b‖) — bit-exact
+        lo_m = shards == jmin
+        hi_m = shards == jmax
+        if not lo_m.any() or not hi_m.any():
+            return None
+        ids_lo, ids_hi = ids[lo_m], ids[hi_m]
+        mat_lo, mat_hi = mat[lo_m], mat[hi_m]
         dots = np.zeros((len(ids_lo), len(ids_hi)), dtype=np.float64)
         for d in range(mat_lo.shape[1]):
             dots += np.multiply.outer(mat_lo[:, d], mat_hi[:, d])
         cos = dots / np.multiply.outer(_seq_norms(mat_lo), _seq_norms(mat_hi))
         ia, ib = np.nonzero(cos >= threshold)
         a, b = ids_lo[ia], ids_hi[ib]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cos_sim": cos[ia, ib],
-            }
-        )
+        return np.minimum(a, b), np.maximum(a, b), cos[ia, ib]
 
+    def job_pairs_batched(batches):
+        """Iterate (key, jmin, jmax) groups WITHOUT per-group pandas
+        frames. The former ``groupBy().applyInPandas`` spent ~5-9 ms of
+        pandas/Arrow machinery per group — 15,360 groups × ~9 ms ≈ the
+        whole stage's 4.4 s at sf0.1 (and the dominant term of the ×30
+        sweep). Rows arrive repartitioned AND sorted by the group key,
+        so groups are contiguous runs inside each partition; this kernel
+        converts each Arrow batch to numpy ONCE, finds run boundaries
+        with a vectorized diff, and slices — per-group cost drops to the
+        numpy math itself. A group can span batch boundaries: the last
+        (possibly incomplete) run is carried into the next batch."""
+        carry = None
+
+        def flush(block):
+            key3, ids, mat, shards = block
+            uniq, first = np.unique(ids, return_index=True)
+            res = group_block(
+                uniq, mat[first], shards[first], int(key3[1]), int(key3[2])
+            )
+            if res is None or len(res[0]) == 0:
+                return None
+            return res
+
+        out_a, out_b, out_c = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            keys = pdf["key"].to_numpy(dtype=np.int64)
+            shards = pdf["shard"].to_numpy(dtype=np.int64)
+            jmins = pdf["jmin"].to_numpy(dtype=np.int64)
+            jmaxs = pdf["jmax"].to_numpy(dtype=np.int64)
+            mat = np.array(
+                [np.asarray(v) for v in pdf["vec"]], dtype=np.float64
+            )
+            # run boundaries of the sorted (key, jmin, jmax) triple
+            change = (
+                (np.diff(keys) != 0)
+                | (np.diff(jmins) != 0)
+                | (np.diff(jmaxs) != 0)
+            )
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            ends = np.concatenate((starts[1:], [len(ids)]))
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                key3 = (keys[s], jmins[s], jmaxs[s])
+                block = (key3, ids[s:e], mat[s:e], shards[s:e])
+                if carry is not None:
+                    if carry[0] == key3:
+                        block = (
+                            key3,
+                            np.concatenate((carry[1], block[1])),
+                            np.concatenate((carry[2], block[2])),
+                            np.concatenate((carry[3], block[3])),
+                        )
+                    else:
+                        res = flush(carry)
+                        if res is not None:
+                            out_a.append(res[0]); out_b.append(res[1])
+                            out_c.append(res[2])
+                    carry = None
+                if gi == len(starts) - 1:
+                    carry = block  # may continue in the next batch
+                else:
+                    res = flush(block)
+                    if res is not None:
+                        out_a.append(res[0]); out_b.append(res[1])
+                        out_c.append(res[2])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos_sim": np.concatenate(out_c),
+                    }
+                )
+                out_a, out_b, out_c = [], [], []
+        if carry is not None:
+            res = flush(carry)
+            if res is not None:
+                yield pd.DataFrame(
+                    {"id_a": res[0], "id_b": res[1], "cos_sim": res[2]}
+                )
+
+    grouped = replicated.repartition(
+        F.col("key"), F.col("jmin"), F.col("jmax")
+    ).sortWithinPartitions("key", "jmin", "jmax")
     return (
-        replicated.groupBy("key", "jmin", "jmax")
-        .applyInPandas(job_pairs, out_schema)
+        grouped.mapInPandas(job_pairs_batched, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -696,6 +776,24 @@ def assign_ivf_cells(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def ivf_index(
+    corpus: DataFrame,
+    centroids,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus side of an IVF lookup: each vector joined to its
+    nearest-centroid cell, carrying the prepared (nvec, nnorm) columns
+    the in-cell cosine needs. Build once, probe at any nprobe — the
+    stored-index shape of a real deployment (see ivf_topk)."""
+    c_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    return corpus_join(
+        _prepared(corpus, id_col, vec_col, "n", dim),
+        c_cells.withColumnRenamed("vid", "nid"), "nid"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -705,18 +803,26 @@ def ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    indexed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors indexed into their nearest
     centroid's cell; queries probe their `nprobe` nearest cells; exact
     cosine + ranking only within probed cells. The equi-join on cell id
     is the inverted-file lookup — same sub-quadratic shape as LSH, but
-    data-adaptive when the centroids come from a clustering pass."""
-    c_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    data-adaptive when the centroids come from a clustering pass.
+
+    ``indexed_corpus`` (r10 optimization round): a precomputed
+    corpus-side index — exactly ``ivf_index(corpus, centroids, ...)`` —
+    shared across calls. A caller evaluating several nprobe settings
+    against the SAME index (ivf_probe_curve) otherwise re-runs the
+    corpus cell-assignment kernel and the norm projection once per
+    setting; the index side of a real IVF deployment is built once, so
+    sharing it is the production shape, not a shortcut."""
+    if indexed_corpus is not None:
+        c = indexed_corpus
+    else:
+        c = ivf_index(corpus, centroids, dim, id_col, vec_col)
     q_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
-    c = corpus_join(
-        _prepared(corpus, id_col, vec_col, "n", dim),
-        c_cells.withColumnRenamed("vid", "nid"), "nid"
-    )
     q = _prepared(queries, id_col, vec_col, "q", dim).join(
         q_cells.withColumnRenamed("vid", "qid"), "qid"
     )
@@ -812,7 +918,57 @@ def ann_lsh_topk(
     cheaper lever when extra tables would inflate index storage. The
     probe fan-out stages AFTER the base-bucket explode so the expensive
     hyperplane projection evaluates once per (query, table), not once
-    per probe (CollapseProject cannot merge through a Generate)."""
+    per probe (CollapseProject cannot merge through a Generate).
+
+    With ``components`` (explicit hyperplane literals) the bucket keys
+    compute through the Arrow kernel (``lsh_signature_keys``) instead of
+    the SQL ``aggregate(zip_with(...))`` fold (r10 optimization round,
+    guide §4.2): the interpreted higher-order-function projection cost
+    ~2-3 s per corpus pass at sf0.1, while the kernel runs the SAME
+    dimension-ordered float64 fold (identical signs → identical keys;
+    probe keys XOR the same low bits) at numpy throughput. The
+    ``components=None`` mode keeps the SQL path — its hyperplanes come
+    from Spark's own hash() and exist only engine-side."""
+    import numpy as np
+
+    if components is not None:
+        H = np.array(
+            [
+                [
+                    [components(t, b, d) for d in range(dim)]
+                    for b in range(num_bits)
+                ]
+                for t in range(num_tables)
+            ],
+            dtype=np.float64,
+        )
+        c_keys = lsh_signature_keys(
+            corpus, H, num_probes=0, id_col=id_col, vec_col=vec_col
+        ).toDF("nid", "bucket")
+        q_keys = lsh_signature_keys(
+            queries, H, num_probes=num_probes, id_col=id_col, vec_col=vec_col
+        ).toDF("qid", "bucket")
+        c = corpus_join(
+            _prepared(corpus, id_col, vec_col, "n", dim), c_keys, "nid"
+        )
+        q = _prepared(queries, id_col, vec_col, "q", dim).join(q_keys, "qid")
+        pairs = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("qid") != F.col("nid"))
+            # a pair colliding in several tables is computed once
+            .dropDuplicates(["qid", "nid"])
+            .withColumn(
+                "cos_sim",
+                dot_unrolled("qvec", "nvec", dim)
+                / (F.col("qnorm") * F.col("nnorm")),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "nid", "cos_sim", "rnk")
+        )
     q0 = _prepared(queries, id_col, vec_col, "q", dim)
     if num_probes <= 0:
         q = q0.withColumn(
@@ -1086,27 +1242,35 @@ def mmr_rerank(
     Goldstein), which plain top-k cannot express because each pick
     depends on the picks before it.
 
-    The greedy loop unrolls into ``k`` plan stages (k is small and
-    fixed — this is a post-retrieval re-rank over ≤pool rows per query,
-    never a corpus-scale iteration): stage i joins the remaining
-    candidates to the i−1 selected rows, takes the max pairwise
-    similarity, and picks the arg-max MMR score with a (score DESC, nid)
-    total order. Pairwise similarities among the pool compute once. All
-    arithmetic is deterministic IEEE on both engines; the oracle unrolls
-    the identical stages in SQL."""
-    # localCheckpoint (not persist): every greedy stage's logical plan
-    # would otherwise embed the full lineage of all earlier stages —
-    # with the 64-term unrolled dot products that plan grows
-    # exponentially and OOMs the analyzer before anything runs. The
-    # checkpoint truncates lineage to the materialized pool (≤ pool rows
-    # per query, bounded by design).
+    The corpus-scale legs stay distributed: the top-``pool`` candidate
+    retrieval scans the corpus, and the pool's pairwise similarities
+    compute as a join against the corpus vectors. The greedy selection
+    itself runs DRIVER-SIDE over the collected pool (r10 optimization
+    round): it touches at most ``n_queries × pool`` candidate rows and
+    ``n_queries × pool²`` similarity rows — the same bounded-collect
+    class as the 16-row centroid reads and the BPE 1-row argmax, a
+    query-side constant independent of corpus size. The earlier form
+    unrolled the greedy into k eagerly-checkpointed plan stages: 45
+    Spark jobs / ~3.8 s of driver-side planning and job scheduling at
+    sf0.1 for arithmetic over ≤200 rows (guide §1.2: fix the pass
+    structure first). Score arithmetic (λ·rel − (1−λ)·max_sim, one
+    multiply each and one subtract) is the identical IEEE-double
+    sequence in Python and the JVM, and both tie-breaks ((rel DESC,
+    nid), (score DESC, nid)) are replayed exactly, so the selection —
+    and the oracle match — is unchanged."""
     # the diversity weight must be the literal double the oracle SQL
     # parses (e.g. 0.3), not the float expression 1-0.7 =
     # 0.30000000000000004 — a ~1 ulp score difference can flip a
     # near-tie pick between engines
     div_w = float(f"{1.0 - lam:.10g}")
-    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col,
-                       vec_col=vec_col, dim=dim).select(
+    # localCheckpoint: psim's plan reads cand twice (both pair sides) —
+    # the checkpoint keeps the corpus-scan top-pool from running twice.
+    # Arrow kernel, not the JVM unrolled-dot join (r10): bit-identical
+    # cosines (same dimension-ordered fold — the similarity_topk
+    # precedent) at numpy throughput; the JVM chain cost ~2 s of this
+    # query alone on the single-task fixture scan.
+    cand = cosine_topk_arrow(corpus, queries, k=pool, id_col=id_col,
+                             vec_col=vec_col).select(
         "qid", "nid", F.col("cos_sim").alias("rel")
     ).localCheckpoint(eager=True)
     # pairwise sims among each query's pool (pool² per query, tiny)
@@ -1127,53 +1291,46 @@ def mmr_rerank(
             dot_unrolled("va", "vb", dim) / (F.col("norma") * F.col("normb")),
         )
         .select("qid", "na", "nb", "sim")
-        .localCheckpoint(eager=True)
     )
-    selected = (
-        cand.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("rel"), "nid")
-            ),
+    cand_rows = cand.collect()
+    sim_of: dict[tuple[int, int, int], float] = {
+        (r["qid"], r["na"], r["nb"]): r["sim"] for r in psim.collect()
+    }
+    pools: dict[int, list] = {}
+    for r in cand_rows:
+        pools.setdefault(r["qid"], []).append((r["nid"], r["rel"]))
+    out_rows: list[tuple[int, int, float, int]] = []
+    for qid in sorted(pools):
+        # step 1: max rel, ties to the smaller nid — the (rel DESC, nid)
+        # row_number the staged form used
+        remaining = sorted(pools[qid], key=lambda c: (-c[1], c[0]))
+        picked = [remaining.pop(0)]
+        out_rows.append((qid, picked[0][0], picked[0][1], 1))
+        for step in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for nid, rel in remaining:
+                max_sim = max(sim_of[(qid, nid, s[0])] for s in picked)
+                score = lam * rel - div_w * max_sim
+                if best is None or (-score, nid) < (-best[2], best[0]):
+                    best = (nid, rel, score)
+            picked.append((best[0], best[1]))
+            remaining = [c for c in remaining if c[0] != best[0]]
+            out_rows.append((qid, best[0], best[1], step))
+    spark = corpus.sparkSession
+    if not out_rows:
+        return spark.createDataFrame(
+            [], "qid bigint, nid bigint, rel double, mmr_rank int"
         )
-        .filter(F.col("rn") == 1)
-        .select("qid", "nid", "rel", F.lit(1).alias("mmr_rank"))
+    vals = ", ".join(
+        f"({q}, {nid}, CAST('{rel!r}' AS DOUBLE), {rank})"
+        for q, nid, rel, rank in out_rows
     )
-    for step in range(2, k + 1):
-        remaining = cand.join(
-            selected.select("qid", "nid"), ["qid", "nid"], "left_anti"
-        )
-        div = (
-            remaining.join(
-                psim.withColumnRenamed("na", "nid"), ["qid", "nid"]
-            )
-            .join(
-                selected.select("qid", F.col("nid").alias("nb")),
-                ["qid", "nb"],
-            )
-            .groupBy("qid", "nid", "rel")
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        pick = (
-            div.withColumn(
-                "score",
-                F.lit(lam) * F.col("rel") - F.lit(div_w) * F.col("max_sim"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("qid").orderBy(
-                        F.desc("score"), "nid"
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("qid", "nid", "rel", F.lit(step).alias("mmr_rank"))
-        )
-        # lineage cut per stage (see cand comment)
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected.select(
-        "qid", "nid", "rel", F.col("mmr_rank").cast("int").alias("mmr_rank")
+    return spark.sql(
+        "SELECT CAST(qid AS BIGINT) qid, CAST(nid AS BIGINT) nid, rel, "
+        f"CAST(mmr_rank AS INT) mmr_rank FROM (VALUES {vals}) "
+        "AS t(qid, nid, rel, mmr_rank)"
     )
 
 

@@ -101,10 +101,14 @@ def _sweep_live_roots() -> None:
 atexit.register(_sweep_live_roots)
 
 
-def _bands_of(docs: DataFrame) -> DataFrame:
-    """(doc, band_id, band_hash, hs) banded md5-portable signatures."""
+def _bands_of(docs: DataFrame, spread: bool = True) -> DataFrame:
+    """(doc, band_id, band_hash, hs) banded md5-portable signatures.
+    ``spread=False`` for the per-micro-batch frames: the drain pins its
+    shuffle width deliberately and a KB-scale batch gains nothing from
+    the single-task-scan repartition the corpus seed wants."""
     return _banded_signatures(
-        minhash_signatures(docs, hash_fn="md5"), NUM_HASHES, BANDS, "md5"
+        minhash_signatures(docs, hash_fn="md5", spread=spread),
+        NUM_HASHES, BANDS, "md5",
     )
 
 
@@ -269,7 +273,7 @@ def run_incremental_dedup_stream(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        bands = _bands_of(batch_df).localCheckpoint(eager=True)
+        bands = _bands_of(batch_df, spread=False).localCheckpoint(eager=True)
         # the arrivals table re-reads each batch by design — it GROWS
         # as the stream runs, so it is a maintained table, not stream
         # state; the static corpus side comes from the pinned cache.
