@@ -146,8 +146,11 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        corpus_join(pairs, sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.hint("merge").withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        corpus_join(
+            corpus_join(pairs, sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"),
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -560,8 +563,11 @@ def exact_substr_spans(
         F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h"
     )
     anchors = (
-        corpus_join(pairs.select("doc_a", "doc_b"), a, "doc_a")
-        .join(b.hint("merge"), ["doc_b", "h"])
+        corpus_join(
+            corpus_join(pairs.select("doc_a", "doc_b"), a, "doc_a"),
+            b,
+            ["doc_b", "h"],
+        )
         .withColumn("diag", F.col("pb") - F.col("pa"))
     )
     w_diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
@@ -684,12 +690,12 @@ def containment_pairs(
     )
     return (
         corpus_join(
-            pairs,
-            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"),
-            "doc_a",
-        )
-        .join(
-            sizes.hint("merge")
+            corpus_join(
+                pairs,
+                sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"),
+                "doc_a",
+            ),
+            sizes
             .withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"),
             "doc_b",
         )
@@ -820,15 +826,14 @@ def moss_match_pairs(
     )
     return (
         corpus_join(
-            pairs,
-            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed(
-                "n_fp", "n_a"
+            corpus_join(
+                pairs,
+                sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed(
+                    "n_fp", "n_a"
+                ),
+                "doc_a",
             ),
-            "doc_a",
-        )
-        .join(
-            sizes.hint("merge")
-            .withColumnRenamed("doc", "doc_b").withColumnRenamed(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed(
                 "n_fp", "n_b"
             ),
             "doc_b",

@@ -1176,8 +1176,7 @@ def ivfpq_topk(
     for term in diff2[1:]:
         dist = dist + term
     per_sub = (
-        cand.join(q_sub, "qid")
-        .join(codes.hint("merge"), ["nid", "s"])
+        corpus_join(cand.join(q_sub, "qid"), codes, ["nid", "s"])
         .join(F.broadcast(cb_sub), ["j", "s"])
         .withColumn("sdist", dist)
     )
@@ -1206,8 +1205,7 @@ def ivfpq_topk(
     q = _prepared(queries, id_col, vec_col, "q", dim)
     n = _prepared(corpus, id_col, vec_col, "n", dim)
     return (
-        shortlist.join(q, "qid")
-        .join(n.hint("merge"), "nid")
+        corpus_join(shortlist.join(q, "qid"), n, "nid")
         .withColumn(
             "cos_sim",
             dot_unrolled("qvec", "nvec", dim)
