@@ -311,8 +311,18 @@ def bench(sf_dir: str) -> tuple[
     # costs, which is also what the min-of-3 estimator converges to.
     # r10: jaccard_est_error added — it builds the two calibration-side
     # shared frames (_ngram_pairs_t0_shared / _mh_pairs_shared) that
-    # minhash_band_scurve also reads, per the same contract.
-    for warm_q in ("dedup_embedding", "dedup_clusters", "jaccard_est_error"):
+    # minhash_band_scurve also reads, per the same contract. The three
+    # layout queries are warmed for the same reason: their one-time
+    # per-(app, sf) bucketed/partitioned table writes are the ingest
+    # side of the layout bargain (amortized in production; billed to
+    # whichever sample ran first otherwise), while the timed samples
+    # measure what those queries certify — the exchange-free query-time
+    # path.
+    for warm_q in (
+        "dedup_embedding", "dedup_clusters", "jaccard_est_error",
+        "bucketed_join_revenue", "partition_pruned_revenue",
+        "layout_composed_revenue",
+    ):
         try:
             QUERIES[warm_q](spark, sf_dir).collect()
         except Exception:
