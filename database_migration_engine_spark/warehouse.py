@@ -12,11 +12,57 @@ catalog); tests point ``spark.sql.warehouse.dir`` at a tmpdir.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_WH_PREFIX = "dbmig_wh_"
+_OWN_ROOTS: set[str] = set()
+
+
+def _sweep_wh_roots(base: str, keep: str) -> None:
+    """tmpfs is RAM: remove warehouse roots left by dead sessions (r10
+    optimization round — 14 leaked roots / 222 MB observed; same sweep
+    discipline as streaming/dedup's work roots). A root is stale when
+    its mtime is older than 6 h; this session's own root is kept."""
+    try:
+        sibs = os.listdir(base)
+    except OSError:
+        return
+    for sib in sibs:
+        if not sib.startswith(_WH_PREFIX) or sib == keep:
+            continue
+        p = os.path.join(base, sib)
+        try:
+            if time.time() - os.path.getmtime(p) > 6 * 3600:
+                shutil.rmtree(p, True)
+        except OSError:
+            pass
+
+
+def _cleanup_own_roots() -> None:
+    for r in list(_OWN_ROOTS):
+        shutil.rmtree(r, ignore_errors=True)
+
+
+atexit.register(_cleanup_own_roots)
+
+
+def _wh_root(spark: SparkSession) -> str:
+    """This session's warehouse root. First touch per root sweeps stale
+    sibling roots and registers this one for exit cleanup."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    root_name = f"{_WH_PREFIX}{spark.sparkContext.applicationId}"
+    root = os.path.join(base, root_name)
+    if root not in _OWN_ROOTS:
+        _sweep_wh_roots(base, root_name)
+        _OWN_ROOTS.add(root)
+    return root
 
 
 def write_bucketed(
@@ -64,9 +110,7 @@ def ensure_bucketed(
     exactly one bucket and each bucket lands in ONE file — the layout
     Spark requires before it will trust ``sortBy`` metadata to elide
     the join-side sort."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    app = spark.sparkContext.applicationId
-    path = os.path.join(base, f"dbmig_wh_{app}", table)
+    path = os.path.join(_wh_root(spark), table)
     stamp = os.path.join(path, "_dbmig_stamp")
     if spark.catalog.tableExists(table) and os.path.exists(stamp):
         return table
@@ -96,9 +140,7 @@ def ensure_partitioned(
     payoff is PARTITION PRUNING — a filter on the partition column
     becomes a directory listing, not a data scan (the second of the
     three storage-layout levers next to bucketing and Z-ordering)."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    app = spark.sparkContext.applicationId
-    path = os.path.join(base, f"dbmig_wh_{app}", name)
+    path = os.path.join(_wh_root(spark), name)
     stamp = os.path.join(path, "_dbmig_stamp")
     if os.path.exists(stamp):
         return path
@@ -129,9 +171,7 @@ def ensure_partitioned_bucketed(
     The pre-write ``repartition(num_buckets, bucket_by)`` mirrors the
     bucket spec's murmur3 pmod placement so each task holds exactly one
     bucket and each (partition dir, bucket) lands in one file."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    app = spark.sparkContext.applicationId
-    path = os.path.join(base, f"dbmig_wh_{app}", table)
+    path = os.path.join(_wh_root(spark), table)
     stamp = os.path.join(path, "_dbmig_stamp")
     if spark.catalog.tableExists(table) and os.path.exists(stamp):
         return table
