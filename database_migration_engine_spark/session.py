@@ -57,6 +57,14 @@ def build_session(
         # task input so a single task never reads an entire multi-GB file.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # r11 optimization round (guide §1.2 "per-task work", applied to
+        # the DRIVER): PySpark 4's DataFrame debugging decorates every
+        # API call with a call-site capture + a JVM origin round-trip —
+        # measured ~25-30% of similarity_ivfpq's 2.2 s plan-construction
+        # wall (571 getActiveSession + 567 call-site captures inside one
+        # query build). Plan-shape and results are unaffected; only
+        # error messages lose the Python call-site decoration.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # Streaming state-store posture (r05 verdict item 4): default is the
     # HDFS-backed (heap) provider — measured 2× FASTER than RocksDB at

@@ -163,7 +163,12 @@ def _sweep_stale_roots(base: str, keep: str) -> None:
     """tmpfs is RAM: remove work roots left by crashed sessions (mtime
     older than 6 h — a live drain finishes in seconds), keeping this
     session's own root (ADVICE r08: an exception mid-drain previously
-    leaked /dev/shm with no sweep, accumulating across crashes)."""
+    leaked /dev/shm with no sweep, accumulating across crashes).
+    Deletion is additionally gated on owner liveness (ADVICE r10, the
+    warehouse-sweeper fix applied to its sibling): a root whose pidfile
+    names a live process is never swept, however old its mtime."""
+    from ..warehouse import owner_alive
+
     try:
         sibs = os.listdir(base)
     except OSError:
@@ -173,7 +178,10 @@ def _sweep_stale_roots(base: str, keep: str) -> None:
             continue
         p = os.path.join(base, sib)
         try:
-            if time.time() - os.path.getmtime(p) > 6 * 3600:
+            if (
+                time.time() - os.path.getmtime(p) > 6 * 3600
+                and not owner_alive(p)
+            ):
                 shutil.rmtree(p, True)
         except OSError:
             pass
@@ -216,6 +224,10 @@ def run_incremental_dedup_stream(
     # KeyboardInterrupt through awaitTermination): the module-level
     # sweeper rmtrees any root still in the live set at exit
     _LIVE_ROOTS.add(root)
+    # liveness stamp for sibling sessions' sweepers (ADVICE r10)
+    from ..warehouse import write_owner_pidfile
+
+    write_owner_pidfile(root)
 
     docs = docs.select("doc_id", "text")
     new_docs = docs.filter(F.col("doc_id") >= new_min_id)

@@ -23,13 +23,44 @@ from pyspark.sql import functions as F
 
 _WH_PREFIX = "dbmig_wh_"
 _OWN_ROOTS: set[str] = set()
+_PIDFILE = "_dbmig_owner_pid"
+
+
+def write_owner_pidfile(root: str) -> None:
+    """Stamp ``root`` with its owning process id so sweepers can gate
+    deletion on owner LIVENESS, not just mtime (ADVICE r10: warehouse
+    tables are written once at startup, so a >6 h-old root can belong
+    to a perfectly live session — mtime alone rmtree'd it mid-run)."""
+    try:
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, _PIDFILE), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass  # stamping is best-effort; the mtime rule still applies
+
+
+def owner_alive(root: str) -> bool:
+    """True when ``root``'s pidfile names a live process. Roots without
+    a pidfile (pre-r11 leftovers) report not-alive and fall back to the
+    mtime rule. A recycled pid can keep a dead root alive for one sweep
+    cycle — the safe failure direction (a leaked root survives; a live
+    session's tables are never deleted under it)."""
+    try:
+        with open(os.path.join(root, _PIDFILE)) as fh:
+            pid = int(fh.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
 
 
 def _sweep_wh_roots(base: str, keep: str) -> None:
     """tmpfs is RAM: remove warehouse roots left by dead sessions (r10
     optimization round — 14 leaked roots / 222 MB observed; same sweep
-    discipline as streaming/dedup's work roots). A root is stale when
-    its mtime is older than 6 h; this session's own root is kept."""
+    discipline as streaming/dedup's work roots). A root is swept when
+    its mtime is older than 6 h AND its owner process is dead (ADVICE
+    r10 — mtime alone deleted live sessions' once-written tables);
+    this session's own root is always kept."""
     try:
         sibs = os.listdir(base)
     except OSError:
@@ -39,7 +70,10 @@ def _sweep_wh_roots(base: str, keep: str) -> None:
             continue
         p = os.path.join(base, sib)
         try:
-            if time.time() - os.path.getmtime(p) > 6 * 3600:
+            if (
+                time.time() - os.path.getmtime(p) > 6 * 3600
+                and not owner_alive(p)
+            ):
                 shutil.rmtree(p, True)
         except OSError:
             pass
@@ -61,6 +95,7 @@ def _wh_root(spark: SparkSession) -> str:
     root = os.path.join(base, root_name)
     if root not in _OWN_ROOTS:
         _sweep_wh_roots(base, root_name)
+        write_owner_pidfile(root)
         _OWN_ROOTS.add(root)
     return root
 

@@ -22,14 +22,14 @@ from database_migration_engine_spark.plans import QUERIES  # noqa: E402
 from database_migration_engine_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r11"))
 
 
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     os.makedirs(OUT_DIR, exist_ok=True)
-    spark = build_session(app_name="dbmig-explain-r10")
+    spark = build_session(app_name="dbmig-explain")
     spark.sparkContext.setLogLevel("ERROR")
     for nm in names:
         df = QUERIES[nm](spark, SF_DIR)
