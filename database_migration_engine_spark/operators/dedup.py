@@ -527,6 +527,25 @@ def positioned_shingles(
         F.col(id_col).alias("doc"),
         F.posexplode(TX.tokens(content_col)).alias("pos0", "tok"),
     )
+    # r11 (guide §2.5, the spread_input discipline applied to the WINDOW
+    # exchange): the per-doc window requires hashpartitioning(doc), and
+    # AQE sizes that exchange by BYTES — a fixture corpus' token rows
+    # are a few MB, so every downstream gram-md5 / ×w-window / explode
+    # consumer ran in 1-2 coalesced tasks (measured: winnowing 3.2 s of
+    # collect in ≤8 tasks). When the backing files are provably small,
+    # an explicit full-width repartition on the SAME key pre-empts the
+    # identical exchange (AQE respects explicit repartitions — no second
+    # exchange, the window and everything after it runs wide). Large or
+    # unknown-size inputs keep the AQE-sized exchange: at 100 TB its
+    # byte-proportional width is the right answer.
+    from .joins import _backing_bytes
+
+    b = _backing_bytes(df)
+    if b is not None and b <= SPREAD_SMALL_BYTES:
+        sc = df.sparkSession.sparkContext
+        toks_row = toks_row.repartition(
+            sc.defaultParallelism, F.col("doc")
+        )
     w = Window.partitionBy("doc").orderBy("pos0")
     lead_cols = [F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, n)]
     return (

@@ -79,15 +79,46 @@ def connected_components(
     per-round shuffle width to the component-graph's size (see
     ``_shuffle_width``).
     """
-    with _shuffle_width(edges.sparkSession, shuffle_partitions):
-        sym = edges.select(
-            F.col(src).alias("a"), F.col(dst).alias("b")
-        ).unionByName(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
-        if dedupe_edges:
-            sym = sym.distinct()
-        sym = sym.persist()
+    spark = edges.sparkSession
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    if dedupe_edges:
+        sym = sym.distinct()
+    sym = sym.persist()
+    # r11 (guide §2.2 "fewer, larger partitions", made SIZE-ADAPTIVE):
+    # the caller's shuffle_partitions is a static guess; the persisted
+    # edge list's real row count is one ~ms job away (it also warms the
+    # cache round 1 would otherwise pay to build). Each round is a full
+    # shuffle of the label graph, and the label graph is edge-bounded —
+    # at fixture scale (hundreds of edges) 16-wide rounds are ~90% empty
+    # tasks × rounds × stages (A/B on the sf0.1 embedding pair graph:
+    # width 16 ≈ 3.2-4.3 s, width 1-2 ≈ 2.2-2.3 s for the same 13
+    # rounds); at real scale the width grows with the measured edge
+    # count up to the caller's cap. ~250k label/edge rows (≈6 MB of
+    # (long, long)) per task is comfortably one reducer's work.
+    n_edges = sym.count()
+    cap = shuffle_partitions or spark.sparkContext.defaultParallelism
+    width = max(1, min(cap, -(-n_edges // 250_000)))
+    # Re-layout the edge cache ONCE for the rounds (guide §2.4): hash-
+    # partitioned on the join key at the round width and sorted within
+    # partitions, so every round's sort-merge join reads the cached side
+    # exchange-free AND sort-free (outputPartitioning/-Ordering are
+    # preserved through the cache), and per-round jobs stop scanning the
+    # natural-width cache (32 scan tasks per round for a hundreds-of-
+    # edges fixture graph). One extra tiny job (the re-layout count)
+    # buys rounds × (exchange + sort + empty tasks).
+    sym_w = (
+        sym.repartition(width, F.col("a"))
+        .sortWithinPartitions("a")
+        .persist()
+    )
+    sym_w.count()
+    sym.unpersist()
+    sym = sym_w
+    with _shuffle_width(spark, width):
         labels = nodes.select(
             F.col(node_col).alias("node"), F.col(node_col).alias("label")
         ).persist()

@@ -137,15 +137,21 @@ def kmeans_fixed_point(
             F.row_number().over(Window.orderBy("pid")) - 1,
         )
     )
+    # r11: LAZY checkpoints inside the loop (the ivf_probe_curve
+    # precedent) — each iteration's assignment/centroid RDD still
+    # computes exactly once and truncates lineage for the next round,
+    # but the whole trajectory materializes inside the consumer's first
+    # action instead of 2 eager driver-blocking jobs per iteration
+    # (pts stays eager: every _assign AND _update scans it).
     cent = (
         corpus_join(pts, seeds, "pid")
         .select("cid", "pos", F.col("ival").alias("cval"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     asg = None
     for _ in range(iters):
-        asg = _assign(pts, cent).localCheckpoint(eager=True)
-        cent = _update(pts, asg).localCheckpoint(eager=True)
+        asg = _assign(pts, cent).localCheckpoint(eager=False)
+        cent = _update(pts, asg).localCheckpoint(eager=False)
     # final assignment under the final centroids, so the reported
     # inertia describes the returned model
     asg = _assign(pts, cent)

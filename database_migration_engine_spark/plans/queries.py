@@ -4668,14 +4668,31 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_docs = ids.count()
+    # r11 (the connected_components width adaptation applied here): the
+    # iterating rank graph is edge-bounded, and the persisted edge list's
+    # row count is one cache-warming job away — size the 8 rounds'
+    # shuffles to the MEASURED edge count (up to the old static cap)
+    # instead of a constant 16, and re-layout the edge cache at that
+    # width so each round's scan stops touching 32 near-empty cached
+    # partitions (8 rounds × 32 scan tasks at fixture scale).
+    n_edges_all = alledges.count()
+    width = max(
+        1,
+        min(
+            min(16, spark.sparkContext.defaultParallelism),
+            -(-n_edges_all // 250_000),
+        ),
+    )
+    alledges_w = alledges.repartition(width, F.col("src")).persist()
+    alledges_w.count()
+    alledges.unpersist()
+    alledges = alledges_w
     r0 = SCALE // n_docs
     base = (15 * r0) // 100
     ranks = ids.select(
         F.col("doc_id").alias("doc"), F.lit(r0).cast("long").alias("r")
     )
-    with GR._shuffle_width(
-        spark, min(16, spark.sparkContext.defaultParallelism)
-    ):
+    with GR._shuffle_width(spark, width):
         for _ in range(8):
             ranks = (
                 alledges.join(ranks, alledges.src == ranks.doc)

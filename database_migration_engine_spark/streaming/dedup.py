@@ -285,7 +285,21 @@ def run_incremental_dedup_stream(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        bands = _bands_of(batch_df, spread=False).localCheckpoint(eager=True)
+        # r11 (guide §2.5 input parallelism, measured): the file-stream
+        # micro-batch arrives with one partition per staged file (2 at
+        # the drain's pacing), so the tokenize→shingle→md5 signature
+        # chain ran 2-wide — 1.1-1.8 s per batch, ~4 s of the drain's
+        # 12.6 s wall. One deterministic hash exchange of the raw
+        # KB-scale batch rows spreads the chain to the drain's pinned
+        # shuffle width (8 — already sized to the micro-batch; a
+        # production drain sizes both together). spread_input itself
+        # stays out of the per-batch path: a stream batch has no file
+        # leaves for its bytes gate, and the width here must match the
+        # drain's pinned state width, not the session's parallelism.
+        drain_w = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        bands = _bands_of(
+            batch_df.repartition(drain_w, F.col("doc_id")), spread=False
+        ).localCheckpoint(eager=True)
         # the arrivals table re-reads each batch by design — it GROWS
         # as the stream runs, so it is a maintained table, not stream
         # state; the static corpus side comes from the pinned cache.

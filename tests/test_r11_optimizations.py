@@ -120,3 +120,102 @@ class TestSpreadInputGate:
         docs = read_table(spark, SF_DIR, "documents")
         out = DD.spread_input(docs, "doc_id")
         assert out is docs
+
+
+class TestSelectAtRanks:
+    """select_at_ranks must return exactly the rows with_global_ranks +
+    rank filter would — the bucket pruning may only skip buckets that
+    contain no target rank."""
+
+    def test_parity_with_full_rank_filter(self, spark):
+        from database_migration_engine_spark.operators import ranks as RK
+
+        orders = read_table(spark, SF_DIR, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        )
+        ranked, totals = RK.with_global_ranks(
+            orders, "o_totalprice", ["o_orderkey"],
+            partition_cols=["o_orderpriority"],
+        )
+        targets = {
+            g: sorted({1, (n + 1) // 2, n}) for g, n in totals.items()
+        }
+        want = {
+            (r["o_orderpriority"], r["rn"]): r["o_totalprice"]
+            for r in ranked.collect()
+            if r["rn"] in targets[(r["o_orderpriority"],)]
+        }
+        sel, totals2 = RK.select_at_ranks(
+            orders, "o_totalprice", ["o_orderkey"],
+            lambda tot: {g: targets[g] for g in tot},
+            partition_cols=["o_orderpriority"],
+        )
+        got = {
+            (r["o_orderpriority"], r["rn"]): r["o_totalprice"]
+            for r in sel.collect()
+        }
+        assert totals2 == totals
+        assert got == want
+
+    def test_caller_supplied_boundaries_skip_sketch(self, spark):
+        from database_migration_engine_spark.operators import ranks as RK
+
+        orders = read_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        # ANY monotone boundary set yields the same selected rows
+        sel_a, tot_a = RK.select_at_ranks(
+            orders, "o_totalprice", ["o_orderkey"],
+            lambda tot: {g: [(n + 1) // 2] for g, n in tot.items()},
+        )
+        sel_b, tot_b = RK.select_at_ranks(
+            orders, "o_totalprice", ["o_orderkey"],
+            lambda tot: {g: [(n + 1) // 2] for g, n in tot.items()},
+            boundaries=[1000.0, 50000.0],  # deliberately unbalanced
+        )
+        assert tot_a == tot_b
+        assert (
+            [(r["rn"], r["o_totalprice"]) for r in sel_a.collect()]
+            == [(r["rn"], r["o_totalprice"]) for r in sel_b.collect()]
+        )
+
+
+class TestShingleWindowSpread:
+    def test_small_input_window_runs_wide(self, spark):
+        docs = read_table(spark, SF_DIR, "documents")
+        plan = (
+            DD.positioned_shingles(docs, "doc_id", "text", 4)
+            ._jdf.queryExecution().logical().toString().lower()
+        )
+        assert "repartitionbyexpression" in plan
+
+    def test_unknown_size_keeps_aqe_width(self, spark):
+        docs = read_table(spark, SF_DIR, "documents").localCheckpoint(
+            eager=True
+        )
+        plan = (
+            DD.positioned_shingles(docs, "doc_id", "text", 4)
+            ._jdf.queryExecution().logical().toString().lower()
+        )
+        assert "repartitionbyexpression" not in plan
+
+
+class TestCcAdaptiveWidth:
+    def test_tiny_graph_rounds_run_narrow(self, spark):
+        """Fixture-scale graphs must iterate at width 1 (the measured
+        win), and labels must be the exact component minima."""
+        from database_migration_engine_spark.operators import graph as GR
+
+        edges = RKV = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "a int, b int"
+        )
+        nodes = spark.range(1, 23).selectExpr("CAST(id AS INT) AS n")
+        labels = GR.connected_components(
+            edges, src="a", dst="b", nodes=nodes, node_col="n",
+            shuffle_partitions=16,
+        )
+        got = {r["node"]: r["label"] for r in labels.collect()}
+        assert got[3] == 1 and got[11] == 10 and got[22] == 20
+        # the iterating label RDD was checkpointed at the adaptive width
+        assert labels.rdd.getNumPartitions() == 1
+        labels.unpersist()
